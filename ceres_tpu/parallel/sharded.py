@@ -1,0 +1,247 @@
+"""Multi-chip execution: residual-block data parallelism over a device mesh.
+
+This is the TPU replacement for the reference's execution substrate (L0:
+ThreadPool/ParallelFor, internal/ceres/parallel_for.h) and its absent
+distributed backend (SURVEY.md section 5.8): residual blocks shard across
+mesh devices along a 'data' axis; the parameter/tangent state replicates;
+gradient, J^T J diagonals, preconditioner blocks, Schur contributions, and
+CG inner products reduce with jax.lax.psum over ICI.
+
+Mechanics: each bucket's per-row arrays (stacked functor data, ambient
+gather indices, tangent column maps, Jacobi-group local ids) are padded to a
+multiple of the shard count (pad rows replicate row 0 and carry mask = 0;
+residuals/Jacobians are masked post-evaluation so every downstream reduction
+is exact). The whole LM step — linearize, Jacobi scale, damping, CGNR with
+block-Jacobi preconditioner — runs inside one shard_map-ed jitted call; one
+psum per reduction, no host traffic.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..loss import correct_residuals_and_jacobian
+
+
+def _pad_rows(a: np.ndarray, n_pad: int):
+    n = a.shape[0]
+    if n == n_pad:
+        return a
+    reps = np.repeat(a[:1], n_pad - n, axis=0)
+    return np.concatenate([a, reps], axis=0)
+
+
+def build_row_shards(program, num_shards: int):
+    """Per-bucket padded row arrays as one pytree (leading axis shardable)."""
+    shards = []
+    for bk in program.buckets:
+        n_pad = int(math.ceil(bk.n / num_shards) * num_shards)
+        entry = {}
+        if bk.data == () or bk.data == {}:
+            entry["data"] = ()
+        else:
+            entry["data"] = jax.tree_util.tree_map(
+                lambda a: _pad_rows(np.asarray(a), n_pad), bk.data)
+        entry["amb"] = tuple(_pad_rows(sl.amb_idx, n_pad)
+                             for sl in bk.slots)
+        var_slots = [sl for sl in bk.slots if sl.variable]
+        entry["cols"] = _pad_rows(
+            np.concatenate([sl.cols for sl in var_slots], axis=1), n_pad)
+        entry["slot_cols"] = tuple(_pad_rows(sl.cols, n_pad)
+                                   for sl in var_slots)
+        entry["local_ids"] = tuple(_pad_rows(sl.local_ids, n_pad)
+                                   for sl in var_slots)
+        mask = np.zeros(n_pad)
+        mask[:bk.n] = 1.0
+        entry["mask"] = mask
+        shards.append(entry)
+    return shards
+
+
+def _local_linearize(program, x, shards, dtype):
+    """Masked local (cost_sum, [rc, Jc] per bucket)."""
+    cost_local = jnp.asarray(0.0, dtype=dtype)
+    outs = []
+    for bk, sh in zip(program.buckets, shards):
+        r, J = program._bucket_linearize(bk, x, row_arrays=(sh["data"],
+                                                            sh["amb"]))
+        m = sh["mask"]
+        r = r * m[:, None]
+        J = J * m[:, None, None]
+        cost, rc, Jc = correct_residuals_and_jacobian(bk.loss, r, J)
+        cost_local = cost_local + jnp.sum(cost)
+        outs.append((rc, Jc))
+    return cost_local, outs
+
+
+def make_sharded_lm_step(program, options, mesh: Mesh, axis: str = "data"):
+    """Returns (step_fn, shards_pytree). step_fn(x, radius, shards) runs one
+    LM linearize+solve (CGNR + block-Jacobi) fully sharded; call it under
+    jit with shards placed via shard specs from `input_shardings`."""
+    num_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                              if a == axis]))
+    shards_np = build_row_shards(program, num_shards)
+    dtype = program.dtype
+    n_eff = program.num_effective
+    groups = program.groups
+    use_jacobi_scaling = options.jacobi_scaling
+    min_diag, max_diag = options.min_lm_diagonal, options.max_lm_diagonal
+    max_cg = options.max_linear_solver_iterations
+    eta = options.eta
+
+    def local_matvec(outs, shards, v):
+        """(J^T J + D^2) v with one psum; D folded in by caller closure."""
+        acc = jnp.zeros((n_eff,), dtype=dtype)
+        for (rc, Jc), sh in zip(outs, shards):
+            vb = v[sh["cols"]]
+            Jv = jnp.einsum("nrt,nt->nr", Jc, vb)
+            JtJv = jnp.einsum("nrt,nr->nt", Jc, Jv)
+            acc = acc.at[sh["cols"]].add(JtJv)
+        return jax.lax.psum(acc, axis)
+
+    def step(x, radius, shards):
+        cost_local, outs = _local_linearize(program, x, shards, dtype)
+        cost = jax.lax.psum(cost_local, axis) + program.fixed_cost
+
+        # gradient and column norms (one psum each)
+        g_loc = jnp.zeros((n_eff,), dtype=dtype)
+        cn_loc = jnp.zeros((n_eff,), dtype=dtype)
+        for (rc, Jc), sh in zip(outs, shards):
+            g_loc = g_loc.at[sh["cols"]].add(
+                jnp.einsum("nrt,nr->nt", Jc, rc))
+            cn_loc = cn_loc.at[sh["cols"]].add(jnp.sum(Jc * Jc, axis=1))
+        grad = jax.lax.psum(g_loc, axis)
+        col_norms = jax.lax.psum(cn_loc, axis)
+
+        scale = (1.0 / (1.0 + jnp.sqrt(col_norms))
+                 if use_jacobi_scaling else jnp.ones_like(grad))
+        # scaled quantities: J_s = J diag(scale)
+        diag = jnp.clip(col_norms * scale * scale, min_diag, max_diag)
+        D2 = diag / radius
+        b = -(grad * scale)
+
+        # block-Jacobi preconditioner of (J_s^T J_s + D^2): psum the
+        # per-parameter-block Gram blocks, factorize replicated.
+        factors = []
+        # per-bucket column offsets of each variable slot inside J's t_total
+        slot_offsets = []
+        for bk in program.buckets:
+            offs, off = [], 0
+            for sl in bk.slots:
+                if sl.variable:
+                    offs.append(off)
+                    off += sl.tangent_size
+            slot_offsets.append(offs)
+        for g in groups:
+            t = g.tangent_size
+            acc = jnp.zeros((g.num_blocks, t, t), dtype=dtype)
+            for (bi, var_si, _) in g.bucket_slots:
+                rc, Jc = outs[bi]
+                sh = shards[bi]
+                off = slot_offsets[bi][var_si]
+                Js = Jc[:, :, off:off + t] \
+                    * scale[sh["slot_cols"][var_si]][:, None, :]
+                G = jnp.einsum("nrt,nru->ntu", Js, Js)
+                acc = acc.at[sh["local_ids"][var_si]].add(G)
+            acc = jax.lax.psum(acc, axis)
+            cols = jnp.asarray(g.tan_cols)
+            d2 = D2[cols]
+            acc = acc + d2[..., :, None] * jnp.eye(t, dtype=dtype)[None]
+            factors.append((cols, jnp.linalg.cholesky(acc)))
+
+        def precond(v):
+            out = jnp.zeros_like(v)
+            for cols, chol in factors:
+                vb = v[cols][..., None]
+                y = jax.scipy.linalg.solve_triangular(chol, vb, lower=True)
+                z = jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(chol, -1, -2), y, lower=False)
+                out = out.at[cols].set(z[..., 0])
+            return out
+
+        def apply_A(v):
+            return local_matvec(outs, shards, scale * v) * scale + D2 * v
+
+        # PCG (all-device-synchronous; dots on replicated vectors)
+        def cg_cond(state):
+            _, _, _, _, rho, i, done = state
+            return (~done) & (i < max_cg)
+
+        def cg_body(state):
+            xk, rk, zk, pk, rho, i, done = state
+            Ap = apply_A(pk)
+            pAp = jnp.vdot(pk, Ap)
+            alpha = rho / jnp.where(pAp == 0, 1.0, pAp)
+            xk = xk + alpha * pk
+            rk = rk - alpha * Ap
+            zk = precond(rk)
+            rho_new = jnp.vdot(rk, zk)
+            beta = rho_new / jnp.where(rho == 0, 1.0, rho)
+            pk = zk + beta * pk
+            Q1 = 0.5 * jnp.vdot(xk, rk + b)
+            done = (pAp <= 0) | (jnp.abs(rho_new) < 1e-300)
+            return (xk, rk, zk, pk, rho_new, i + 1, done)
+
+        z0 = precond(b)
+        state0 = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0),
+                  jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        xk, rk, _, _, _, iters, _ = jax.lax.while_loop(cg_cond, cg_body,
+                                                       state0)
+        d = xk
+
+        Jd_sq = jnp.vdot(d, local_matvec(outs, shards, scale * d) * scale)
+        mcc = -(jnp.vdot(d, -b) + 0.5 * Jd_sq)
+        delta = scale * d
+        return {
+            "cost": cost,
+            "gradient_max_norm": jnp.max(jnp.abs(grad)),
+            "gradient_norm": jnp.linalg.norm(grad),
+            "delta": delta,
+            "model_cost_change": mcc,
+            "step_norm": jnp.linalg.norm(delta),
+            "lin_iters": iters,
+        }
+
+    from jax.experimental.shard_map import shard_map
+
+    shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shards_np)
+    step_sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), shard_spec),
+        out_specs=P(),
+        check_rep=False)
+
+    def place(shards):
+        return jax.tree_util.tree_map(
+            lambda a, s: jax.device_put(jnp.asarray(a),
+                                        NamedSharding(mesh, s)),
+            shards, shard_spec)
+
+    return jax.jit(step_sharded), shards_np, place
+
+
+def make_sharded_cost_fn(program, mesh: Mesh, shards_np, axis: str = "data"):
+    """Sharded total-cost evaluation (for the accept/reject test)."""
+    dtype = program.dtype
+
+    def cost(x, shards):
+        total = jnp.asarray(0.0, dtype=dtype)
+        for bk, sh in zip(program.buckets, shards):
+            r = program._bucket_residuals(bk, x, row_arrays=(sh["data"],
+                                                             sh["amb"]))
+            r = r * sh["mask"][:, None]
+            c, _, _ = correct_residuals_and_jacobian(bk.loss, r, None)
+            total = total + jnp.sum(c)
+        return jax.lax.psum(total, axis) + program.fixed_cost
+
+    from jax.experimental.shard_map import shard_map
+    shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shards_np)
+    return jax.jit(shard_map(cost, mesh=mesh, in_specs=(P(), shard_spec),
+                             out_specs=P(), check_rep=False))

@@ -1,0 +1,521 @@
+"""CompiledProgram: Problem graph -> pure jittable evaluation functions.
+
+Replaces the reference's evaluation layer (L3): Program / ParameterBlock /
+ResidualBlock (internal/ceres/program.cc, parameter_block.h,
+residual_block.cc), ProgramEvaluator (program_evaluator.h:115) and the
+Jacobian writers (block_jacobian_writer.cc etc.).
+
+TPU-first design (SURVEY.md section 7): residual blocks are grouped into
+shape-uniform buckets by (cost-function code, loss, per-slot manifold +
+constancy). Each bucket evaluates as ONE vmapped call; Jacobians come from
+jax.jacfwd of residual o manifold.plus at delta = 0, giving tangent-space
+block Jacobians directly (this fuses the reference's Jet autodiff
+(autodiff.h:307), the PlusJacobian chain rule (residual_block.cc:134-157),
+and the robust-loss Corrector (corrector.cc) into one XLA program). The
+reference's ParallelFor-over-residual-blocks (program_evaluator.h:186)
+becomes XLA batching; per-thread gradient scratch + reduction
+(program_evaluator.h:239-281) becomes einsum + scatter-add.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config
+from .cost import NumericDiffCostFunction, SizedCostFunction
+from .loss import correct_residuals_and_jacobian
+from .manifolds import EuclideanManifold
+from .ops.bsr import BlockJacobian, BucketJacobian, RVec
+
+
+def _loss_key(loss):
+    if loss is None:
+        return None
+    try:
+        items = tuple(sorted(
+            (k, v) for k, v in vars(loss).items()
+            if isinstance(v, (int, float, bool, str))))
+        return (type(loss).__name__, items)
+    except Exception:
+        return ("loss-id", id(loss))
+
+
+class _Slot:
+    __slots__ = ("variable", "amb_size", "tangent_size", "manifold",
+                 "amb_idx", "cols", "local_ids", "group_id")
+
+    def __init__(self):
+        self.variable = False
+        self.manifold = None
+        self.amb_idx = None
+        self.cols = None
+        self.local_ids = None
+        self.group_id = -1
+
+
+class _Bucket:
+    __slots__ = ("cost", "loss", "residual_fn", "jac_mode", "data", "slots",
+                 "n", "r", "row_offset", "orig_indices", "key", "_slot_keys")
+
+
+class GroupMeta:
+    """Variable parameter blocks grouped by tangent size, for batched
+    block-diagonal ops (Jacobi preconditioner, Schur (E^T E)^-1)."""
+    __slots__ = ("tangent_size", "num_blocks", "tan_cols", "bucket_slots")
+
+    def __init__(self, tangent_size, num_blocks, tan_cols, bucket_slots):
+        self.tangent_size = tangent_size
+        self.num_blocks = num_blocks
+        self.tan_cols = tan_cols          # np [k, t] int32 tangent columns
+        self.bucket_slots = bucket_slots  # [(bucket_idx, slot_idx, local_ids)]
+
+
+class CompiledProgram:
+    """Static compilation of a Problem at a given structure revision."""
+
+    def __init__(self, problem, options=None, apply_loss: bool = True,
+                 include_fixed_blocks: bool = False):
+        self.problem = problem
+        self.revision = problem._revision
+        self.dtype = (getattr(options, "dtype", None)
+                      or config.default_dtype())
+        self.apply_loss = apply_loss
+
+        records = problem._param_records()
+        residuals = problem._residual_records()
+
+        # --- classify residual blocks ---
+        def is_fixed(rb):
+            return all(problem._blocks[k].constant for k in rb.param_keys)
+
+        if include_fixed_blocks:
+            active_res = residuals
+            fixed_res = []
+        else:
+            active_res = [rb for rb in residuals if not is_fixed(rb)]
+            fixed_res = [rb for rb in residuals if is_fixed(rb)]
+
+        used_keys = set()
+        for rb in active_res + fixed_res:
+            used_keys.update(rb.param_keys)
+
+        # --- parameter layout ---
+        # Ambient x contains every used block (constants included, so buckets
+        # gather all parameters from one vector). Tangent space covers only
+        # variable used blocks (the reference's "reduced program",
+        # program.cc:287).
+        self.used_blocks = [b for b in records if id(b.array) in used_keys]
+        self.unused_blocks = [b for b in records
+                              if id(b.array) not in used_keys]
+        self.amb_offset = {}
+        off = 0
+        for b in self.used_blocks:
+            self.amb_offset[id(b.array)] = off
+            off += b.size
+        self.num_ambient = off
+
+        self.variable_blocks = [b for b in self.used_blocks
+                                if not b.constant and b.tangent_size > 0]
+        self.tan_offset = {}
+        toff = 0
+        for b in self.variable_blocks:
+            self.tan_offset[id(b.array)] = toff
+            toff += b.tangent_size
+        self.num_effective = toff
+
+        # --- summary counts ---
+        self.num_parameter_blocks = len(records)
+        self.num_parameters = sum(b.size for b in records)
+        self.num_effective_parameters = sum(
+            (b.manifold.tangent_size if b.manifold else b.size)
+            for b in records)
+        self.num_residual_blocks = len(residuals)
+        self.num_residuals_total = sum(rb.cost.num_residuals
+                                       for rb in residuals)
+        self.num_parameter_blocks_reduced = len(self.variable_blocks)
+        self.num_parameters_reduced = sum(b.size
+                                          for b in self.variable_blocks)
+        self.num_effective_parameters_reduced = self.num_effective
+        self.num_residual_blocks_reduced = len(active_res)
+        self.num_residuals_reduced = sum(rb.cost.num_residuals
+                                         for rb in active_res)
+
+        # --- initial ambient state ---
+        self._x0_np = np.zeros(self.num_ambient, dtype=np.float64)
+        for b in self.used_blocks:
+            o = self.amb_offset[id(b.array)]
+            self._x0_np[o:o + b.size] = b.array
+
+        # --- bounds (projection in plus, parameter_block.h Plus) ---
+        self.has_bounds = any(b.has_bounds for b in self.variable_blocks)
+        if self.has_bounds:
+            lo = np.full(self.num_ambient, -np.inf)
+            hi = np.full(self.num_ambient, np.inf)
+            for b in self.variable_blocks:
+                if b.has_bounds:
+                    o = self.amb_offset[id(b.array)]
+                    lo[o:o + b.size] = b.lower
+                    hi[o:o + b.size] = b.upper
+            self._lo, self._hi = lo, hi
+
+        # --- buckets ---
+        self.buckets: List[_Bucket] = []
+        groups_map = {}  # key -> list per residual block index
+        for rb in active_res:
+            slot_sig = []
+            for k in rb.param_keys:
+                blk = problem._blocks[k]
+                var = (not blk.constant) and blk.tangent_size > 0
+                man_key = (blk.manifold.bucket_key() if blk.manifold
+                           else ("euclid", blk.size))
+                slot_sig.append((var, blk.size, man_key))
+            key = (rb.cost.bucket_key(), _loss_key(rb.loss), tuple(slot_sig))
+            groups_map.setdefault(key, []).append(rb)
+
+        # Jacobi groups: variable blocks by tangent size.
+        size_groups = {}
+        for b in self.variable_blocks:
+            size_groups.setdefault(b.tangent_size, []).append(b)
+        self.groups: List[GroupMeta] = []
+        self._group_of_block = {}   # id(array) -> (group_id, local_id)
+        for gi, (t, blks) in enumerate(sorted(size_groups.items())):
+            tan_cols = np.zeros((len(blks), t), dtype=np.int32)
+            for li, b in enumerate(blks):
+                to = self.tan_offset[id(b.array)]
+                tan_cols[li] = np.arange(to, to + t)
+                self._group_of_block[id(b.array)] = (gi, li)
+            self.groups.append(GroupMeta(t, len(blks), tan_cols, []))
+
+        row = 0
+        for bi, (key, rbs) in enumerate(groups_map.items()):
+            bk = _Bucket()
+            bk.key = key
+            bk.cost = rbs[0].cost
+            bk.loss = rbs[0].loss if apply_loss else None
+            bk.n = len(rbs)
+            bk.r = bk.cost.num_residuals
+            bk.row_offset = row
+            row += bk.n * bk.r
+            bk.orig_indices = np.asarray([rb.index for rb in rbs],
+                                         dtype=np.int64)
+            bk.residual_fn = bk.cost.make_residual_fn()
+
+            # Jacobian mode
+            if isinstance(bk.cost, NumericDiffCostFunction):
+                bk.jac_mode = "numdiff"
+            elif (isinstance(bk.cost, SizedCostFunction)
+                  and type(bk.cost).jacobians
+                  is not SizedCostFunction.jacobians):
+                bk.jac_mode = "analytic"
+            else:
+                bk.jac_mode = "ad"
+
+            # Stacked per-block data
+            datas = [rb.cost.block_data() for rb in rbs]
+            if datas[0] == () or datas[0] == {}:
+                bk.data = datas[0]
+            else:
+                def stack(*leaves):
+                    a = np.stack([np.asarray(x) for x in leaves])
+                    if np.issubdtype(a.dtype, np.floating):
+                        a = a.astype(self.dtype)
+                    return a
+                bk.data = jax.tree_util.tree_map(stack, *datas)
+
+            # Slots
+            bk.slots = []
+            var_si = 0  # index among variable slots (BucketJacobian order)
+            sizes = bk.cost.parameter_block_sizes
+            for si in range(len(sizes)):
+                sl = _Slot()
+                blk0 = problem._blocks[rbs[0].param_keys[si]]
+                sl.amb_size = blk0.size
+                sl.variable = (not blk0.constant) and blk0.tangent_size > 0
+                sl.manifold = blk0.manifold
+                sl.tangent_size = blk0.tangent_size if sl.variable else 0
+                amb_idx = np.zeros((bk.n, sl.amb_size), dtype=np.int32)
+                for i, rb in enumerate(rbs):
+                    o = self.amb_offset[rb.param_keys[si]]
+                    amb_idx[i] = np.arange(o, o + sl.amb_size)
+                sl.amb_idx = amb_idx
+                if sl.variable:
+                    t = sl.tangent_size
+                    cols = np.zeros((bk.n, t), dtype=np.int32)
+                    local = np.zeros((bk.n,), dtype=np.int32)
+                    gid = None
+                    for i, rb in enumerate(rbs):
+                        to = self.tan_offset[rb.param_keys[si]]
+                        cols[i] = np.arange(to, to + t)
+                        g, li = self._group_of_block[rb.param_keys[si]]
+                        local[i] = li
+                        gid = g
+                    sl.cols = cols
+                    sl.local_ids = local
+                    sl.group_id = gid
+                    # bucket_slots indexes VARIABLE slots (slot_J order)
+                    self.groups[gid].bucket_slots.append((bi, var_si, local))
+                    var_si += 1
+                bk.slots.append(sl)
+            self.buckets.append(bk)
+
+        self.num_rows = row
+
+        # --- fixed cost (blocks whose parameters are all constant;
+        #     reference program.cc:287 fixed_cost) ---
+        self.fixed_cost = 0.0
+        if fixed_res:
+            self.fixed_cost = float(self._eval_fixed(fixed_res))
+
+        # Plus groups: variable blocks by manifold key for batched plus.
+        plus_map = {}
+        for b in self.variable_blocks:
+            mk = (b.manifold.bucket_key() if b.manifold
+                  else ("euclid", b.size))
+            plus_map.setdefault(mk, []).append(b)
+        self.plus_groups = []
+        for mk, blks in plus_map.items():
+            amb = np.zeros((len(blks), blks[0].size), dtype=np.int32)
+            tan = np.zeros((len(blks), blks[0].tangent_size), dtype=np.int32)
+            for i, b in enumerate(blks):
+                ao = self.amb_offset[id(b.array)]
+                to = self.tan_offset[id(b.array)]
+                amb[i] = np.arange(ao, ao + b.size)
+                tan[i] = np.arange(to, to + b.tangent_size)
+            self.plus_groups.append((blks[0].manifold, amb, tan))
+
+    # ------------------------------------------------------------------
+    # state handling
+
+    def initial_state(self):
+        return jnp.asarray(self._x0_np, dtype=self.dtype)
+
+    def write_back(self, x):
+        """Copy the solved ambient state into the user's numpy arrays
+        (reference Program::StateVectorToParameterBlocks +
+        CopyParameterBlockStateToUserState)."""
+        xh = np.asarray(x)
+        for b in self.used_blocks:
+            if not b.constant:
+                o = self.amb_offset[id(b.array)]
+                b.array[:] = xh[o:o + b.size]
+
+    def state_norm(self, x):
+        return jnp.linalg.norm(x)
+
+    # ------------------------------------------------------------------
+    # plus
+
+    def plus(self, x, delta):
+        """x' = Plus(x, delta), batched per manifold group, then projected
+        onto the bound box (parameter_block.h Plus semantics)."""
+        out = x
+        for manifold, amb_idx, tan_idx in self.plus_groups:
+            xs = x[amb_idx]            # [k, amb]
+            ds = delta[tan_idx]        # [k, t]
+            if manifold is None:
+                new = xs + ds
+            else:
+                new = jax.vmap(manifold.plus)(xs, ds)
+            out = out.at[amb_idx].set(new)
+        if self.has_bounds:
+            out = jnp.clip(out, jnp.asarray(self._lo, dtype=self.dtype),
+                           jnp.asarray(self._hi, dtype=self.dtype))
+        return out
+
+    # ------------------------------------------------------------------
+    # evaluation
+
+    def _bucket_params(self, bk, x):
+        return [x[sl.amb_idx] for sl in bk.slots]   # each [n, amb]
+
+    def _eval_fixed(self, fixed_res):
+        total = 0.0
+        x = self.initial_state()
+        for rb in fixed_res:
+            fn = rb.cost.make_residual_fn()
+            params = [x[self.amb_offset[k]:self.amb_offset[k]
+                        + self.problem._blocks[k].size]
+                      for k in rb.param_keys]
+            r = fn(jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype=self.dtype)
+                if isinstance(a, (np.ndarray, float, int)) else a,
+                rb.cost.block_data()), *params)
+            s = jnp.sum(r * r)
+            if rb.loss is not None and self.apply_loss:
+                rho0, _, _ = rb.loss.evaluate(s)
+                total += 0.5 * float(rho0)
+            else:
+                total += 0.5 * float(s)
+        return total
+
+    def _bucket_residuals(self, bk, x, row_arrays=None):
+        """Uncorrected residuals [n, r] for one bucket."""
+        if row_arrays is not None:
+            data, amb_idxs = row_arrays
+            params = [x[ai] for ai in amb_idxs]
+        else:
+            data = bk.data
+            params = self._bucket_params(bk, x)
+        fn = bk.residual_fn
+
+        def per_block(data, *ps):
+            return fn(data, *ps)
+
+        return jax.vmap(per_block)(data, *params)
+
+    def _bucket_linearize(self, bk, x, row_arrays=None):
+        """(residuals [n,r], J [n,r,t_total]) tangent-space, uncorrected.
+
+        row_arrays: optional (data, [amb_idx per slot]) override — used by
+        the sharded path (parallel/sharded.py) to evaluate a row shard."""
+        if row_arrays is not None:
+            data, amb_idxs = row_arrays
+            params = [x[ai] for ai in amb_idxs]
+        else:
+            data = bk.data
+            params = self._bucket_params(bk, x)
+        fn = bk.residual_fn
+        var_slots = [(i, sl) for i, sl in enumerate(bk.slots) if sl.variable]
+
+        if bk.jac_mode == "ad":
+            def per_block(data, *ps):
+                def g(deltas):
+                    plussed = list(ps)
+                    for k, (i, sl) in enumerate(var_slots):
+                        if sl.manifold is None:
+                            plussed[i] = ps[i] + deltas[k]
+                        else:
+                            plussed[i] = sl.manifold.plus(ps[i], deltas[k])
+                    r = fn(data, *plussed)
+                    return r, r
+
+                zeros = tuple(
+                    jnp.zeros((sl.tangent_size,), dtype=x.dtype)
+                    for _, sl in var_slots)
+                Js, r = jax.jacfwd(g, has_aux=True)(zeros)
+                return r, jnp.concatenate(Js, axis=-1)
+
+            return jax.vmap(per_block)(data, *params)
+
+        # analytic / numeric: ambient Jacobian then PlusJacobian chain rule
+        # (residual_block.cc:134-157).
+        if bk.jac_mode == "analytic":
+            cls = type(bk.cost)
+
+            def jac_fn(data, ps):
+                obj = object.__new__(cls)
+                object.__setattr__(obj, "__dict__",
+                                   dict(data) if isinstance(data, dict)
+                                   else {})
+                return obj.jacobians(*ps)
+        else:  # numdiff
+            slot_jfns = {i: bk.cost.jacobian_of(fn, i) for i, _ in var_slots}
+
+            def jac_fn(data, ps):
+                return [slot_jfns[i](data, ps) if i in slot_jfns else None
+                        for i in range(len(ps))]
+
+        def per_block(data, *ps):
+            r = fn(data, *ps)
+            Jambs = jac_fn(data, list(ps))
+            Jts = []
+            for i, sl in var_slots:
+                Jamb = jnp.asarray(Jambs[i]).reshape(bk.r, sl.amb_size)
+                if sl.manifold is None or isinstance(sl.manifold,
+                                                     EuclideanManifold):
+                    Jts.append(Jamb)
+                else:
+                    Jts.append(Jamb @ sl.manifold.plus_jacobian(ps[i]))
+            return r, jnp.concatenate(Jts, axis=-1)
+
+        return jax.vmap(per_block)(data, *params)
+
+    # --- public pure functions (jit these) ---
+
+    def cost_fn(self, x):
+        """Total cost 0.5 sum_i rho_i(||r_i||^2) + fixed_cost."""
+        total = jnp.asarray(self.fixed_cost, dtype=x.dtype)
+        for bk in self.buckets:
+            r = self._bucket_residuals(bk, x)
+            cost, _, _ = correct_residuals_and_jacobian(bk.loss, r, None)
+            total = total + jnp.sum(cost)
+        return total
+
+    def residuals_fn(self, x, corrected: bool = False) -> RVec:
+        parts = []
+        for bk in self.buckets:
+            r = self._bucket_residuals(bk, x)
+            if corrected:
+                _, r, _ = correct_residuals_and_jacobian(bk.loss, r, None)
+            parts.append(r)
+        return RVec(parts)
+
+    def linearize_fn(self, x):
+        """(cost, gradient [num_effective], jac BlockJacobian, res RVec).
+
+        res and jac are loss-corrected; gradient = J^T r. One fused XLA
+        program per bucket (the reference's EvaluateGradientAndJacobian hot
+        path, trust_region_minimizer.cc:244)."""
+        total = jnp.asarray(self.fixed_cost, dtype=x.dtype)
+        jac_buckets = []
+        res_parts = []
+        for bk in self.buckets:
+            r, J = self._bucket_linearize(bk, x)
+            cost, rc, Jc = correct_residuals_and_jacobian(bk.loss, r, J)
+            total = total + jnp.sum(cost)
+            cols = tuple(jnp.asarray(sl.cols) for sl in bk.slots
+                         if sl.variable)
+            jac_buckets.append(BucketJacobian(Jc, cols, bk.row_offset))
+            res_parts.append(rc)
+        jac = BlockJacobian(jac_buckets, self.num_rows, self.num_effective)
+        res = RVec(res_parts)
+        grad = jac.rmatvec(res)
+        return total, grad, jac, res
+
+    # ------------------------------------------------------------------
+
+    def public_evaluate(self, want_residuals, want_gradient, want_jacobian):
+        """Problem::Evaluate (problem_impl.cc:585). Residuals in insertion
+        order; gradient/jacobian in tangent space ordered by parameter-block
+        insertion order."""
+        x = self.initial_state()
+        if want_gradient or want_jacobian:
+            cost, grad, jac, res = jax.jit(self.linearize_fn)(x)
+        else:
+            cost = jax.jit(self.cost_fn)(x)
+            grad, jac = None, None
+            res = (jax.jit(lambda xx: self.residuals_fn(xx, corrected=False))(x)
+                   if want_residuals else None)
+            if want_residuals:
+                res = self.residuals_fn(x)
+
+        residuals_out = None
+        if want_residuals:
+            if res is None:
+                res = self.residuals_fn(x)
+            # reorder rows back to insertion order
+            out = np.zeros(self.num_rows)
+            # per-original-block row offsets
+            sizes = {}
+            for rb in self.problem._residual_records():
+                sizes[rb.index] = rb.cost.num_residuals
+            order = sorted(sizes)
+            offs, o = {}, 0
+            for idx in order:
+                offs[idx] = o
+                o += sizes[idx]
+            for bk, part in zip(self.buckets, res.parts):
+                ph = np.asarray(part)
+                for i, orig in enumerate(bk.orig_indices):
+                    out[offs[orig]:offs[orig] + bk.r] = ph[i]
+            residuals_out = out
+
+        return (float(cost),
+                residuals_out,
+                np.asarray(grad) if want_gradient else None,
+                np.asarray(jac.to_dense()) if want_jacobian else None)

@@ -1,0 +1,272 @@
+"""Solver::Solve orchestration.
+
+Capability parity with the reference's solve path (internal/ceres/solver.cc:710:
+validate -> preprocess -> minimize -> summarize) and the trust-region
+preprocessor (trust_region_preprocessor.cc:374: reduced program, linear
+solver selection + downgrades :75-107, evaluator setup).
+
+The TPU design compiles one jitted `linearize_and_step` function per
+(problem structure, options) pair: Jacobian evaluation, Jacobi scaling, LM
+damping, and the linear solve all fuse into a single device program; the
+host loop sees only scalars.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .minimizers.trust_region import minimize_trust_region
+from .program import CompiledProgram
+from .types import (LinearSolverType, MinimizerType, PreconditionerType,
+                    SolverOptions, SolverSummary, TerminationType,
+                    TrustRegionStrategyType, DoglegType)
+from .solvers import dense as dense_solvers
+from .solvers.cg import conjugate_gradients, solve_cgnr
+from .solvers.preconditioners import make_block_jacobi_preconditioner
+
+
+def _make_linear_solver(program, options):
+    """Returns solve(jac_scaled, res, D) -> (step, lin_iters).
+
+    Minimizes ||J d + r||^2 + ||diag(D) d||^2 (LinearSolver::Solve with
+    PerSolveOptions.D, linear_solver.h:233-318)."""
+    t = options.linear_solver_type
+    if t == LinearSolverType.DENSE_QR:
+        return lambda jac, res, D: dense_solvers.solve_dense_qr(jac, res, D)
+    if t in (LinearSolverType.DENSE_NORMAL_CHOLESKY,
+             LinearSolverType.SPARSE_NORMAL_CHOLESKY):
+        # SPARSE_NORMAL_CHOLESKY: the reduced normal matrix is formed
+        # block-sparsely (jtj_dense scatters Gram blocks; for the problem
+        # sizes where a direct factorization is the right call on TPU the
+        # dense factorization IS the fast path — the MXU eats dense
+        # Cholesky; CHOLMOD-style supernodal sparsity does not map to TPU).
+        mixed = options.use_mixed_precision_solves
+        refine = options.max_num_refinement_iterations
+        return lambda jac, res, D: dense_solvers.solve_dense_normal_cholesky(
+            jac, res, D, mixed_precision=mixed,
+            refinement_iterations=refine)
+    if t == LinearSolverType.CGNR:
+        max_it = options.max_linear_solver_iterations
+        eta = options.eta
+        use_jacobi = options.preconditioner_type != PreconditionerType.IDENTITY
+        groups = program.groups
+
+        def solve(jac, res, D):
+            precond = (make_block_jacobi_preconditioner(jac, D, groups)
+                       if use_jacobi else None)
+            return solve_cgnr(jac, res, D, apply_preconditioner=precond,
+                              max_iterations=max_it, q_tolerance=eta)
+
+        return solve
+    if t in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR,
+             LinearSolverType.ITERATIVE_SCHUR):
+        from .solvers.schur import make_schur_solver
+        return make_schur_solver(program, options)
+    raise ValueError(f"unsupported linear solver {t}")
+
+
+def make_step_fn(program, options):
+    """Build the jitted (x, radius) -> step dict function."""
+    linear_solve = _make_linear_solver(program, options)
+    dtype = program.dtype
+    use_jacobi_scaling = options.jacobi_scaling
+    min_diag = options.min_lm_diagonal
+    max_diag = options.max_lm_diagonal
+    strategy = options.trust_region_strategy_type
+
+    def lm_step(x, radius):
+        cost, grad, jac, res = program.linearize_fn(x)
+        if use_jacobi_scaling:
+            scale = 1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
+        else:
+            scale = jnp.ones_like(grad)
+        jac_s = jac.scale_columns(scale)
+        grad_s = grad * scale
+        # LM diagonal (levenberg_marquardt_strategy.cc:80-92).
+        diag = jnp.clip(jac_s.squared_column_norms(), min_diag, max_diag)
+        D = jnp.sqrt(diag / radius)
+        d, lin_iters = linear_solve(jac_s, res, D)
+        Jd = jac_s.matvec(d)
+        mcc = -(jnp.vdot(d, grad_s) + 0.5 * Jd.squared_norm())
+        delta = scale * d
+        out = {
+            "cost": cost,
+            "gradient_max_norm": jnp.max(jnp.abs(grad)),
+            "gradient_norm": jnp.linalg.norm(grad),
+            "delta": delta,
+            "model_cost_change": mcc,
+            "step_norm": jnp.linalg.norm(delta),
+            "lin_iters": lin_iters,
+        }
+        if program.has_bounds:
+            out["gradient_full"] = grad
+        return out
+
+    def dogleg_step(x, radius):
+        """TRADITIONAL_DOGLEG (dogleg_strategy.cc:130-265), in the
+        Jacobi-scaled space like the reference."""
+        cost, grad, jac, res = program.linearize_fn(x)
+        if use_jacobi_scaling:
+            scale = 1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
+        else:
+            scale = jnp.ones_like(grad)
+        jac_s = jac.scale_columns(scale)
+        g = grad * scale
+        # Cauchy point: alpha = |g|^2 / |J g|^2.
+        Jg = jac_s.matvec(g)
+        g_sq = jnp.vdot(g, g)
+        alpha = g_sq / jnp.maximum(Jg.squared_norm(), 1e-300)
+        # Gauss-Newton point: tiny fixed damping for rank safety (the
+        # reference solves the undamped system with a rank-revealing
+        # factorization; mu here is far below solver tolerances).
+        mu = jnp.sqrt(jnp.asarray(1e-28, dtype=dtype))
+        D = jnp.full_like(g, mu)
+        gn, lin_iters = linear_solve(jac_s, res, D)
+        gn_norm = jnp.linalg.norm(gn)
+        cauchy = -alpha * g
+        cauchy_norm = jnp.linalg.norm(cauchy)
+
+        # Case 1: GN inside the region.
+        # Case 2: Cauchy point outside -> truncated gradient step.
+        # Case 3: dogleg segment intersection with the boundary.
+        diff = gn - cauchy
+        a2 = jnp.vdot(diff, diff)
+        b2 = 2.0 * jnp.vdot(cauchy, diff)
+        c2 = jnp.vdot(cauchy, cauchy) - radius * radius
+        disc = jnp.sqrt(jnp.maximum(b2 * b2 - 4.0 * a2 * c2, 0.0))
+        beta = jnp.where(a2 > 0, (-b2 + disc) / (2.0 * jnp.where(a2 == 0, 1.0, a2)),
+                         0.0)
+        seg = cauchy + beta * diff
+
+        d = jnp.where(gn_norm <= radius, gn,
+                      jnp.where(cauchy_norm >= radius,
+                                -(radius / jnp.sqrt(jnp.maximum(g_sq, 1e-300)))
+                                * g,
+                                seg))
+        Jd = jac_s.matvec(d)
+        mcc = -(jnp.vdot(d, g) + 0.5 * Jd.squared_norm())
+        delta = scale * d
+        out = {
+            "cost": cost,
+            "gradient_max_norm": jnp.max(jnp.abs(grad)),
+            "gradient_norm": jnp.linalg.norm(grad),
+            "delta": delta,
+            "model_cost_change": mcc,
+            "step_norm": jnp.linalg.norm(delta),
+            "lin_iters": lin_iters,
+        }
+        if program.has_bounds:
+            out["gradient_full"] = grad
+        return out
+
+    fn = (lm_step if strategy == TrustRegionStrategyType.LEVENBERG_MARQUARDT
+          else dogleg_step)
+    return jax.jit(fn)
+
+
+def solve(options: SolverOptions, problem,
+          summary: Optional[SolverSummary] = None) -> SolverSummary:
+    """ceres::Solve equivalent (solver.cc:710-830). Returns the summary;
+    solved values are written back into the user's numpy parameter arrays."""
+    if summary is None:
+        summary = SolverSummary()
+    t_start = time.time()
+
+    err = options.validate()
+    if err is not None:
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = f"Invalid options: {err}"
+        return summary
+
+    # ---- preprocess ----
+    t0 = time.time()
+    program = CompiledProgram(problem, options=options)
+    summary.fixed_cost = program.fixed_cost
+    summary.num_parameter_blocks = program.num_parameter_blocks
+    summary.num_parameters = program.num_parameters
+    summary.num_effective_parameters = program.num_effective_parameters
+    summary.num_residual_blocks = program.num_residual_blocks
+    summary.num_residuals = program.num_residuals_total
+    summary.num_parameter_blocks_reduced = (
+        program.num_parameter_blocks_reduced)
+    summary.num_parameters_reduced = program.num_parameters_reduced
+    summary.num_effective_parameters_reduced = (
+        program.num_effective_parameters_reduced)
+    summary.num_residual_blocks_reduced = program.num_residual_blocks_reduced
+    summary.num_residuals_reduced = program.num_residuals_reduced
+    summary.minimizer_type = options.minimizer_type
+    summary.trust_region_strategy_type = options.trust_region_strategy_type
+    summary.linear_solver_type_given = options.linear_solver_type
+    summary.preconditioner_type_given = options.preconditioner_type
+    summary.line_search_direction_type = options.line_search_direction_type
+
+    if program.num_effective == 0:
+        # Nothing to optimize (all blocks constant / no residuals):
+        # the reference reports the fixed cost and terminates.
+        summary.initial_cost = program.fixed_cost
+        summary.final_cost = program.fixed_cost
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = ("The problem has no variable parameter blocks; "
+                           "nothing to optimize.")
+        return summary
+
+    # Linear-solver downgrades (trust_region_preprocessor.cc:75-107).
+    options = _maybe_downgrade_options(options, program, summary)
+    summary.linear_solver_type_used = options.linear_solver_type
+    summary.preconditioner_type_used = options.preconditioner_type
+    summary.preprocessor_time_in_seconds = time.time() - t0
+
+    # ---- minimize ----
+    if options.minimizer_type == MinimizerType.TRUST_REGION:
+        step_fn = make_step_fn(program, options)
+        x = minimize_trust_region(program, options, step_fn, summary)
+    else:
+        from .minimizers.line_search import minimize_line_search
+        x = minimize_line_search(program, options, summary)
+
+    # ---- postprocess ----
+    t0 = time.time()
+    if summary.is_solution_usable():
+        program.write_back(x)
+    summary.postprocessor_time_in_seconds = time.time() - t0
+    summary.total_time_in_seconds = time.time() - t_start
+    return summary
+
+
+def _maybe_downgrade_options(options, program, summary):
+    """Option-interaction rewriting (trust_region_preprocessor.cc:75-107):
+    Schur-type solvers downgrade when no elimination structure exists."""
+    import dataclasses
+    t = options.linear_solver_type
+    if t in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR,
+             LinearSolverType.ITERATIVE_SCHUR):
+        from .solvers.schur import detect_schur_structure
+        structure = detect_schur_structure(program, options)
+        if structure is None:
+            if t == LinearSolverType.DENSE_SCHUR:
+                new_t = LinearSolverType.DENSE_QR
+            elif t == LinearSolverType.SPARSE_SCHUR:
+                new_t = LinearSolverType.SPARSE_NORMAL_CHOLESKY
+            else:
+                new_t = LinearSolverType.CGNR
+            options = dataclasses.replace(
+                options, linear_solver_type=new_t,
+                preconditioner_type=PreconditionerType.JACOBI)
+            summary.message = (
+                f"No Schur structure detected; using {new_t}. ")
+    return options
+
+
+class Solver:
+    """Object-style API: Solver().solve(options, problem)."""
+
+    Options = SolverOptions
+    Summary = SolverSummary
+
+    def solve(self, options, problem, summary=None):
+        return solve(options, problem, summary)

@@ -1,0 +1,514 @@
+"""Schur-complement solvers: DENSE_SCHUR, SPARSE_SCHUR, ITERATIVE_SCHUR.
+
+Capability parity with the reference's Schur machinery:
+  * detect_structure.cc:121 + schur_templates.cc  -> detect_schur_structure
+  * SchurEliminator (schur_eliminator_impl.h, chunked parallel elimination
+    with per-thread buffers + rhs mutexes)       -> batched segment-summed
+    Gram/cross products over shape-uniform buckets (no locks: pure scatter-add)
+  * ImplicitSchurComplement (implicit_schur_complement.cc:49,:208)
+                                                  -> matrix-free apply_S
+  * SchurComplementSolver dense/sparse (schur_complement_solver.cc:181,:291)
+                                                  -> explicit S (dense
+    Cholesky; on TPU the reduced camera system is exactly the dense matrix
+    the MXU wants, replacing CHOLMOD supernodal factorization)
+  * IterativeSchurComplementSolver (iterative_schur_complement_solver.cc:63)
+                                                  -> PCG on apply_S
+  * SchurJacobiPreconditioner (schur_jacobi_preconditioner.h:78) and
+    block-Jacobi-of-F'F (JACOBI)                  -> batched block factors
+  * PowerSeriesExpansionPreconditioner
+    (power_series_expansion_preconditioner.h:44)  -> truncated Neumann series
+    using block-diag(S) splitting, and SPSE warm start (:99-111).
+
+The generated compile-time specializations (internal/ceres/generated/, 44
+files keyed on (r,e,f) block sizes) map to XLA's shape specialization: each
+(r,e,f) bucket shape triggers one compiled kernel automatically.
+
+TPU partitioning note (SURVEY.md section 5.7/5.8): all row-indexed arrays
+(bucket Jacobians, e_ids, f_cols) shard over the residual axis; e-block
+arrays shard over points; the [nf]-sized f vectors and the dense S replicate;
+the segment sums below become psum-reduced partial sums on a mesh. See
+parallel/sharded.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from ..ops.bsr import BlockJacobian, RVec
+from ..types import LinearSolverType, PreconditionerType
+
+
+class _BucketSchur:
+    __slots__ = ("e_slot", "e_ids", "f_cols", "f_slots")
+
+
+class SchurMeta:
+    """Static E/F partition of the bucketed Jacobian."""
+
+    def __init__(self):
+        self.e_keys = set()
+        self.ne = 0
+        self.te = 0
+        self.nf = 0
+        self.f_global_cols = None    # np [nf] int32
+        self.e_cols = None           # np [ne, te] int32
+        self.buckets: List[_BucketSchur] = []
+        self.f_groups = []           # [(t, kf, f_cols [kf,t], slots)]
+
+
+def detect_schur_structure(program, options) -> Optional[SchurMeta]:
+    """Partition variable blocks into e-blocks (eliminated, group 0) and
+    f-blocks. Returns None when no usable structure exists (the caller then
+    downgrades the solver, trust_region_preprocessor.cc:75-107)."""
+    cached = getattr(program, "_schur_meta", "missing")
+    if cached != "missing":
+        return cached
+    meta = _detect_schur_structure(program, options)
+    program._schur_meta = meta
+    return meta
+
+
+def _detect_schur_structure(program, options):
+    from ..ordering import compute_schur_ordering
+
+    problem = program.problem
+    var_keys = {id(b.array) for b in program.variable_blocks}
+
+    ordering = getattr(options, "linear_solver_ordering", None)
+    if ordering is not None and ordering.num_groups > 1:
+        g0 = ordering.min_non_zero_group()
+        e_set = {k for k in ordering.group_element_keys(g0)
+                 if k in var_keys}
+        # Validity: no residual block may touch two e-blocks
+        # (schur_eliminator.h structure requirement).
+        for rb in problem._residual_records():
+            if sum(1 for k in rb.param_keys if k in e_set) > 1:
+                return None
+    else:
+        e_set = set(compute_schur_ordering(program))
+
+    if not e_set:
+        return None
+
+    block_of = {id(b.array): b for b in program.variable_blocks}
+
+    # Uniform e tangent size: keep the dominant size (detect_structure.cc
+    # collapses ragged sizes to Eigen::Dynamic; here ragged e-sizes would
+    # break batching, so minority sizes move to the f side).
+    sizes = Counter(block_of[k].tangent_size for k in e_set)
+    te = sizes.most_common(1)[0][0]
+    e_set = {k for k in e_set if block_of[k].tangent_size == te}
+
+    # Per-bucket slot purity: every (bucket, slot) must be all-e or all-f.
+    changed = True
+    while changed and e_set:
+        changed = False
+        for bk in program.buckets:
+            for si, sl in enumerate(bk.slots):
+                if not sl.variable:
+                    continue
+                # recover the block keys of this slot across bucket rows
+                flags = [rb_key in e_set
+                         for rb_key in bk_slot_keys(program, bk, si)]
+                if any(flags) and not all(flags):
+                    for rb_key, f in zip(bk_slot_keys(program, bk, si),
+                                         flags):
+                        if f:
+                            e_set.discard(rb_key)
+                    changed = True
+    if not e_set:
+        return None
+
+    # A bucket may not have two pure-e slots (two e-blocks per residual).
+    for bk in program.buckets:
+        e_slots = []
+        for si, sl in enumerate(bk.slots):
+            if sl.variable:
+                keys = bk_slot_keys(program, bk, si)
+                if keys and keys[0] in e_set:
+                    e_slots.append(si)
+        if len(e_slots) > 1:
+            # demote all but the first e slot
+            for si in e_slots[1:]:
+                for k in bk_slot_keys(program, bk, si):
+                    e_set.discard(k)
+    if not e_set:
+        return None
+
+    meta = SchurMeta()
+    meta.e_keys = e_set
+    meta.te = te
+
+    # e-block local indexing
+    e_list = [k for k in (id(b.array) for b in program.variable_blocks)
+              if k in e_set]
+    e_index = {k: i for i, k in enumerate(e_list)}
+    meta.ne = len(e_list)
+    meta.e_cols = np.zeros((meta.ne, te), dtype=np.int32)
+    for k, i in e_index.items():
+        to = program.tan_offset[k]
+        meta.e_cols[i] = np.arange(to, to + te)
+
+    # f columns: every tangent column not in an e-block
+    e_col_set = set(meta.e_cols.reshape(-1).tolist())
+    f_global = np.asarray([c for c in range(program.num_effective)
+                           if c not in e_col_set], dtype=np.int32)
+    meta.nf = int(f_global.size)
+    if meta.nf == 0:
+        return None
+    meta.f_global_cols = f_global
+    g2f = -np.ones(program.num_effective, dtype=np.int32)
+    g2f[f_global] = np.arange(meta.nf, dtype=np.int32)
+
+    # per-bucket partition, indexed over VARIABLE slots (jac.cols order)
+    for bk in program.buckets:
+        bs = _BucketSchur()
+        bs.e_slot = None
+        bs.e_ids = None
+        bs.f_slots = []
+        f_col_parts = []
+        var_si = -1
+        for si, sl in enumerate(bk.slots):
+            if not sl.variable:
+                continue
+            var_si += 1
+            keys = bk_slot_keys(program, bk, si)
+            if keys and keys[0] in e_set:
+                bs.e_slot = var_si
+                bs.e_ids = np.asarray([e_index[k] for k in keys],
+                                      dtype=np.int32)
+            else:
+                bs.f_slots.append(var_si)
+                f_col_parts.append(g2f[sl.cols])
+        bs.f_cols = (np.concatenate(f_col_parts, axis=1)
+                     if f_col_parts else None)
+        meta.buckets.append(bs)
+
+    # f-block groups (for SCHUR_JACOBI / JACOBI preconditioners)
+    f_blocks = [b for b in program.variable_blocks
+                if id(b.array) not in e_set]
+    size_groups = {}
+    for b in f_blocks:
+        size_groups.setdefault(b.tangent_size, []).append(b)
+    f_block_index = {}
+    meta.f_groups = []
+    for gi, (t, blks) in enumerate(sorted(size_groups.items())):
+        cols = np.zeros((len(blks), t), dtype=np.int32)
+        for li, b in enumerate(blks):
+            to = program.tan_offset[id(b.array)]
+            cols[li] = g2f[np.arange(to, to + t)]
+            f_block_index[id(b.array)] = (gi, li)
+        meta.f_groups.append({"t": t, "kf": len(blks), "cols": cols,
+                              "slots": []})
+    for bi, bk in enumerate(program.buckets):
+        var_si = -1
+        for si, sl in enumerate(bk.slots):
+            if not sl.variable:
+                continue
+            var_si += 1
+            keys = bk_slot_keys(program, bk, si)
+            if keys and keys[0] in e_set:
+                continue
+            gi, _ = f_block_index[keys[0]]
+            local = np.asarray([f_block_index[k][1] for k in keys],
+                               dtype=np.int32)
+            meta.f_groups[gi]["slots"].append((bi, var_si, local))
+    return meta
+
+
+def bk_slot_keys(program, bk, si):
+    """Block keys (id(array)) at slot si for every row of bucket bk."""
+    cache = getattr(bk, "_slot_keys", None)
+    if cache is None:
+        cache = {}
+        bk._slot_keys = cache
+    if si not in cache:
+        residuals = program.problem._residual_records()
+        by_index = {rb.index: rb for rb in residuals}
+        cache[si] = [by_index[int(i)].param_keys[si]
+                     for i in bk.orig_indices]
+    return cache[si]
+
+
+# ----------------------------------------------------------------------
+# runtime (pure, jittable) Schur operations
+
+
+def _batched_cho_solve(chol, b):
+    """chol: [k, t, t] lower factors; b: [k, t] or [k, t, m]."""
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
+    y = jsl.solve_triangular(chol, b, lower=True)
+    z = jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y, lower=False)
+    return z[..., 0] if squeeze else z
+
+
+class SchurOps:
+    """Pure functions over (jac, D) for a fixed SchurMeta. Everything here
+    traces into one XLA program per solve."""
+
+    def __init__(self, meta: SchurMeta, jac: BlockJacobian, D):
+        self.meta = meta
+        self.jac = jac
+        dtype = jac.buckets[0].J.dtype
+        ne, te, nf = meta.ne, meta.te, meta.nf
+
+        # block diagonal of E^T E + D_e^2 (implicit_schur_complement Init)
+        ete = jnp.zeros((ne, te, te), dtype=dtype)
+        for bj, bs in zip(jac.buckets, meta.buckets):
+            if bs.e_slot is None:
+                continue
+            Je = bj.slot_J(bs.e_slot)
+            G = jnp.einsum("nrt,nru->ntu", Je, Je)
+            ete = ete.at[jnp.asarray(bs.e_ids)].add(G)
+        d_e = D[jnp.asarray(meta.e_cols)]                     # [ne, te]
+        ete = ete + _embed_diag(d_e * d_e)
+        self.chol_e = jnp.linalg.cholesky(ete)
+        self.D_f = D[jnp.asarray(meta.f_global_cols)]
+
+    def esolve(self, u):
+        return _batched_cho_solve(self.chol_e, u)
+
+    def F_apply(self, v):
+        """F v: [nf] -> RVec (residual space)."""
+        parts = []
+        for bj, bs in zip(self.jac.buckets, self.meta.buckets):
+            if bs.f_cols is None:
+                parts.append(jnp.zeros((bj.n, bj.r), dtype=bj.J.dtype))
+                continue
+            Jf = _f_part(bj, bs)
+            vb = v[jnp.asarray(bs.f_cols)]
+            parts.append(jnp.einsum("nrt,nt->nr", Jf, vb))
+        return RVec(parts)
+
+    def Ft_apply(self, w: RVec):
+        out = jnp.zeros((self.meta.nf,), dtype=self.jac.buckets[0].J.dtype)
+        for bj, bs, wp in zip(self.jac.buckets, self.meta.buckets, w.parts):
+            if bs.f_cols is None:
+                continue
+            Jf = _f_part(bj, bs)
+            contrib = jnp.einsum("nrt,nr->nt", Jf, wp)
+            out = out.at[jnp.asarray(bs.f_cols)].add(contrib)
+        return out
+
+    def E_apply(self, z):
+        """E z: [ne, te] -> RVec."""
+        parts = []
+        for bj, bs in zip(self.jac.buckets, self.meta.buckets):
+            if bs.e_slot is None:
+                parts.append(jnp.zeros((bj.n, bj.r), dtype=bj.J.dtype))
+                continue
+            Je = bj.slot_J(bs.e_slot)
+            zb = z[jnp.asarray(bs.e_ids)]
+            parts.append(jnp.einsum("nrt,nt->nr", Je, zb))
+        return RVec(parts)
+
+    def Et_apply(self, w: RVec):
+        out = jnp.zeros((self.meta.ne, self.meta.te),
+                        dtype=self.jac.buckets[0].J.dtype)
+        for bj, bs, wp in zip(self.jac.buckets, self.meta.buckets, w.parts):
+            if bs.e_slot is None:
+                continue
+            Je = bj.slot_J(bs.e_slot)
+            contrib = jnp.einsum("nrt,nr->nt", Je, wp)
+            out = out.at[jnp.asarray(bs.e_ids)].add(contrib)
+        return out
+
+    def apply_S(self, v):
+        """Implicit S v = F^T F v + D_f^2 v - F^T E (E^T E)^-1 E^T F v
+        (implicit_schur_complement.h:52-91)."""
+        w = self.F_apply(v)
+        u = self.Et_apply(w)
+        z = self.esolve(u)
+        w2 = self.E_apply(z)
+        return self.Ft_apply(w - w2) + (self.D_f * self.D_f) * v
+
+    def rhs(self, b_e, b_f):
+        """Reduced rhs: b_f - F^T E (E^T E)^-1 b_e."""
+        z = self.esolve(b_e)
+        return b_f - self.Ft_apply(self.E_apply(z))
+
+    def back_substitute(self, b_e, y):
+        """d_e = (E^T E)^-1 (b_e - E^T F y)
+        (implicit_schur_complement.cc:208)."""
+        u = self.Et_apply(self.F_apply(y))
+        return self.esolve(b_e - u)
+
+    # ---- explicit S (DENSE_SCHUR / SPARSE_SCHUR,
+    #      schur_complement_solver.cc) ----
+
+    def explicit_S_and_rhs(self, b_e, b_f):
+        meta, jac = self.meta, self.jac
+        dtype = jac.buckets[0].J.dtype
+        ne, te, nf = meta.ne, meta.te, meta.nf
+        FtF = jnp.zeros((nf, nf), dtype=dtype)
+        A = jnp.zeros((ne, te, nf), dtype=dtype)
+        for bj, bs in zip(jac.buckets, meta.buckets):
+            if bs.f_cols is not None:
+                Jf = _f_part(bj, bs)
+                G = jnp.einsum("nrt,nru->ntu", Jf, Jf)
+                c = jnp.asarray(bs.f_cols)
+                n, t = c.shape
+                rows = jnp.broadcast_to(c[:, :, None], (n, t, t))
+                cols = jnp.broadcast_to(c[:, None, :], (n, t, t))
+                FtF = FtF.at[rows, cols].add(G)
+            if bs.e_slot is not None and bs.f_cols is not None:
+                Je = bj.slot_J(bs.e_slot)
+                Jf = _f_part(bj, bs)
+                Gc = jnp.einsum("nrt,nru->ntu", Je, Jf)   # [n, te, tf]
+                c = jnp.asarray(bs.f_cols)
+                n, tf = c.shape
+                eids = jnp.asarray(bs.e_ids)
+                rows = jnp.broadcast_to(eids[:, None, None], (n, te, tf))
+                mids = jnp.broadcast_to(
+                    jnp.arange(te)[None, :, None], (n, te, tf))
+                cols = jnp.broadcast_to(c[:, None, :], (n, te, tf))
+                A = A.at[rows, mids, cols].add(Gc)
+        FtF = FtF + jnp.diag(self.D_f * self.D_f)
+        B = _batched_cho_solve(self.chol_e, A)             # [ne, te, nf]
+        S = FtF - jnp.einsum("itf,itg->fg", A, B)
+        rhs = b_f - jnp.einsum("itf,it->f", A, self.esolve(b_e))
+        return S, rhs
+
+    # ---- preconditioners ----
+
+    def make_preconditioner(self, kind: PreconditionerType):
+        if kind == PreconditionerType.IDENTITY:
+            return lambda v: v
+        if kind in (PreconditionerType.SCHUR_POWER_SERIES_EXPANSION,):
+            return self._make_power_series_preconditioner()
+        subtract_cross = kind in (PreconditionerType.SCHUR_JACOBI,
+                                  PreconditionerType.CLUSTER_JACOBI,
+                                  PreconditionerType.CLUSTER_TRIDIAGONAL)
+        return self._make_block_diag_preconditioner(subtract_cross)
+
+    def _block_diag_S(self, subtract_cross: bool):
+        """Per-f-block diagonal blocks of S (or of F^T F when
+        subtract_cross=False — the JACOBI option). Cross-row terms within one
+        (e-block, f-block) pair are included per row (schur_jacobi
+        semantics for BA structure where a camera observes a point once)."""
+        meta, jac = self.meta, self.jac
+        dtype = jac.buckets[0].J.dtype
+        out = []
+        for grp in meta.f_groups:
+            t, kf = grp["t"], grp["kf"]
+            acc = jnp.zeros((kf, t, t), dtype=dtype)
+            for (bi, var_si, local) in grp["slots"]:
+                bj = jac.buckets[bi]
+                bs = meta.buckets[bi]
+                Jf = bj.slot_J(var_si)
+                G = jnp.einsum("nrt,nru->ntu", Jf, Jf)
+                li = jnp.asarray(local)
+                acc = acc.at[li].add(G)
+                if subtract_cross and bs.e_slot is not None:
+                    Je = bj.slot_J(bs.e_slot)
+                    Gc = jnp.einsum("nrt,nru->ntu", Je, Jf)  # [n, te, t]
+                    eids = jnp.asarray(bs.e_ids)
+                    MG = _batched_cho_solve(self.chol_e[eids], Gc)
+                    sub = jnp.einsum("ntu,ntv->nuv", Gc, MG)
+                    acc = acc.at[li].add(-sub)
+            cols = jnp.asarray(grp["cols"])                 # [kf, t]
+            d = self.D_f[cols]
+            acc = acc + _embed_diag(d * d)
+            out.append((cols, acc))
+        return out
+
+    def _make_block_diag_preconditioner(self, subtract_cross: bool):
+        factors = [(cols, jnp.linalg.cholesky(acc))
+                   for cols, acc in self._block_diag_S(subtract_cross)]
+
+        def apply(v):
+            out = jnp.zeros_like(v)
+            for cols, chol in factors:
+                out = out.at[cols].set(_batched_cho_solve(chol, v[cols]))
+            return out
+
+        return apply
+
+    def _make_power_series_preconditioner(self):
+        """Truncated Neumann series around the block-diagonal splitting
+        S = P - U:  S^-1 ~= sum_k (P^-1 U)^k P^-1
+        (power_series_expansion_preconditioner.h:44, Weber et al. power BA).
+        """
+        num_terms = 4
+        p_apply = self._make_block_diag_preconditioner(subtract_cross=True)
+
+        def apply(v):
+            # M^-1 v = sum_{k=0..K} (I - P^-1 S)^k P^-1 v, evaluated by the
+            # recursion y_{k+1} = y_k - P^-1 (S y_k). Each term is symmetric;
+            # the truncated sum is SPD when rho(I - P^-1 S) < 1 (the
+            # reference guards this with spse_tolerance; here the term count
+            # is fixed and small).
+            y = p_apply(v)
+            acc = y
+            for _ in range(num_terms):
+                y = y - p_apply(self.apply_S(y))
+                acc = acc + y
+            return acc
+
+        return apply
+
+
+def _embed_diag(d):
+    """[k, t] -> [k, t, t] diagonal matrices."""
+    t = d.shape[-1]
+    return d[..., :, None] * jnp.eye(t, dtype=d.dtype)[None]
+
+
+def _f_part(bj, bs):
+    """Concatenated F-slot sub-Jacobian [n, r, tf_bucket]."""
+    parts = [bj.slot_J(s) for s in bs.f_slots]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+
+
+def make_schur_solver(program, options):
+    """Returns solve(jac, res, D) -> (step, lin_iters) for the Schur family."""
+    meta = detect_schur_structure(program, options)
+    if meta is None:
+        raise ValueError("Schur solver selected but no Schur structure; "
+                         "the preprocessor should have downgraded")
+    solver_type = options.linear_solver_type
+    precond_kind = options.preconditioner_type
+    max_it = options.max_linear_solver_iterations
+    eta = options.eta
+    nf = meta.nf
+
+    from .cg import conjugate_gradients
+
+    def solve(jac, res, D):
+        ops = SchurOps(meta, jac, D)
+        g = jac.rmatvec(res)
+        b = -g
+        b_e = b[jnp.asarray(meta.e_cols)]          # [ne, te]
+        b_f = b[jnp.asarray(meta.f_global_cols)]   # [nf]
+
+        if solver_type in (LinearSolverType.DENSE_SCHUR,
+                           LinearSolverType.SPARSE_SCHUR):
+            S, rhs = ops.explicit_S_and_rhs(b_e, b_f)
+            c, lower = jsl.cho_factor(S)
+            y = jsl.cho_solve((c, lower), rhs)
+            iters = jnp.asarray(1, dtype=jnp.int32)
+        else:
+            rhs = ops.rhs(b_e, b_f)
+            precond = ops.make_preconditioner(precond_kind)
+            x0 = jnp.zeros((nf,), dtype=rhs.dtype)
+            result = conjugate_gradients(
+                ops.apply_S, rhs, x0, apply_preconditioner=precond,
+                max_iterations=max_it, q_tolerance=eta)
+            y = result.x
+            iters = result.num_iterations
+
+        d_e = ops.back_substitute(b_e, y)
+        d = jnp.zeros((program.num_effective,), dtype=y.dtype)
+        d = d.at[jnp.asarray(meta.f_global_cols)].set(y)
+        d = d.at[jnp.asarray(meta.e_cols)].set(d_e)
+        return d, iters
+
+    return solve

@@ -1,0 +1,150 @@
+"""Schur-complement solver tests: structure detection, step correctness vs
+dense reference, and end-to-end BA convergence with residual matching across
+solver configs (the reference's generated_bundle_adjustment_tests
+methodology: compare final residuals, not parameters, since the parameter
+space is gauge-ambiguous — bundle_adjustment_test_util.h:245)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+from ceres_tpu.io.bal import (BALProblem, build_bal_ceres_problem,
+                              synthetic_bal_problem)
+from ceres_tpu.program import CompiledProgram
+from ceres_tpu.solvers.schur import detect_schur_structure
+from ceres_tpu.solver import make_step_fn
+
+
+def small_ba(seed=3, ncam=4, npts=25, nobs=60):
+    bal = synthetic_bal_problem(ncam, npts, nobs, seed=seed,
+                                pixel_noise=0.5)
+    bal.perturb(rotation_sigma=0.02, translation_sigma=0.1,
+                point_sigma=0.05, seed=seed + 1)
+    return build_bal_ceres_problem(bal)
+
+
+def test_detect_schur_structure():
+    problem, cams, pts = small_ba()
+    prog = CompiledProgram(problem)
+    meta = detect_schur_structure(prog, ct.SolverOptions())
+    assert meta is not None
+    # points are the e-blocks (never co-observed), cameras the f-blocks
+    assert meta.ne == len([p for p in pts])
+    assert meta.te == 3
+    assert meta.nf == 9 * len(cams)
+
+
+def test_detect_no_structure():
+    """Fully-coupled problem has no independent set of size > 0 that helps;
+    a single-block problem must downgrade."""
+    x = np.array([1.0, 2.0])
+
+    def f(v):
+        return v - jnp.asarray([3.0, 4.0])
+
+    problem = ct.Problem()
+    problem.add_residual_block(ct.AutoDiffCostFunction(f, 2, [2]), None, x)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR)
+    summary = ct.solve(options, problem)
+    # Downgraded to CGNR (trust_region_preprocessor.cc:75-107) and solved.
+    assert summary.linear_solver_type_used == ct.LinearSolverType.CGNR
+    np.testing.assert_allclose(x, [3.0, 4.0], rtol=1e-6)
+
+
+@pytest.mark.parametrize("solver_type,precond,exact", [
+    (ct.LinearSolverType.DENSE_SCHUR, ct.PreconditionerType.JACOBI, True),
+    (ct.LinearSolverType.SPARSE_SCHUR, ct.PreconditionerType.JACOBI, True),
+    (ct.LinearSolverType.ITERATIVE_SCHUR,
+     ct.PreconditionerType.SCHUR_JACOBI, True),
+    # weak preconditioners: CG on the raw (unscaled) system cannot reach
+    # direct-solver accuracy in bounded iterations; check the step quality
+    # (model cost change) instead of the exact step.
+    (ct.LinearSolverType.ITERATIVE_SCHUR, ct.PreconditionerType.JACOBI,
+     False),
+    (ct.LinearSolverType.ITERATIVE_SCHUR,
+     ct.PreconditionerType.SCHUR_POWER_SERIES_EXPANSION, False),
+    (ct.LinearSolverType.ITERATIVE_SCHUR, ct.PreconditionerType.IDENTITY,
+     False),
+])
+def test_schur_step_matches_dense(solver_type, precond, exact):
+    """The Schur-eliminated step equals the full normal-equations step."""
+    problem, cams, pts = small_ba()
+    prog = CompiledProgram(problem)
+    options = ct.SolverOptions(
+        linear_solver_type=solver_type, preconditioner_type=precond,
+        jacobi_scaling=False, max_linear_solver_iterations=1000, eta=1e-14)
+    x = prog.initial_state()
+    radius = jnp.asarray(1e4)
+    step = make_step_fn(prog, options)(x, radius)
+
+    ref_options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_NORMAL_CHOLESKY,
+        jacobi_scaling=False)
+    ref = make_step_fn(prog, ref_options)(x, radius)
+    if exact:
+        np.testing.assert_allclose(np.asarray(step["delta"]),
+                                   np.asarray(ref["delta"]), rtol=1e-5,
+                                   atol=1e-10)
+        np.testing.assert_allclose(float(step["model_cost_change"]),
+                                   float(ref["model_cost_change"]),
+                                   rtol=1e-6)
+    else:
+        assert float(step["model_cost_change"]) > 0
+        np.testing.assert_allclose(float(step["model_cost_change"]),
+                                   float(ref["model_cost_change"]),
+                                   rtol=0.05)
+
+
+def residuals_at_solution(solver_type,
+                          precond=ct.PreconditionerType.SCHUR_JACOBI, **kw):
+    problem, cams, pts = small_ba()
+    # Fix the gauge (global similarity ambiguity) so the minimizer is
+    # well-posed and all configs converge to one point: hold the first
+    # camera and the first point constant.
+    problem.set_parameter_block_constant(cams[0])
+    problem.set_parameter_block_constant(pts[0])
+    options = ct.SolverOptions(
+        linear_solver_type=solver_type, preconditioner_type=precond,
+        max_num_iterations=100, function_tolerance=1e-12,
+        gradient_tolerance=1e-12, parameter_tolerance=1e-12,
+        eta=1e-8, max_linear_solver_iterations=1000, **kw)
+    summary = ct.solve(options, problem)
+    assert summary.is_solution_usable(), summary.message
+    cost, residuals, _, _ = problem.evaluate(want_residuals=True)
+    return summary, residuals
+
+
+def test_ba_end_to_end_config_matrix():
+    """All solver configs reach the same final residual vector to 1e-4
+    (test_util.h:97-114 methodology)."""
+    ref_summary, ref_res = residuals_at_solution(
+        ct.LinearSolverType.DENSE_QR)
+    assert ref_summary.final_cost < ref_summary.initial_cost
+    for solver_type in (ct.LinearSolverType.DENSE_SCHUR,
+                        ct.LinearSolverType.ITERATIVE_SCHUR,
+                        ct.LinearSolverType.CGNR):
+        s, res = residuals_at_solution(solver_type)
+        np.testing.assert_allclose(
+            res, ref_res, atol=1e-4,
+            err_msg=f"{solver_type} residuals diverge from DENSE_QR")
+        np.testing.assert_allclose(s.final_cost, ref_summary.final_cost,
+                                   rtol=1e-5)
+
+
+def test_ba_with_loss_and_quaternions():
+    bal = synthetic_bal_problem(3, 15, 40, seed=9, pixel_noise=0.5)
+    bal.perturb(rotation_sigma=0.02, translation_sigma=0.05,
+                point_sigma=0.05, seed=11)
+    problem, cams, pts = build_bal_ceres_problem(
+        bal, loss=ct.HuberLoss(1.0), use_quaternions=True)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=40)
+    summary = ct.solve(options, problem)
+    assert summary.is_solution_usable(), summary.message
+    assert summary.final_cost < 0.5 * summary.initial_cost
+    for c in cams:
+        np.testing.assert_allclose(np.linalg.norm(c[:4]), 1.0, rtol=1e-10)
