@@ -61,6 +61,7 @@ def main():
             max_num_iterations=50,
             function_tolerance=1e-6,
             max_linear_solver_iterations=100,
+            fused_iterations=not bool(os.environ.get("BENCH_HOST_LOOP")),
         )
 
     # snapshot initial values for the timed re-solve

@@ -36,6 +36,18 @@ from .cost import (  # noqa: F401
 )
 from .problem import Problem, ProblemOptions, ResidualBlockId  # noqa: F401
 from .solver import Solver, solve  # noqa: F401
+from .covariance import Covariance, CovarianceOptions  # noqa: F401
+from .gradient_checker import GradientChecker  # noqa: F401
+from .gradient_problem import (  # noqa: F401
+    FirstOrderFunction, GradientProblem, GradientProblemSolver,
+    solve_gradient_problem,
+)
+from .interpolation import (  # noqa: F401
+    BiCubicInterpolator, CubicInterpolator, Grid1D, Grid2D,
+)
+from .tiny_solver import (  # noqa: F401
+    TinySolver, TinySolverOptions, TinySolverResult, tiny_solve,
+)
 from . import rotation  # noqa: F401
 
 __version__ = "0.1.0"

@@ -18,6 +18,32 @@ from typing import Optional
 import numpy as np
 
 
+def _np_angle_axis_rotate(aa, pts):
+    """Pure-numpy Rodrigues rotation (generator/normalize stay off-device:
+    eager jnp ops over the TPU tunnel cost seconds per dispatch)."""
+    theta = np.linalg.norm(aa, axis=-1, keepdims=True)
+    small = theta[..., 0] < 1e-12
+    safe = np.where(theta == 0, 1.0, theta)
+    w = aa / safe
+    c = np.cos(theta)
+    s = np.sin(theta)
+    w_cross_p = np.cross(w, pts)
+    w_dot_p = np.sum(w * pts, axis=-1, keepdims=True)
+    out = pts * c + w_cross_p * s + w * w_dot_p * (1.0 - c)
+    return np.where(small[..., None], pts + np.cross(aa, pts), out)
+
+
+def _np_angle_axis_to_quaternion(aa):
+    theta_sq = np.sum(aa * aa, axis=-1, keepdims=True)
+    small = theta_sq[..., 0] < 1e-12
+    theta = np.sqrt(np.where(small[..., None], 1.0, theta_sq))
+    k = np.where(small[..., None], 0.5 - theta_sq / 48.0,
+                 np.sin(0.5 * theta) / theta)
+    w = np.where(small[..., None], 1.0 - theta_sq / 8.0,
+                 np.cos(0.5 * theta))
+    return np.concatenate([w, aa * k], axis=-1)
+
+
 class BALProblem:
     """cameras: [ncam, 9] (angle-axis 3, t 3, f, k1, k2) or [ncam, 10]
     (quaternion w-first 4, t 3, f, k1, k2) when use_quaternions.
@@ -76,10 +102,7 @@ class BALProblem:
         return problem
 
     def to_quaternions(self) -> "BALProblem":
-        from .. import rotation as rot
-        import jax.numpy as jnp
-        q = np.asarray(rot.angle_axis_to_quaternion(
-            jnp.asarray(self.cameras[:, :3])))
+        q = _np_angle_axis_to_quaternion(self.cameras[:, :3])
         cams = np.concatenate([q, self.cameras[:, 3:]], axis=1)
         return BALProblem(cams, self.points, self.camera_index,
                           self.point_index, self.observations,
@@ -94,17 +117,13 @@ class BALProblem:
         scale = 100.0 / np.median(dev) if np.median(dev) > 0 else 1.0
         self.points = scale * (self.points - median)
         # camera center c = -R' t; t = -R (c - median) * scale
-        from .. import rotation as rot
-        import jax.numpy as jnp
         if self.use_quaternions:
             raise NotImplementedError("normalize before quaternion repack")
-        aa = jnp.asarray(self.cameras[:, :3])
-        t = jnp.asarray(self.cameras[:, 3:6])
-        centers = np.asarray(rot.angle_axis_rotate_point(-aa, -t))
+        aa = self.cameras[:, :3]
+        t = self.cameras[:, 3:6]
+        centers = _np_angle_axis_rotate(-aa, -t)
         new_centers = scale * (centers - median)
-        new_t = np.asarray(rot.angle_axis_rotate_point(
-            aa, jnp.asarray(-new_centers)))
-        self.cameras[:, 3:6] = new_t
+        self.cameras[:, 3:6] = _np_angle_axis_rotate(aa, -new_centers)
 
     # ---- bal_problem.cc Perturb (:67) ----
     def perturb(self, rotation_sigma=0.0, translation_sigma=0.0,
@@ -160,13 +179,10 @@ def synthetic_bal_problem(num_cameras: int, num_points: int,
     cam_idx = np.asarray(cam_idx[:num_observations], dtype=np.int64)
     pt_idx = np.asarray(pt_idx[:num_observations], dtype=np.int64)
 
-    # project
-    import jax.numpy as jnp
-    from .. import rotation as rot
+    # project (pure numpy)
     cams_o = cameras[cam_idx]
     pts_o = points[pt_idx]
-    p = np.asarray(rot.angle_axis_rotate_point(
-        jnp.asarray(cams_o[:, :3]), jnp.asarray(pts_o))) + cams_o[:, 3:6]
+    p = _np_angle_axis_rotate(cams_o[:, :3], pts_o) + cams_o[:, 3:6]
     xp = -p[:, 0] / p[:, 2]
     yp = -p[:, 1] / p[:, 2]
     r2 = xp * xp + yp * yp

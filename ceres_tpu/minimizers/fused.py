@@ -1,0 +1,182 @@
+"""Fused trust-region solve: the ENTIRE LM loop as one lax.while_loop in one
+jitted device program.
+
+No reference analog — the reference's minimizer is a host loop by nature
+(trust_region_minimizer.cc); on TPU the dominant cost of a host loop is
+dispatch latency (milliseconds locally, seconds over a tunneled device), so
+the production path fuses linearize + scale + damp + linear solve + Plus +
+cost + accept/reject + radius update + convergence tests into a single XLA
+while loop. One device call per SOLVE, not per iteration.
+
+Semantics match the host-loop minimizer for the common configuration:
+LM (or dogleg) strategy, monotone steps, no callbacks, no bounds line
+search, no inner iterations. The host loop remains the general path
+(callbacks, nonmonotonic steps, logging, per-iteration summaries).
+
+Termination codes: 0 running, 1 gradient tol, 2 function tol, 3 parameter
+tol, 4 min trust-region radius, 5 max iterations, 6 too many invalid steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import TerminationType
+
+TERMINATION_BY_CODE = {
+    1: (TerminationType.CONVERGENCE, "Gradient tolerance reached."),
+    2: (TerminationType.CONVERGENCE, "Function tolerance reached."),
+    3: (TerminationType.CONVERGENCE, "Parameter tolerance reached."),
+    4: (TerminationType.CONVERGENCE, "Minimum trust region radius reached."),
+    5: (TerminationType.NO_CONVERGENCE, "Maximum number of iterations reached."),
+    6: (TerminationType.FAILURE,
+        "Number of consecutive invalid steps exceeded the maximum."),
+}
+
+
+class FusedResult(NamedTuple):
+    x: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    successful_steps: jnp.ndarray
+    unsuccessful_steps: jnp.ndarray
+    termination_code: jnp.ndarray
+    gradient_max_norm: jnp.ndarray
+    total_linear_iterations: jnp.ndarray
+
+
+def make_fused_tr_solve(program, options):
+    """Returns a raw (unjitted) fused solve: x0 -> FusedResult."""
+    from ..solver import make_step_impl
+
+    step_impl = make_step_impl(program, options)
+    dtype = program.dtype
+    gtol = options.gradient_tolerance
+    ftol = options.function_tolerance
+    ptol = options.parameter_tolerance
+    min_rel_decrease = options.min_relative_decrease
+    max_iters = options.max_num_iterations
+    min_radius = options.min_trust_region_radius
+    max_radius = options.max_trust_region_radius
+    max_invalid = options.max_num_consecutive_invalid_steps
+
+    def solve(x0):
+        cost0 = program.cost_fn(x0)
+
+        def cond(s):
+            return s["code"] == 0
+
+        def body(s):
+            out = step_impl(s["x"], s["radius"])
+            cost = out["cost"]
+            grad_max = out["gradient_max_norm"]
+            mcc = out["model_cost_change"]
+            step_norm = out["step_norm"]
+
+            step_valid = (jnp.isfinite(mcc) & (mcc > 0.0)
+                          & jnp.isfinite(step_norm))
+            x_new = program.plus(s["x"], out["delta"])
+            new_cost = program.cost_fn(x_new)
+            rel_dec = (cost - new_cost) / jnp.where(mcc == 0, 1.0, mcc)
+            accept = (step_valid & jnp.isfinite(new_cost)
+                      & (rel_dec > min_rel_decrease))
+
+            # LM radius update (levenberg_marquardt_strategy.cc).
+            grow = s["radius"] / jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3)
+            radius_acc = jnp.minimum(grow, max_radius)
+            radius_rej = s["radius"] / s["decrease_factor"]
+            radius = jnp.where(accept, radius_acc, radius_rej)
+            decrease_factor = jnp.where(accept, 2.0,
+                                        2.0 * s["decrease_factor"])
+
+            invalid = jnp.where(step_valid, 0, s["invalid"] + 1)
+            it = s["iter"] + 1
+
+            x_out = jnp.where(accept, x_new, s["x"])
+            cost_out = jnp.where(accept, new_cost, cost)
+            x_norm = jnp.linalg.norm(x_out)
+
+            code = jnp.asarray(0, jnp.int32)
+            # priority mirrors the host loop's check order
+            code = jnp.where((code == 0) & (grad_max <= gtol), 1, code)
+            code = jnp.where(
+                (code == 0) & accept
+                & (jnp.abs(cost - new_cost) <= ftol * cost), 2, code)
+            code = jnp.where(
+                (code == 0) & accept
+                & (step_norm <= ptol * (x_norm + ptol)), 3, code)
+            code = jnp.where((code == 0) & (radius < min_radius), 4, code)
+            code = jnp.where((code == 0) & (it >= max_iters), 5, code)
+            code = jnp.where((code == 0) & (invalid >= max_invalid), 6, code)
+
+            return {
+                "x": x_out,
+                "cost": cost_out,
+                "radius": radius,
+                "decrease_factor": decrease_factor,
+                "iter": it,
+                "invalid": invalid,
+                "code": code,
+                "ok_steps": s["ok_steps"] + jnp.where(accept, 1, 0),
+                "bad_steps": s["bad_steps"] + jnp.where(accept, 0, 1),
+                "grad_max": grad_max,
+                "lin_iters": s["lin_iters"]
+                + out["lin_iters"].astype(jnp.int64),
+            }
+
+        init = {
+            "x": x0,
+            "cost": cost0,
+            "radius": jnp.asarray(options.initial_trust_region_radius,
+                                  dtype=dtype),
+            "decrease_factor": jnp.asarray(2.0, dtype=dtype),
+            "iter": jnp.asarray(0, jnp.int32),
+            "invalid": jnp.asarray(0, jnp.int32),
+            "code": jnp.asarray(
+                0 if options.max_num_iterations > 0 else 5, jnp.int32),
+            "ok_steps": jnp.asarray(0, jnp.int32),
+            "bad_steps": jnp.asarray(0, jnp.int32),
+            "grad_max": jnp.asarray(jnp.inf, dtype=dtype),
+            "lin_iters": jnp.asarray(0, jnp.int64),
+        }
+        s = jax.lax.while_loop(cond, body, init)
+        return FusedResult(
+            x=s["x"], cost=s["cost"], initial_cost=cost0,
+            iterations=s["iter"], successful_steps=s["ok_steps"],
+            unsuccessful_steps=s["bad_steps"], termination_code=s["code"],
+            gradient_max_norm=s["grad_max"],
+            total_linear_iterations=s["lin_iters"])
+
+    return solve
+
+
+def run_fused(program, options, summary):
+    """Execute the fused solve and fill the summary. Returns final x."""
+    import time
+
+    t0 = time.time()
+    solve = program.cached_jit(
+        ("fused", options.cache_key()),
+        lambda: jax.jit(make_fused_tr_solve(program, options)))
+    result = solve(program.initial_state())
+    result = jax.tree_util.tree_map(lambda a: a.block_until_ready()
+                                    if hasattr(a, "block_until_ready") else a,
+                                    result)
+    summary.minimizer_time_in_seconds = time.time() - t0
+    summary.initial_cost = float(result.initial_cost)
+    summary.final_cost = float(result.cost)
+    summary.num_successful_steps = int(result.successful_steps)
+    summary.num_unsuccessful_steps = int(result.unsuccessful_steps)
+    summary.num_linear_solves = int(result.iterations)
+    summary.num_iterations_fused = int(result.iterations)
+    code = int(result.termination_code)
+    term, msg = TERMINATION_BY_CODE.get(
+        code, (TerminationType.FAILURE, f"unknown code {code}"))
+    summary.termination_type = term
+    summary.message = msg + " (fused mode: per-iteration summaries disabled)"
+    return result.x

@@ -124,13 +124,14 @@ def minimize_trust_region(program, options, step_fn: Callable,
     t_start = time.time()
     dtype = program.dtype
 
-    cost_eval = jax.jit(program.cost_fn)
-    plus = jax.jit(program.plus)
+    cost_eval = program.cached_jit("cost_fn",
+                                   lambda: jax.jit(program.cost_fn))
+    plus = program.cached_jit("plus", lambda: jax.jit(program.plus))
     if program.has_bounds:
         def _pg_norm(x, grad):
             # Projected gradient max-norm: ||Plus(x, -g) - x||_inf
             return jnp.max(jnp.abs(program.plus(x, -grad) - x))
-        pg_norm = jax.jit(_pg_norm)
+        pg_norm = program.cached_jit("pg_norm", lambda: jax.jit(_pg_norm))
     else:
         pg_norm = None
 

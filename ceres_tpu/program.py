@@ -78,8 +78,33 @@ class GroupMeta:
 class CompiledProgram:
     """Static compilation of a Problem at a given structure revision."""
 
+    @classmethod
+    def get_cached(cls, problem, options=None, apply_loss: bool = True):
+        """Reuse the program (and its jitted executables) across solves as
+        long as the problem structure hasn't changed — the reference's
+        Preprocessor is re-run per Solve, but XLA executables are the
+        expensive artifact here and must persist (context_impl.h's role:
+        ContextImpl owns reusable handles; here the program owns them)."""
+        import dataclasses
+        dtype = (getattr(options, "dtype", None) or config.default_dtype())
+        key = (problem._revision, str(dtype), apply_loss)
+        cached = getattr(problem, "_compiled_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        prog = cls(problem, options=options, apply_loss=apply_loss)
+        problem._compiled_cache = (key, prog)
+        return prog
+
+    def cached_jit(self, key, builder):
+        """Build-once jitted executables keyed by an options signature."""
+        cache = self._jit_cache
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
     def __init__(self, problem, options=None, apply_loss: bool = True,
                  include_fixed_blocks: bool = False):
+        self._jit_cache = {}
         self.problem = problem
         self.revision = problem._revision
         self.dtype = (getattr(options, "dtype", None)
@@ -145,11 +170,8 @@ class CompiledProgram:
         self.num_residuals_reduced = sum(rb.cost.num_residuals
                                          for rb in active_res)
 
-        # --- initial ambient state ---
-        self._x0_np = np.zeros(self.num_ambient, dtype=np.float64)
-        for b in self.used_blocks:
-            o = self.amb_offset[id(b.array)]
-            self._x0_np[o:o + b.size] = b.array
+        # (initial ambient state is rebuilt per solve from the live user
+        # arrays — the program caches structure, not values)
 
         # --- bounds (projection in plus, parameter_block.h Plus) ---
         self.has_bounds = any(b.has_bounds for b in self.variable_blocks)
@@ -292,7 +314,11 @@ class CompiledProgram:
     # state handling
 
     def initial_state(self):
-        return jnp.asarray(self._x0_np, dtype=self.dtype)
+        x0 = np.zeros(self.num_ambient, dtype=np.float64)
+        for b in self.used_blocks:
+            o = self.amb_offset[id(b.array)]
+            x0[o:o + b.size] = b.array
+        return jnp.asarray(x0, dtype=self.dtype)
 
     def write_back(self, x):
         """Copy the solved ambient state into the user's numpy arrays

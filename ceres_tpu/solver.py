@@ -71,7 +71,15 @@ def _make_linear_solver(program, options):
 
 
 def make_step_fn(program, options):
-    """Build the jitted (x, radius) -> step dict function."""
+    """Build the jitted (x, radius) -> step dict function (cached on the
+    program so repeated solves reuse the XLA executable)."""
+    return program.cached_jit(
+        ("step", options.cache_key()),
+        lambda: jax.jit(make_step_impl(program, options)))
+
+
+def make_step_impl(program, options):
+    """Raw (unjitted) step closure — also the body of the fused solve."""
     linear_solve = _make_linear_solver(program, options)
     dtype = program.dtype
     use_jacobi_scaling = options.jacobi_scaling
@@ -164,9 +172,9 @@ def make_step_fn(program, options):
             out["gradient_full"] = grad
         return out
 
-    fn = (lm_step if strategy == TrustRegionStrategyType.LEVENBERG_MARQUARDT
-          else dogleg_step)
-    return jax.jit(fn)
+    return (lm_step
+            if strategy == TrustRegionStrategyType.LEVENBERG_MARQUARDT
+            else dogleg_step)
 
 
 def solve(options: SolverOptions, problem,
@@ -185,7 +193,7 @@ def solve(options: SolverOptions, problem,
 
     # ---- preprocess ----
     t0 = time.time()
-    program = CompiledProgram(problem, options=options)
+    program = CompiledProgram.get_cached(problem, options)
     summary.fixed_cost = program.fixed_cost
     summary.num_parameter_blocks = program.num_parameter_blocks
     summary.num_parameters = program.num_parameters
@@ -215,6 +223,17 @@ def solve(options: SolverOptions, problem,
                            "nothing to optimize.")
         return summary
 
+    # Gradient-checking mode (solver.h check_gradients; reference wraps
+    # every cost function, gradient_checking_cost_function.cc).
+    if options.check_gradients:
+        from .gradient_checker import check_problem_gradients
+        err = check_problem_gradients(
+            problem, options.gradient_check_relative_precision)
+        if err is not None:
+            summary.termination_type = TerminationType.FAILURE
+            summary.message = err
+            return summary
+
     # Linear-solver downgrades (trust_region_preprocessor.cc:75-107).
     options = _maybe_downgrade_options(options, program, summary)
     summary.linear_solver_type_used = options.linear_solver_type
@@ -223,8 +242,17 @@ def solve(options: SolverOptions, problem,
 
     # ---- minimize ----
     if options.minimizer_type == MinimizerType.TRUST_REGION:
-        step_fn = make_step_fn(program, options)
-        x = minimize_trust_region(program, options, step_fn, summary)
+        use_fused = (options.fused_iterations
+                     and not options.callbacks
+                     and not options.use_nonmonotonic_steps
+                     and not options.minimizer_progress_to_stdout
+                     and not options.use_inner_iterations)
+        if use_fused:
+            from .minimizers.fused import run_fused
+            x = run_fused(program, options, summary)
+        else:
+            step_fn = make_step_fn(program, options)
+            x = minimize_trust_region(program, options, step_fn, summary)
     else:
         from .minimizers.line_search import minimize_line_search
         x = minimize_line_search(program, options, summary)

@@ -242,6 +242,16 @@ class SolverOptions:
     fused_iterations: bool = False    # run whole TR loop in one lax.while_loop
     donate_state: bool = True
 
+    def cache_key(self):
+        """Hashable signature of every option that affects compiled
+        executables (excludes callbacks/mesh/host-side-only knobs)."""
+        parts = []
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, (int, float, bool, str, enum.Enum)) or v is None:
+                parts.append((f.name, v))
+        return tuple(parts)
+
     def validate(self) -> Optional[str]:
         """Returns an error string, or None if valid (solver.cc:690)."""
         positive = [
@@ -342,9 +352,12 @@ class SolverSummary:
     jacobian_evaluation_time_in_seconds: float = 0.0
     num_linear_solves: int = 0
 
+    # set by the fused minimizer, which has no per-iteration records
+    num_iterations_fused: int = 0
+
     @property
     def num_iterations(self) -> int:
-        return len(self.iterations)
+        return len(self.iterations) or self.num_iterations_fused
 
     def is_solution_usable(self) -> bool:
         return self.termination_type in (TerminationType.CONVERGENCE,
