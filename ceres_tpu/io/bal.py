@@ -165,15 +165,16 @@ def synthetic_bal_problem(num_cameras: int, num_points: int,
         cameras[i, 7] = 1e-7 * rng.normal()
         cameras[i, 8] = 1e-13 * rng.normal()
 
-    # observation structure: round-robin points, contiguous camera windows
-    obs_per_point = max(1, num_observations // num_points)
+    # observation structure: contiguous camera windows per point, remainder
+    # spread over the first points so the total matches exactly
+    base = max(1, num_observations // num_points)
+    rem = max(0, num_observations - base * num_points)
     cam_idx = []
     pt_idx = []
     for p in range(num_points):
         start = rng.integers(0, num_cameras)
-        k = obs_per_point if p < num_points - 1 else \
-            num_observations - obs_per_point * (num_points - 1)
-        for j in range(min(k, num_cameras)):
+        k = min(base + (1 if p < rem else 0), num_cameras)
+        for j in range(k):
             cam_idx.append((start + j) % num_cameras)
             pt_idx.append(p)
     cam_idx = np.asarray(cam_idx[:num_observations], dtype=np.int64)

@@ -1,0 +1,112 @@
+"""Inner iterations: block coordinate descent over independent sets.
+
+Capability parity with the reference's CoordinateDescentMinimizer
+(coordinate_descent_minimizer.h:59: Init, IsOrderingValid :76,
+CreateOrdering :84, .cc): after each accepted trust-region step, parameter
+blocks are partitioned into independent sets; each set's blocks are
+optimized independently with the others held fixed (the reference spins up
+one DENSE_QR LM per block on a thread pool).
+
+TPU-first design: all blocks of one independent set solve SIMULTANEOUSLY as
+a batched damped-Newton update from the block-diagonal of J^T J and the
+block gradients — one fused device call per (set, inner step) instead of
+thousands of tiny CPU solves. Independence of the set makes the batched
+block-diagonal update exactly the parallel per-block GN step.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bsr import block_diag_jtj
+
+
+def create_ordering(program) -> List[List[int]]:
+    """Greedy graph coloring of the parameter-block interaction graph into
+    independent sets (coordinate_descent_minimizer.cc CreateOrdering via
+    parameter_block_ordering.cc). Returns groups of block keys."""
+    problem = program.problem
+    var_keys = [id(b.array) for b in program.variable_blocks]
+    var_set = set(var_keys)
+    adj = {k: set() for k in var_keys}
+    for rb in problem._residual_records():
+        ks = [k for k in rb.param_keys if k in var_set]
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                adj[ks[i]].add(ks[j])
+                adj[ks[j]].add(ks[i])
+    color = {}
+    for k in sorted(var_keys, key=lambda k: -len(adj[k])):
+        used = {color[n] for n in adj[k] if n in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[k] = c
+    ncolors = max(color.values()) + 1 if color else 0
+    groups = [[] for _ in range(ncolors)]
+    for k in var_keys:
+        groups[color[k]].append(k)
+    return groups
+
+
+def is_ordering_valid(program, ordering) -> bool:
+    """Each group must be an independent set
+    (coordinate_descent_minimizer.h:76)."""
+    problem = program.problem
+    for g in ordering.groups_sorted():
+        keys = ordering.group_element_keys(g)
+        for rb in problem._residual_records():
+            if sum(1 for k in rb.param_keys if k in keys) > 1:
+                return False
+    return True
+
+
+def make_inner_iteration_fn(program, options):
+    """Returns inner(x) -> x' (jitted): one pass of coordinate descent over
+    all independent sets, batched per set."""
+    if options.inner_iteration_ordering is not None:
+        ordering = options.inner_iteration_ordering
+        groups = [[program.problem._as_key(e) if not isinstance(e, int)
+                   else e for e in ordering.group_elements(g)]
+                  for g in ordering.groups_sorted()]
+    else:
+        groups = create_ordering(program)
+
+    # per set: tangent-column mask [num_eff]
+    masks = []
+    for keys in groups:
+        m = np.zeros(program.num_effective)
+        for k in keys:
+            if k in program.tan_offset:
+                o = program.tan_offset[k]
+                t = program.problem._blocks[k].tangent_size
+                m[o:o + t] = 1.0
+        masks.append(m)
+
+    jgroups = program.groups
+    damping = 1e-9
+
+    def inner(x):
+        for m in masks:
+            mask = jnp.asarray(m, dtype=program.dtype)
+            _, grad, jac, _ = program.linearize_fn(x)
+            diag_blocks = block_diag_jtj(jac, jgroups)
+            delta = jnp.zeros_like(grad)
+            for g, H in zip(jgroups, diag_blocks):
+                cols = jnp.asarray(g.tan_cols)           # [k, t]
+                t = g.tangent_size
+                Hd = H + damping * jnp.eye(t, dtype=H.dtype)[None]
+                gb = grad[cols][..., None]               # [k, t, 1]
+                L = jnp.linalg.cholesky(Hd)
+                y = jax.scipy.linalg.solve_triangular(L, -gb, lower=True)
+                d = jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(L, -1, -2), y, lower=False)[..., 0]
+                delta = delta.at[cols].set(d)
+            x = program.plus(x, delta * mask)
+        return x
+
+    return inner

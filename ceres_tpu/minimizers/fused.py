@@ -162,7 +162,8 @@ def run_fused(program, options, summary):
     t0 = time.time()
     solve = program.cached_jit(
         ("fused", options.cache_key()),
-        lambda: jax.jit(make_fused_tr_solve(program, options)))
+        lambda: program.jit_with_consts(
+            make_fused_tr_solve(program, options), (program.example_x(),)))
     result = solve(program.initial_state())
     result = jax.tree_util.tree_map(lambda a: a.block_until_ready()
                                     if hasattr(a, "block_until_ready") else a,

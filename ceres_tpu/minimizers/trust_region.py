@@ -124,18 +124,32 @@ def minimize_trust_region(program, options, step_fn: Callable,
     t_start = time.time()
     dtype = program.dtype
 
-    cost_eval = program.cached_jit("cost_fn",
-                                   lambda: jax.jit(program.cost_fn))
-    plus = program.cached_jit("plus", lambda: jax.jit(program.plus))
+    ex_x, ex_d = program.example_x(), program.example_delta()
+    cost_eval = program.cached_jit(
+        "cost_fn",
+        lambda: program.jit_with_consts(program.cost_fn, (ex_x,)))
+    plus = program.cached_jit(
+        "plus", lambda: program.jit_with_consts(program.plus, (ex_x, ex_d)))
     if program.has_bounds:
         def _pg_norm(x, grad):
             # Projected gradient max-norm: ||Plus(x, -g) - x||_inf
             return jnp.max(jnp.abs(program.plus(x, -grad) - x))
-        pg_norm = program.cached_jit("pg_norm", lambda: jax.jit(_pg_norm))
+        pg_norm = program.cached_jit(
+            "pg_norm",
+            lambda: program.jit_with_consts(_pg_norm, (ex_x, ex_d)))
     else:
         pg_norm = None
 
     x = program.initial_state() if x0 is None else x0
+
+    inner_fn = None
+    if options.use_inner_iterations:
+        from .coordinate_descent import make_inner_iteration_fn
+        inner_fn = program.cached_jit(
+            ("inner", options.cache_key()),
+            lambda: program.jit_with_consts(
+                make_inner_iteration_fn(program, options),
+                (program.example_x(),)))
 
     if options.trust_region_strategy_type == \
             TrustRegionStrategyType.LEVENBERG_MARQUARDT:
@@ -280,6 +294,14 @@ def minimize_trust_region(program, options, step_fn: Callable,
         t0 = time.time()
         x_new = plus(x, step_out["delta"])
         new_cost = float(cost_eval(x_new))
+        # Inner iterations refine the candidate before acceptance
+        # (trust_region_minimizer.cc:506 DoInnerIterationsIfNeeded).
+        if inner_fn is not None and math.isfinite(new_cost):
+            x_refined = inner_fn(x_new)
+            refined_cost = float(cost_eval(x_refined))
+            if math.isfinite(refined_cost) and refined_cost < new_cost:
+                x_new, new_cost = x_refined, refined_cost
+            summary.num_inner_iteration_steps += 1
         total_cost_eval_time += time.time() - t0
 
         if not math.isfinite(new_cost):

@@ -274,6 +274,9 @@ class Problem:
         order; gradient/jacobian columns follow parameter-block insertion
         order in tangent space (reference problem_impl.cc:585)."""
         from .program import CompiledProgram
-        prog = CompiledProgram(self, apply_loss=apply_loss_function)
+        # include_fixed_blocks: Problem::Evaluate reports residuals for all
+        # residual blocks, even those whose parameters are all constant.
+        prog = CompiledProgram(self, apply_loss=apply_loss_function,
+                               include_fixed_blocks=True)
         return prog.public_evaluate(want_residuals, want_gradient,
                                     want_jacobian)

@@ -19,6 +19,7 @@ becomes XLA batching; per-thread gradient scratch + reduction
 
 from __future__ import annotations
 
+import contextvars
 import functools
 from typing import List, Optional
 
@@ -26,11 +27,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Constant-indirection context: when set, program.const(name) yields the
+# traced argument instead of embedding the numpy array as an HLO literal.
+# Mode "record" collects which names a function uses; mode "bind" substitutes
+# traced values. Large problems embed tens of MB of index maps otherwise,
+# which bloats HLO, forces recompiles per problem, and can fault the
+# tunneled TPU compiler.
+_CONST_CTX = contextvars.ContextVar("ceres_tpu_consts", default=None)
+
 from . import config
 from .cost import NumericDiffCostFunction, SizedCostFunction
 from .loss import correct_residuals_and_jacobian
 from .manifolds import EuclideanManifold
 from .ops.bsr import BlockJacobian, BucketJacobian, RVec
+
+
+def _abs_slot(bucket, var_si):
+    """Absolute slot index of the var_si-th variable slot."""
+    k = -1
+    for j, sl in enumerate(bucket.slots):
+        if sl.variable:
+            k += 1
+            if k == var_si:
+                return j
+    raise IndexError(var_si)
 
 
 def _loss_key(loss):
@@ -47,7 +67,8 @@ def _loss_key(loss):
 
 class _Slot:
     __slots__ = ("variable", "amb_size", "tangent_size", "manifold",
-                 "amb_idx", "cols", "local_ids", "group_id")
+                 "amb_idx", "cols", "local_ids", "group_id",
+                 "amb_name", "cols_name", "local_name")
 
     def __init__(self):
         self.variable = False
@@ -56,11 +77,15 @@ class _Slot:
         self.cols = None
         self.local_ids = None
         self.group_id = -1
+        self.amb_name = None
+        self.cols_name = None
+        self.local_name = None
 
 
 class _Bucket:
     __slots__ = ("cost", "loss", "residual_fn", "jac_mode", "data", "slots",
-                 "n", "r", "row_offset", "orig_indices", "key", "_slot_keys")
+                 "n", "r", "row_offset", "orig_indices", "key", "_slot_keys",
+                 "data_name")
 
 
 class GroupMeta:
@@ -102,9 +127,89 @@ class CompiledProgram:
             cache[key] = builder()
         return cache[key]
 
+    # ---------- constant indirection ----------
+
+    def register_const(self, name: str, value):
+        """Register a structural constant (numpy array or pytree of arrays).
+        Must happen before the first trace of any function that uses it."""
+        self.consts_np[name] = value
+
+    def const(self, name: str):
+        """Inside traced code: the constant as a traced argument (when bound
+        via jit_with_consts) or as an embedded literal (fallback)."""
+        ctx = _CONST_CTX.get()
+        if ctx is not None:
+            mode, store = ctx
+            if mode == "record":
+                store.add(name)
+            elif name in store:
+                return store[name]
+        v = self.consts_np[name]
+        return jax.tree_util.tree_map(jnp.asarray, v)
+
+    def _device_const(self, name: str):
+        if name not in self._device_consts:
+            self._device_consts[name] = jax.tree_util.tree_map(
+                jnp.asarray, self.consts_np[name])
+        return self._device_consts[name]
+
+    def jit_with_consts(self, fn, example_args, static_argnums=()):
+        """jax.jit(fn) with every program constant the function touches
+        passed as a device-resident argument instead of an HLO literal.
+        example_args: ShapeDtypeStructs (or arrays) for fn's arguments,
+        used for a cheap recording trace."""
+        used = set()
+        tok = _CONST_CTX.set(("record", used))
+        try:
+            jax.eval_shape(fn, *example_args)
+        finally:
+            _CONST_CTX.reset(tok)
+        names = sorted(used)
+
+        def bound(consts_tuple, *args):
+            tok = _CONST_CTX.set(("bind", dict(zip(names, consts_tuple))))
+            try:
+                return fn(*args)
+            finally:
+                _CONST_CTX.reset(tok)
+
+        jitted = jax.jit(bound)
+
+        def call(*args):
+            consts = tuple(self._device_const(n) for n in names)
+            return jitted(consts, *args)
+
+        call.__wrapped__ = fn
+        call._const_names = names
+        return call
+
+    def example_x(self):
+        return jax.ShapeDtypeStruct((self.num_ambient,), self.dtype)
+
+    def example_delta(self):
+        return jax.ShapeDtypeStruct((self.num_effective,), self.dtype)
+
+    def example_scalar(self):
+        return jax.ShapeDtypeStruct((), self.dtype)
+
+    def traced_groups(self):
+        """GroupMeta views whose arrays resolve through const() — call
+        INSIDE traced code (block-Jacobi preconditioner, inner iterations)."""
+        out = []
+        for gi, g in enumerate(self.groups):
+            slots = [(bi, vsi,
+                      self.const(self.buckets[bi].slots[_abs_slot(
+                          self.buckets[bi], vsi)].local_name))
+                     for (bi, vsi, _) in g.bucket_slots]
+            out.append(GroupMeta(g.tangent_size, g.num_blocks,
+                                 self.const(f"grp{gi}.tan_cols"), slots))
+        return out
+
     def __init__(self, problem, options=None, apply_loss: bool = True,
                  include_fixed_blocks: bool = False):
         self._jit_cache = {}
+        self.consts_np = {}
+        self._device_consts = {}
         self.problem = problem
         self.revision = problem._revision
         self.dtype = (getattr(options, "dtype", None)
@@ -206,10 +311,10 @@ class CompiledProgram:
         self.groups: List[GroupMeta] = []
         self._group_of_block = {}   # id(array) -> (group_id, local_id)
         for gi, (t, blks) in enumerate(sorted(size_groups.items())):
-            tan_cols = np.zeros((len(blks), t), dtype=np.int32)
+            offs = np.fromiter((self.tan_offset[id(b.array)] for b in blks),
+                               dtype=np.int32, count=len(blks))
+            tan_cols = offs[:, None] + np.arange(t, dtype=np.int32)[None, :]
             for li, b in enumerate(blks):
-                to = self.tan_offset[id(b.array)]
-                tan_cols[li] = np.arange(to, to + t)
                 self._group_of_block[id(b.array)] = (gi, li)
             self.groups.append(GroupMeta(t, len(blks), tan_cols, []))
 
@@ -260,27 +365,26 @@ class CompiledProgram:
                 sl.variable = (not blk0.constant) and blk0.tangent_size > 0
                 sl.manifold = blk0.manifold
                 sl.tangent_size = blk0.tangent_size if sl.variable else 0
-                amb_idx = np.zeros((bk.n, sl.amb_size), dtype=np.int32)
-                for i, rb in enumerate(rbs):
-                    o = self.amb_offset[rb.param_keys[si]]
-                    amb_idx[i] = np.arange(o, o + sl.amb_size)
-                sl.amb_idx = amb_idx
+                amb_off = np.fromiter(
+                    (self.amb_offset[rb.param_keys[si]] for rb in rbs),
+                    dtype=np.int32, count=bk.n)
+                sl.amb_idx = amb_off[:, None] + np.arange(
+                    sl.amb_size, dtype=np.int32)[None, :]
                 if sl.variable:
                     t = sl.tangent_size
-                    cols = np.zeros((bk.n, t), dtype=np.int32)
-                    local = np.zeros((bk.n,), dtype=np.int32)
-                    gid = None
-                    for i, rb in enumerate(rbs):
-                        to = self.tan_offset[rb.param_keys[si]]
-                        cols[i] = np.arange(to, to + t)
-                        g, li = self._group_of_block[rb.param_keys[si]]
-                        local[i] = li
-                        gid = g
-                    sl.cols = cols
-                    sl.local_ids = local
+                    tan_off = np.fromiter(
+                        (self.tan_offset[rb.param_keys[si]] for rb in rbs),
+                        dtype=np.int32, count=bk.n)
+                    sl.cols = tan_off[:, None] + np.arange(
+                        t, dtype=np.int32)[None, :]
+                    gid = self._group_of_block[rbs[0].param_keys[si]][0]
+                    sl.local_ids = np.fromiter(
+                        (self._group_of_block[rb.param_keys[si]][1]
+                         for rb in rbs), dtype=np.int32, count=bk.n)
                     sl.group_id = gid
                     # bucket_slots indexes VARIABLE slots (slot_J order)
-                    self.groups[gid].bucket_slots.append((bi, var_si, local))
+                    self.groups[gid].bucket_slots.append(
+                        (bi, var_si, sl.local_ids))
                     var_si += 1
                 bk.slots.append(sl)
             self.buckets.append(bk)
@@ -293,6 +397,24 @@ class CompiledProgram:
         if fixed_res:
             self.fixed_cost = float(self._eval_fixed(fixed_res))
 
+        # ---- constant registry: every structural array becomes a named
+        # constant passed to jitted functions as a device argument ----
+        for bi, bk in enumerate(self.buckets):
+            bk.data_name = f"b{bi}.data"
+            self.register_const(bk.data_name, bk.data)
+            var_si = 0
+            for si, sl in enumerate(bk.slots):
+                sl.amb_name = f"b{bi}.amb{si}"
+                self.register_const(sl.amb_name, sl.amb_idx)
+                if sl.variable:
+                    sl.cols_name = f"b{bi}.cols{var_si}"
+                    sl.local_name = f"b{bi}.local{var_si}"
+                    self.register_const(sl.cols_name, sl.cols)
+                    self.register_const(sl.local_name, sl.local_ids)
+                    var_si += 1
+        for gi, g in enumerate(self.groups):
+            self.register_const(f"grp{gi}.tan_cols", g.tan_cols)
+
         # Plus groups: variable blocks by manifold key for batched plus.
         plus_map = {}
         for b in self.variable_blocks:
@@ -301,14 +423,21 @@ class CompiledProgram:
             plus_map.setdefault(mk, []).append(b)
         self.plus_groups = []
         for mk, blks in plus_map.items():
-            amb = np.zeros((len(blks), blks[0].size), dtype=np.int32)
-            tan = np.zeros((len(blks), blks[0].tangent_size), dtype=np.int32)
-            for i, b in enumerate(blks):
-                ao = self.amb_offset[id(b.array)]
-                to = self.tan_offset[id(b.array)]
-                amb[i] = np.arange(ao, ao + b.size)
-                tan[i] = np.arange(to, to + b.tangent_size)
+            ao = np.fromiter((self.amb_offset[id(b.array)] for b in blks),
+                             dtype=np.int32, count=len(blks))
+            to = np.fromiter((self.tan_offset[id(b.array)] for b in blks),
+                             dtype=np.int32, count=len(blks))
+            amb = ao[:, None] + np.arange(blks[0].size,
+                                          dtype=np.int32)[None, :]
+            tan = to[:, None] + np.arange(blks[0].tangent_size,
+                                          dtype=np.int32)[None, :]
+            pi = len(self.plus_groups)
+            self.register_const(f"plus{pi}.amb", amb)
+            self.register_const(f"plus{pi}.tan", tan)
             self.plus_groups.append((blks[0].manifold, amb, tan))
+        if self.has_bounds:
+            self.register_const("bounds.lo", self._lo)
+            self.register_const("bounds.hi", self._hi)
 
     # ------------------------------------------------------------------
     # state handling
@@ -340,7 +469,9 @@ class CompiledProgram:
         """x' = Plus(x, delta), batched per manifold group, then projected
         onto the bound box (parameter_block.h Plus semantics)."""
         out = x
-        for manifold, amb_idx, tan_idx in self.plus_groups:
+        for pi, (manifold, _, _) in enumerate(self.plus_groups):
+            amb_idx = self.const(f"plus{pi}.amb")
+            tan_idx = self.const(f"plus{pi}.tan")
             xs = x[amb_idx]            # [k, amb]
             ds = delta[tan_idx]        # [k, t]
             if manifold is None:
@@ -349,15 +480,16 @@ class CompiledProgram:
                 new = jax.vmap(manifold.plus)(xs, ds)
             out = out.at[amb_idx].set(new)
         if self.has_bounds:
-            out = jnp.clip(out, jnp.asarray(self._lo, dtype=self.dtype),
-                           jnp.asarray(self._hi, dtype=self.dtype))
+            out = jnp.clip(out,
+                           self.const("bounds.lo").astype(self.dtype),
+                           self.const("bounds.hi").astype(self.dtype))
         return out
 
     # ------------------------------------------------------------------
     # evaluation
 
     def _bucket_params(self, bk, x):
-        return [x[sl.amb_idx] for sl in bk.slots]   # each [n, amb]
+        return [x[self.const(sl.amb_name)] for sl in bk.slots]  # [n, amb]
 
     def _eval_fixed(self, fixed_res):
         total = 0.0
@@ -385,7 +517,7 @@ class CompiledProgram:
             data, amb_idxs = row_arrays
             params = [x[ai] for ai in amb_idxs]
         else:
-            data = bk.data
+            data = self.const(bk.data_name)
             params = self._bucket_params(bk, x)
         fn = bk.residual_fn
 
@@ -403,7 +535,7 @@ class CompiledProgram:
             data, amb_idxs = row_arrays
             params = [x[ai] for ai in amb_idxs]
         else:
-            data = bk.data
+            data = self.const(bk.data_name)
             params = self._bucket_params(bk, x)
         fn = bk.residual_fn
         var_slots = [(i, sl) for i, sl in enumerate(bk.slots) if sl.variable]
@@ -494,7 +626,7 @@ class CompiledProgram:
             r, J = self._bucket_linearize(bk, x)
             cost, rc, Jc = correct_residuals_and_jacobian(bk.loss, r, J)
             total = total + jnp.sum(cost)
-            cols = tuple(jnp.asarray(sl.cols) for sl in bk.slots
+            cols = tuple(self.const(sl.cols_name) for sl in bk.slots
                          if sl.variable)
             jac_buckets.append(BucketJacobian(Jc, cols, bk.row_offset))
             res_parts.append(rc)

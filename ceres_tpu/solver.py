@@ -54,11 +54,10 @@ def _make_linear_solver(program, options):
         max_it = options.max_linear_solver_iterations
         eta = options.eta
         use_jacobi = options.preconditioner_type != PreconditionerType.IDENTITY
-        groups = program.groups
 
         def solve(jac, res, D):
-            precond = (make_block_jacobi_preconditioner(jac, D, groups)
-                       if use_jacobi else None)
+            precond = (make_block_jacobi_preconditioner(
+                jac, D, program.traced_groups()) if use_jacobi else None)
             return solve_cgnr(jac, res, D, apply_preconditioner=precond,
                               max_iterations=max_it, q_tolerance=eta)
 
@@ -72,10 +71,13 @@ def _make_linear_solver(program, options):
 
 def make_step_fn(program, options):
     """Build the jitted (x, radius) -> step dict function (cached on the
-    program so repeated solves reuse the XLA executable)."""
+    program so repeated solves reuse the XLA executable; structural index
+    arrays are passed as device arguments, not HLO literals)."""
     return program.cached_jit(
         ("step", options.cache_key()),
-        lambda: jax.jit(make_step_impl(program, options)))
+        lambda: program.jit_with_consts(
+            make_step_impl(program, options),
+            (program.example_x(), program.example_scalar())))
 
 
 def make_step_impl(program, options):
@@ -115,9 +117,65 @@ def make_step_impl(program, options):
             out["gradient_full"] = grad
         return out
 
+    def _subspace_solve(jac_s, g, gn, radius, dtype):
+        """SUBSPACE_DOGLEG (dogleg_strategy.cc ComputeSubspaceModel +
+        FindMinimumOnTrustRegionBoundary): minimize the quadratic model on
+        the 2-D span{gradient, Gauss-Newton} intersected with the ball.
+        The reference finds the boundary minimum by quartic root-finding
+        (polynomial.cc); here the 2x2 eigen-decomposition reduces it to the
+        secular equation phi(lam) = sum g_i^2/(d_i+lam)^2 = r^2, solved by a
+        fixed-count bisection (traceable, branch-free)."""
+        # Orthonormal basis of span{g, gn} (Gram-Schmidt).
+        b1 = g / jnp.maximum(jnp.linalg.norm(g), 1e-300)
+        v = gn - jnp.vdot(b1, gn) * b1
+        v_norm = jnp.linalg.norm(v)
+        degenerate = v_norm < 1e-12
+        b2 = jnp.where(degenerate, b1, v / jnp.where(v_norm == 0, 1.0,
+                                                     v_norm))
+        # 2x2 model: B = basis^T J^T J basis, gr = basis^T g.
+        Jb1 = jac_s.matvec(b1)
+        Jb2 = jac_s.matvec(b2)
+        B00 = Jb1.squared_norm()
+        B11 = Jb2.squared_norm()
+        B01 = Jb1.dot(Jb2)
+        gr = jnp.stack([jnp.vdot(b1, g), jnp.vdot(b2, g)])
+        B = jnp.asarray([[B00, B01], [B01, B11]], dtype=dtype)
+        # Unconstrained minimum of the subspace model.
+        y_unc = -jnp.linalg.solve(B + 1e-30 * jnp.eye(2, dtype=dtype), gr)
+        inside = jnp.linalg.norm(y_unc) <= radius
+
+        # Boundary: eigendecompose B, solve the secular equation.
+        d, Q = jnp.linalg.eigh(B)
+        gh = Q.T @ gr
+        lam_lo = jnp.maximum(0.0, -d[0]) + 1e-12
+        # upper bound: |gh|/radius - d_min covers phi(lam_hi) <= r^2
+        lam_hi = lam_lo + jnp.linalg.norm(gh) / jnp.maximum(radius, 1e-300) \
+            + jnp.abs(d).max() + 1.0
+
+        def phi(lam):
+            y = gh / (d + lam)
+            return jnp.vdot(y, y)
+
+        def bisect(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            too_big = phi(mid) > radius * radius
+            # phi decreasing in lam: too big -> need larger lam
+            return (jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, 64, bisect, (lam_lo, lam_hi))
+        lam = 0.5 * (lo + hi)
+        y_bnd = Q @ (-gh / (d + lam))
+        y = jnp.where(inside, y_unc, y_bnd)
+        d_sub = y[0] * b1 + y[1] * b2
+        # Degenerate subspace (g parallel to gn): fall back to the dogleg
+        # segment handled by the caller via NaN-free select.
+        return d_sub, degenerate
+
     def dogleg_step(x, radius):
-        """TRADITIONAL_DOGLEG (dogleg_strategy.cc:130-265), in the
-        Jacobi-scaled space like the reference."""
+        """TRADITIONAL_DOGLEG + SUBSPACE_DOGLEG
+        (dogleg_strategy.cc:130-265), in the Jacobi-scaled space like the
+        reference."""
         cost, grad, jac, res = program.linearize_fn(x)
         if use_jacobi_scaling:
             scale = 1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
@@ -156,6 +214,13 @@ def make_step_impl(program, options):
                                 -(radius / jnp.sqrt(jnp.maximum(g_sq, 1e-300)))
                                 * g,
                                 seg))
+        if options.dogleg_type == DoglegType.SUBSPACE_DOGLEG:
+            d_sub, degenerate = _subspace_solve(jac_s, g, gn, radius,
+                                                dtype)
+            # GN inside the region dominates; otherwise subspace minimum
+            # (falls back to the segment when the subspace degenerates).
+            d = jnp.where(gn_norm <= radius, gn,
+                          jnp.where(degenerate, d, d_sub))
         Jd = jac_s.matvec(d)
         mcc = -(jnp.vdot(d, g) + 0.5 * Jd.squared_norm())
         delta = scale * d

@@ -60,6 +60,30 @@ class SchurMeta:
         self.e_cols = None           # np [ne, te] int32
         self.buckets: List[_BucketSchur] = []
         self.f_groups = []           # [(t, kf, f_cols [kf,t], slots)]
+        self._program = None
+
+    def bind(self, program):
+        """Register the meta's index arrays as program constants so they
+        are passed to jitted solves as device arguments (not HLO literals)."""
+        self._program = program
+        program.register_const("schur.e_cols", self.e_cols)
+        program.register_const("schur.f_global", self.f_global_cols)
+        for bi, bs in enumerate(self.buckets):
+            if bs.e_ids is not None:
+                program.register_const(f"schur.b{bi}.e_ids", bs.e_ids)
+            if bs.f_cols is not None:
+                program.register_const(f"schur.b{bi}.f_cols", bs.f_cols)
+        for gi, grp in enumerate(self.f_groups):
+            program.register_const(f"schur.fg{gi}.cols", grp["cols"])
+            for k, (bbi, vsi, local) in enumerate(grp["slots"]):
+                program.register_const(f"schur.fg{gi}.local{k}", local)
+
+    def c(self, name, np_value):
+        """Traced constant accessor (falls back to literal embedding when
+        the meta is unbound, e.g. in unit tests)."""
+        if self._program is not None:
+            return self._program.const("schur." + name)
+        return jnp.asarray(np_value)
 
 
 def detect_schur_structure(program, options) -> Optional[SchurMeta]:
@@ -70,6 +94,8 @@ def detect_schur_structure(program, options) -> Optional[SchurMeta]:
     if cached != "missing":
         return cached
     meta = _detect_schur_structure(program, options)
+    if meta is not None:
+        meta.bind(program)
     program._schur_meta = meta
     return meta
 
@@ -150,15 +176,14 @@ def _detect_schur_structure(program, options):
               if k in e_set]
     e_index = {k: i for i, k in enumerate(e_list)}
     meta.ne = len(e_list)
-    meta.e_cols = np.zeros((meta.ne, te), dtype=np.int32)
-    for k, i in e_index.items():
-        to = program.tan_offset[k]
-        meta.e_cols[i] = np.arange(to, to + te)
+    e_offs = np.fromiter((program.tan_offset[k] for k in e_list),
+                         dtype=np.int32, count=meta.ne)
+    meta.e_cols = e_offs[:, None] + np.arange(te, dtype=np.int32)[None, :]
 
     # f columns: every tangent column not in an e-block
-    e_col_set = set(meta.e_cols.reshape(-1).tolist())
-    f_global = np.asarray([c for c in range(program.num_effective)
-                           if c not in e_col_set], dtype=np.int32)
+    is_e = np.zeros(program.num_effective, dtype=bool)
+    is_e[meta.e_cols.reshape(-1)] = True
+    f_global = np.nonzero(~is_e)[0].astype(np.int32)
     meta.nf = int(f_global.size)
     if meta.nf == 0:
         return None
@@ -262,16 +287,16 @@ class SchurOps:
 
         # block diagonal of E^T E + D_e^2 (implicit_schur_complement Init)
         ete = jnp.zeros((ne, te, te), dtype=dtype)
-        for bj, bs in zip(jac.buckets, meta.buckets):
+        for bi, (bj, bs) in enumerate(zip(jac.buckets, meta.buckets)):
             if bs.e_slot is None:
                 continue
             Je = bj.slot_J(bs.e_slot)
             G = jnp.einsum("nrt,nru->ntu", Je, Je)
-            ete = ete.at[jnp.asarray(bs.e_ids)].add(G)
-        d_e = D[jnp.asarray(meta.e_cols)]                     # [ne, te]
+            ete = ete.at[meta.c(f"b{bi}.e_ids", bs.e_ids)].add(G)
+        d_e = D[meta.c("e_cols", meta.e_cols)]                # [ne, te]
         ete = ete + _embed_diag(d_e * d_e)
         self.chol_e = jnp.linalg.cholesky(ete)
-        self.D_f = D[jnp.asarray(meta.f_global_cols)]
+        self.D_f = D[meta.c("f_global", meta.f_global_cols)]
 
     def esolve(self, u):
         return _batched_cho_solve(self.chol_e, u)
@@ -279,46 +304,50 @@ class SchurOps:
     def F_apply(self, v):
         """F v: [nf] -> RVec (residual space)."""
         parts = []
-        for bj, bs in zip(self.jac.buckets, self.meta.buckets):
+        for bi, (bj, bs) in enumerate(zip(self.jac.buckets,
+                                          self.meta.buckets)):
             if bs.f_cols is None:
                 parts.append(jnp.zeros((bj.n, bj.r), dtype=bj.J.dtype))
                 continue
             Jf = _f_part(bj, bs)
-            vb = v[jnp.asarray(bs.f_cols)]
+            vb = v[self.meta.c(f"b{bi}.f_cols", bs.f_cols)]
             parts.append(jnp.einsum("nrt,nt->nr", Jf, vb))
         return RVec(parts)
 
     def Ft_apply(self, w: RVec):
         out = jnp.zeros((self.meta.nf,), dtype=self.jac.buckets[0].J.dtype)
-        for bj, bs, wp in zip(self.jac.buckets, self.meta.buckets, w.parts):
+        for bi, (bj, bs, wp) in enumerate(zip(self.jac.buckets,
+                                              self.meta.buckets, w.parts)):
             if bs.f_cols is None:
                 continue
             Jf = _f_part(bj, bs)
             contrib = jnp.einsum("nrt,nr->nt", Jf, wp)
-            out = out.at[jnp.asarray(bs.f_cols)].add(contrib)
+            out = out.at[self.meta.c(f"b{bi}.f_cols", bs.f_cols)].add(contrib)
         return out
 
     def E_apply(self, z):
         """E z: [ne, te] -> RVec."""
         parts = []
-        for bj, bs in zip(self.jac.buckets, self.meta.buckets):
+        for bi, (bj, bs) in enumerate(zip(self.jac.buckets,
+                                          self.meta.buckets)):
             if bs.e_slot is None:
                 parts.append(jnp.zeros((bj.n, bj.r), dtype=bj.J.dtype))
                 continue
             Je = bj.slot_J(bs.e_slot)
-            zb = z[jnp.asarray(bs.e_ids)]
+            zb = z[self.meta.c(f"b{bi}.e_ids", bs.e_ids)]
             parts.append(jnp.einsum("nrt,nt->nr", Je, zb))
         return RVec(parts)
 
     def Et_apply(self, w: RVec):
         out = jnp.zeros((self.meta.ne, self.meta.te),
                         dtype=self.jac.buckets[0].J.dtype)
-        for bj, bs, wp in zip(self.jac.buckets, self.meta.buckets, w.parts):
+        for bi, (bj, bs, wp) in enumerate(zip(self.jac.buckets,
+                                              self.meta.buckets, w.parts)):
             if bs.e_slot is None:
                 continue
             Je = bj.slot_J(bs.e_slot)
             contrib = jnp.einsum("nrt,nr->nt", Je, wp)
-            out = out.at[jnp.asarray(bs.e_ids)].add(contrib)
+            out = out.at[self.meta.c(f"b{bi}.e_ids", bs.e_ids)].add(contrib)
         return out
 
     def apply_S(self, v):
@@ -350,11 +379,11 @@ class SchurOps:
         ne, te, nf = meta.ne, meta.te, meta.nf
         FtF = jnp.zeros((nf, nf), dtype=dtype)
         A = jnp.zeros((ne, te, nf), dtype=dtype)
-        for bj, bs in zip(jac.buckets, meta.buckets):
+        for bi, (bj, bs) in enumerate(zip(jac.buckets, meta.buckets)):
             if bs.f_cols is not None:
                 Jf = _f_part(bj, bs)
                 G = jnp.einsum("nrt,nru->ntu", Jf, Jf)
-                c = jnp.asarray(bs.f_cols)
+                c = meta.c(f"b{bi}.f_cols", bs.f_cols)
                 n, t = c.shape
                 rows = jnp.broadcast_to(c[:, :, None], (n, t, t))
                 cols = jnp.broadcast_to(c[:, None, :], (n, t, t))
@@ -363,9 +392,9 @@ class SchurOps:
                 Je = bj.slot_J(bs.e_slot)
                 Jf = _f_part(bj, bs)
                 Gc = jnp.einsum("nrt,nru->ntu", Je, Jf)   # [n, te, tf]
-                c = jnp.asarray(bs.f_cols)
+                c = meta.c(f"b{bi}.f_cols", bs.f_cols)
                 n, tf = c.shape
-                eids = jnp.asarray(bs.e_ids)
+                eids = meta.c(f"b{bi}.e_ids", bs.e_ids)
                 rows = jnp.broadcast_to(eids[:, None, None], (n, te, tf))
                 mids = jnp.broadcast_to(
                     jnp.arange(te)[None, :, None], (n, te, tf))
@@ -397,24 +426,24 @@ class SchurOps:
         meta, jac = self.meta, self.jac
         dtype = jac.buckets[0].J.dtype
         out = []
-        for grp in meta.f_groups:
+        for gi, grp in enumerate(meta.f_groups):
             t, kf = grp["t"], grp["kf"]
             acc = jnp.zeros((kf, t, t), dtype=dtype)
-            for (bi, var_si, local) in grp["slots"]:
+            for k, (bi, var_si, local) in enumerate(grp["slots"]):
                 bj = jac.buckets[bi]
                 bs = meta.buckets[bi]
                 Jf = bj.slot_J(var_si)
                 G = jnp.einsum("nrt,nru->ntu", Jf, Jf)
-                li = jnp.asarray(local)
+                li = meta.c(f"fg{gi}.local{k}", local)
                 acc = acc.at[li].add(G)
                 if subtract_cross and bs.e_slot is not None:
                     Je = bj.slot_J(bs.e_slot)
                     Gc = jnp.einsum("nrt,nru->ntu", Je, Jf)  # [n, te, t]
-                    eids = jnp.asarray(bs.e_ids)
+                    eids = meta.c(f"b{bi}.e_ids", bs.e_ids)
                     MG = _batched_cho_solve(self.chol_e[eids], Gc)
                     sub = jnp.einsum("ntu,ntv->nuv", Gc, MG)
                     acc = acc.at[li].add(-sub)
-            cols = jnp.asarray(grp["cols"])                 # [kf, t]
+            cols = meta.c(f"fg{gi}.cols", grp["cols"])      # [kf, t]
             d = self.D_f[cols]
             acc = acc + _embed_diag(d * d)
             out.append((cols, acc))
@@ -486,8 +515,8 @@ def make_schur_solver(program, options):
         ops = SchurOps(meta, jac, D)
         g = jac.rmatvec(res)
         b = -g
-        b_e = b[jnp.asarray(meta.e_cols)]          # [ne, te]
-        b_f = b[jnp.asarray(meta.f_global_cols)]   # [nf]
+        b_e = b[meta.c("e_cols", meta.e_cols)]          # [ne, te]
+        b_f = b[meta.c("f_global", meta.f_global_cols)]   # [nf]
 
         if solver_type in (LinearSolverType.DENSE_SCHUR,
                            LinearSolverType.SPARSE_SCHUR):
@@ -507,8 +536,8 @@ def make_schur_solver(program, options):
 
         d_e = ops.back_substitute(b_e, y)
         d = jnp.zeros((program.num_effective,), dtype=y.dtype)
-        d = d.at[jnp.asarray(meta.f_global_cols)].set(y)
-        d = d.at[jnp.asarray(meta.e_cols)].set(d_e)
+        d = d.at[meta.c("f_global", meta.f_global_cols)].set(y)
+        d = d.at[meta.c("e_cols", meta.e_cols)].set(d_e)
         return d, iters
 
     return solve
