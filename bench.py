@@ -35,6 +35,15 @@ def log(*a):
 def main():
     t0 = time.time()
     import jax
+    # Persistent XLA compilation cache: the expensive fused-solve compile is
+    # paid once per machine, not per process.
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
     import ceres_tpu as ct
     from ceres_tpu.io.bal import synthetic_bal_problem, build_bal_ceres_problem
     log(f"devices: {jax.devices()}  (import {time.time()-t0:.1f}s)")

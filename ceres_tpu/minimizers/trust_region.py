@@ -236,6 +236,11 @@ def minimize_trust_region(program, options, step_fn: Callable,
 
         # Linearize + solve the trust-region subproblem (one device call).
         t0 = time.time()
+        if options.evaluation_callback is not None:
+            # evaluation_callback.h: jacobians will be evaluated at a new
+            # point (x changed iff the last step was accepted).
+            options.evaluation_callback.prepare_for_evaluation(
+                evaluate_jacobians=True, new_evaluation_point=True)
         step_out = step_fn(x, jnp.asarray(strategy.radius, dtype=dtype))
         lin_cost = float(step_out["cost"])
         mcc = float(step_out["model_cost_change"])
@@ -293,6 +298,9 @@ def minimize_trust_region(program, options, step_fn: Callable,
         # Candidate evaluation.
         t0 = time.time()
         x_new = plus(x, step_out["delta"])
+        if options.evaluation_callback is not None:
+            options.evaluation_callback.prepare_for_evaluation(
+                evaluate_jacobians=False, new_evaluation_point=True)
         new_cost = float(cost_eval(x_new))
         # Inner iterations refine the candidate before acceptance
         # (trust_region_minimizer.cc:506 DoInnerIterationsIfNeeded).
@@ -331,6 +339,10 @@ def minimize_trust_region(program, options, step_fn: Callable,
             cost = new_cost
             x_norm = float(jnp.linalg.norm(x))
             it.cost = cost
+            if options.update_state_every_iteration:
+                # solver.h:785: keep the user's arrays in sync so callbacks
+                # observe the current state.
+                program.write_back(x)
 
             if (abs(cost_change)
                     <= options.function_tolerance * prev_cost):

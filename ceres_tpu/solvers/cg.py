@@ -99,10 +99,17 @@ def solve_cgnr(jac, res, D, apply_preconditioner=None,
                r_tolerance: float = 0.0):
     """CGNR: CG on the normal equations (J^T J + D^T D) d = -J^T r
     (cgnr_solver.cc; math doc cgnr_linear_operator semantics z = A^T A x +
-    D^T D x). Fully matrix-free over the bucketed BlockJacobian."""
+    D^T D x). Fully matrix-free over the bucketed BlockJacobian. With
+    CERES_TPU_PALLAS=1 the J^T J v product runs as a fused Pallas kernel
+    that reads J from HBM once per iteration instead of twice."""
+    from ..ops.pallas_kernels import jac_normal_matvec, pallas_enabled
 
-    def apply_A(v):
-        return jac.rmatvec(jac.matvec(v)) + (D * D) * v
+    if pallas_enabled():
+        def apply_A(v):
+            return jac_normal_matvec(jac, v) + (D * D) * v
+    else:
+        def apply_A(v):
+            return jac.rmatvec(jac.matvec(v)) + (D * D) * v
 
     b = -jac.rmatvec(res)
     x0 = jnp.zeros_like(b)

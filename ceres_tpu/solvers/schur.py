@@ -60,6 +60,8 @@ class SchurMeta:
         self.e_cols = None           # np [ne, te] int32
         self.buckets: List[_BucketSchur] = []
         self.f_groups = []           # [(t, kf, f_cols [kf,t], slots)]
+        self.cluster_mask = None      # np [nf, nf], set for CLUSTER_* kinds
+        self.cluster_mask_diag = None  # cluster-diagonal-only pattern
         self._program = None
 
     def bind(self, program):
@@ -373,7 +375,17 @@ class SchurOps:
     # ---- explicit S (DENSE_SCHUR / SPARSE_SCHUR,
     #      schur_complement_solver.cc) ----
 
+    def explicit_S(self):
+        """Dense S (and the A = E^T F tensor used to form it)."""
+        S, _A = self._assemble_S()
+        return S
+
     def explicit_S_and_rhs(self, b_e, b_f):
+        S, A = self._assemble_S()
+        rhs = b_f - jnp.einsum("itf,it->f", A, self.esolve(b_e))
+        return S, rhs
+
+    def _assemble_S(self):
         meta, jac = self.meta, self.jac
         dtype = jac.buckets[0].J.dtype
         ne, te, nf = meta.ne, meta.te, meta.nf
@@ -403,20 +415,49 @@ class SchurOps:
         FtF = FtF + jnp.diag(self.D_f * self.D_f)
         B = _batched_cho_solve(self.chol_e, A)             # [ne, te, nf]
         S = FtF - jnp.einsum("itf,itg->fg", A, B)
-        rhs = b_f - jnp.einsum("itf,it->f", A, self.esolve(b_e))
-        return S, rhs
+        return S, A
 
     # ---- preconditioners ----
 
     def make_preconditioner(self, kind: PreconditionerType):
         if kind == PreconditionerType.IDENTITY:
             return lambda v: v
-        if kind in (PreconditionerType.SCHUR_POWER_SERIES_EXPANSION,):
+        if kind == PreconditionerType.SCHUR_POWER_SERIES_EXPANSION:
             return self._make_power_series_preconditioner()
-        subtract_cross = kind in (PreconditionerType.SCHUR_JACOBI,
-                                  PreconditionerType.CLUSTER_JACOBI,
-                                  PreconditionerType.CLUSTER_TRIDIAGONAL)
+        if kind in (PreconditionerType.CLUSTER_JACOBI,
+                    PreconditionerType.CLUSTER_TRIDIAGONAL):
+            return self._make_cluster_preconditioner()
+        subtract_cross = kind == PreconditionerType.SCHUR_JACOBI
         return self._make_block_diag_preconditioner(subtract_cross)
+
+    def _make_cluster_preconditioner(self):
+        """CLUSTER_JACOBI / CLUSTER_TRIDIAGONAL
+        (visibility_based_preconditioner.h:127): S restricted to the
+        camera-cluster sparsity (cluster-diagonal blocks, plus the degree-2
+        spanning-forest off-diagonal blocks for tridiagonal), factorized
+        densely. The clustering itself is host-side structure work
+        (clustering.py), done once in make_schur_solver."""
+        meta = self.meta
+        mask = meta.c("cluster_mask", meta.cluster_mask)
+        diag_mask = meta.c("cluster_mask_diag", meta.cluster_mask_diag)
+        S = self.explicit_S()
+        jitter = 1e-12 * jnp.diag(jnp.diag(S))
+        # The forest-augmented pattern can be indefinite (the reference's
+        # sparse factorization can fail there too and reports a
+        # preconditioner update failure); fall back to the cluster-diagonal
+        # pattern, which is PD (principal submatrices of SPD S).
+        P1 = S * mask + jitter
+        c1 = jnp.linalg.cholesky(P1)
+        bad = jnp.any(jnp.isnan(c1))
+        P2 = S * diag_mask + jitter
+        c2 = jnp.linalg.cholesky(P2)
+        chol = jnp.where(bad, c2, c1)
+
+        def apply(v):
+            y = jsl.solve_triangular(chol, v, lower=True)
+            return jsl.solve_triangular(chol.T, y, lower=False)
+
+        return apply
 
     def _block_diag_S(self, subtract_cross: bool):
         """Per-f-block diagonal blocks of S (or of F^T F when
@@ -508,6 +549,34 @@ def make_schur_solver(program, options):
     max_it = options.max_linear_solver_iterations
     eta = options.eta
     nf = meta.nf
+
+    if precond_kind in (PreconditionerType.CLUSTER_JACOBI,
+                        PreconditionerType.CLUSTER_TRIDIAGONAL) and \
+            meta.cluster_mask is None:
+        from .clustering import cluster_membership
+        membership, forest = cluster_membership(program, meta,
+                                                precond_kind.name)
+        col_cluster = np.zeros(nf, dtype=np.int64)
+        flat = 0
+        for grp in meta.f_groups:
+            for li in range(grp["kf"]):
+                col_cluster[grp["cols"][li]] = membership[flat]
+                flat += 1
+        diag_allowed = col_cluster[:, None] == col_cluster[None, :]
+        allowed = diag_allowed.copy()
+        if forest:
+            for (a, b) in forest:
+                allowed |= ((col_cluster[:, None] == a)
+                            & (col_cluster[None, :] == b))
+                allowed |= ((col_cluster[:, None] == b)
+                            & (col_cluster[None, :] == a))
+        meta.cluster_mask = allowed.astype(np.float64)
+        meta.cluster_mask_diag = diag_allowed.astype(np.float64)
+        if meta._program is not None:
+            meta._program.register_const("schur.cluster_mask",
+                                         meta.cluster_mask)
+            meta._program.register_const("schur.cluster_mask_diag",
+                                         meta.cluster_mask_diag)
 
     from .cg import conjugate_gradients
 

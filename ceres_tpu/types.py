@@ -235,6 +235,13 @@ class SolverOptions:
     logging_type: LoggingType = LoggingType.PER_MINIMIZER_ITERATION
     minimizer_progress_to_stdout: bool = False
     callbacks: Sequence[Callable] = field(default_factory=list)
+    # EvaluationCallback (evaluation_callback.h:63):
+    # prepare_for_evaluation(evaluate_jacobians, new_evaluation_point) is
+    # invoked before each device evaluation in the host-loop minimizer.
+    evaluation_callback: Optional[Any] = None
+    # Trust-region problem dumping (solver.h:724-734): directory to write
+    # per-iteration (J, D, rhs, x) npz files, or None.
+    trust_region_problem_dump_directory: Optional[str] = None
 
     # TPU-specific extensions (no reference analog)
     dtype: Any = None                 # None -> config.default_dtype()

@@ -148,3 +148,49 @@ def test_ba_with_loss_and_quaternions():
     assert summary.final_cost < 0.5 * summary.initial_cost
     for c in cams:
         np.testing.assert_allclose(np.linalg.norm(c[:4]), 1.0, rtol=1e-10)
+
+
+@pytest.mark.parametrize("precond", [
+    ct.PreconditionerType.CLUSTER_JACOBI,
+    ct.PreconditionerType.CLUSTER_TRIDIAGONAL,
+])
+def test_cluster_preconditioners(precond):
+    """Visibility-clustered preconditioners (reference
+    visibility_based_preconditioner.cc): strong enough that PCG converges
+    to the direct-solver step."""
+    problem, cams, pts = small_ba()
+    prog = CompiledProgram(problem)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=precond,
+        jacobi_scaling=False, max_linear_solver_iterations=1000, eta=1e-14)
+    x = prog.initial_state()
+    radius = jnp.asarray(1e4)
+    step = make_step_fn(prog, options)(x, radius)
+    ref = make_step_fn(prog, ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_NORMAL_CHOLESKY,
+        jacobi_scaling=False))(x, radius)
+    np.testing.assert_allclose(float(step["model_cost_change"]),
+                               float(ref["model_cost_change"]), rtol=1e-4)
+
+
+def test_clustering_algorithms():
+    from ceres_tpu.solvers.clustering import (
+        compute_visibility, covisibility_graph, canonical_views_clustering,
+        single_linkage_clustering, degree2_maximum_spanning_forest)
+    problem, cams, pts = small_ba()
+    prog = CompiledProgram(problem)
+    meta = detect_schur_structure(prog, ct.SolverOptions())
+    vis = compute_visibility(prog, meta)
+    assert len(vis) == len(cams)
+    assert all(len(v) > 0 for v in vis)
+    graph = covisibility_graph(vis)
+    assert graph and all(0 < w <= 1.0 + 1e-9 for w in graph.values())
+    m1 = canonical_views_clustering(vis, graph)
+    assert m1.shape == (len(cams),)
+    m2 = single_linkage_clustering(len(vis), graph, min_similarity=0.5)
+    assert m2.shape == (len(cams),)
+    forest = degree2_maximum_spanning_forest(
+        int(m2.max()) + 1, {(0, int(m2.max())): 1.0}
+        if m2.max() > 0 else {})
+    assert isinstance(forest, list)
