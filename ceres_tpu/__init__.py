@@ -16,7 +16,7 @@ from .types import (  # noqa: F401
     LineSearchType, LinearSolverType, LoggingType, MinimizerType,
     NonlinearConjugateGradientType, NumericDiffMethodType,
     ParameterBlockOrdering, PreconditionerType, SolverOptions, SolverSummary,
-    TerminationType, TrustRegionStrategyType,
+    TerminationType, TrustRegionStrategyType, VisibilityClusteringType,
 )
 from .loss import (  # noqa: F401
     ArctanLoss, CauchyLoss, ComposedLoss, HuberLoss, LossFunction,

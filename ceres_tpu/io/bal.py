@@ -195,10 +195,14 @@ def synthetic_bal_problem(num_cameras: int, num_points: int,
 
 
 def build_bal_ceres_problem(bal: BALProblem, loss=None,
-                            use_quaternions: bool = False):
+                            use_quaternions: bool = False,
+                            use_manifolds: bool = True):
     """Build a ceres_tpu Problem from a BALProblem (the
     simple_bundle_adjuster.cc / bundle_adjuster.cc model-build path).
-    Returns (problem, camera_arrays, point_arrays)."""
+    Returns (problem, camera_arrays, point_arrays).
+
+    use_manifolds=False with quaternions treats the quaternion as a plain
+    Euclidean 4-block (bundle_adjuster.cc --use_manifolds=false)."""
     import ceres_tpu as ct
     from ..examples.snavely import (SnavelyReprojectionError,
                                     SnavelyReprojectionErrorWithQuaternions)
@@ -223,8 +227,7 @@ def build_bal_ceres_problem(bal: BALProblem, loss=None,
         problem.add_residual_block(cost, loss,
                                    cam_arrays[bal.camera_index[i]],
                                    pt_arrays[bal.point_index[i]])
-    if bal.use_quaternions:
-        import ceres_tpu as ct2
+    if bal.use_quaternions and use_manifolds:
         man = ct.ProductManifold(ct.QuaternionManifold(),
                                  ct.EuclideanManifold(6))
         for c in cam_arrays:

@@ -183,16 +183,28 @@ def degree2_maximum_spanning_forest(num_clusters: int,
     return chosen
 
 
-def cluster_membership(program, meta, kind: str):
-    """Returns (membership [num_f_blocks], forest edges or None)."""
+def cluster_membership(program, meta, kind: str,
+                       clustering_type: str = "CANONICAL_VIEWS"):
+    """Returns (membership [num_f_blocks], forest edges or None).
+
+    kind selects the preconditioner structure (CLUSTER_JACOBI = cluster-
+    diagonal only, CLUSTER_TRIDIAGONAL = + degree-2 max spanning forest);
+    clustering_type selects the clustering algorithm, matching the
+    reference's Preconditioner::Options::visibility_clustering_type
+    (visibility_based_preconditioner.cc ClusterCameras)."""
     vis = compute_visibility(program, meta)
     graph = covisibility_graph(vis)
+
+    def compute_membership():
+        if str(clustering_type).upper().endswith("SINGLE_LINKAGE"):
+            return single_linkage_clustering(len(vis), graph,
+                                             min_similarity=0.9)
+        return canonical_views_clustering(vis, graph)
+
     if kind == "CLUSTER_JACOBI":
-        membership = canonical_views_clustering(vis, graph)
-        return membership, None
-    # CLUSTER_TRIDIAGONAL: single-linkage then forest between clusters
-    membership = single_linkage_clustering(len(vis), graph,
-                                           min_similarity=0.9)
+        return compute_membership(), None
+    # CLUSTER_TRIDIAGONAL: cluster then forest between clusters
+    membership = compute_membership()
     ncl = int(membership.max()) + 1 if membership.size else 1
     cedges = defaultdict(float)
     for (a, b), w in graph.items():

@@ -554,8 +554,10 @@ def make_schur_solver(program, options):
                         PreconditionerType.CLUSTER_TRIDIAGONAL) and \
             meta.cluster_mask is None:
         from .clustering import cluster_membership
-        membership, forest = cluster_membership(program, meta,
-                                                precond_kind.name)
+        membership, forest = cluster_membership(
+            program, meta, precond_kind.name,
+            clustering_type=getattr(options, "visibility_clustering_type",
+                                    "CANONICAL_VIEWS"))
         col_cluster = np.zeros(nf, dtype=np.int64)
         flat = 0
         for grp in meta.f_groups:

@@ -63,6 +63,11 @@ class PreconditionerType(_StrEnum):
     SUBSET = enum.auto()
 
 
+class VisibilityClusteringType(_StrEnum):
+    CANONICAL_VIEWS = enum.auto()
+    SINGLE_LINKAGE = enum.auto()
+
+
 class LineSearchDirectionType(_StrEnum):
     """Reference types.h:229-307."""
     STEEPEST_DESCENT = enum.auto()
@@ -204,6 +209,8 @@ class SolverOptions:
     # Linear solver
     linear_solver_type: LinearSolverType = LinearSolverType.DENSE_QR
     preconditioner_type: PreconditionerType = PreconditionerType.JACOBI
+    visibility_clustering_type: VisibilityClusteringType = (
+        VisibilityClusteringType.CANONICAL_VIEWS)
     use_explicit_schur_complement: bool = False
     use_mixed_precision_solves: bool = False
     max_num_refinement_iterations: int = 0

@@ -1,0 +1,71 @@
+"""End-to-end tests of the example workloads (reference examples/ §2.8:
+circle_fit.cc, bicubic_interpolation.cc, sampled_function.cc,
+robot_pose_mle.cc, ellipse_approximation.cc, more_garbow_hillstrom.cc,
+helloworld*.cc, powell.cc, rosenbrock.cc)."""
+
+import numpy as np
+import pytest
+
+
+def test_circle_fit_robust():
+    from ceres_tpu.examples.circle_fit import fit_circle, synthesize
+    pts = synthesize(num_points=60, outliers=4, cx=2.0, cy=3.0, r=5.0, seed=1)
+    x, y, r, summary = fit_circle(pts, pts[0, 0], pts[0, 1], 1.0,
+                                  robust_threshold=0.5)
+    assert summary.is_solution_usable()
+    assert abs(x - 2.0) < 0.1 and abs(y - 3.0) < 0.1 and abs(r - 5.0) < 0.1
+
+
+def test_sampled_function_1d():
+    from ceres_tpu.examples.sampled_function import sampled_function_1d
+    x, summary = sampled_function_1d()
+    assert abs(x - 4.5) < 1e-2
+
+
+def test_bicubic_shift_recovery():
+    from ceres_tpu.examples.sampled_function import bicubic_2d
+    shift, summary = bicubic_2d()
+    np.testing.assert_allclose(shift, [1.234, 2.345], atol=1e-6)
+
+
+def test_robot_pose_mle():
+    from ceres_tpu.examples.robot_pose_mle import (simulate_robot,
+                                                   solve_robot_pose_mle)
+    odo, rng = simulate_robot(corridor_length=5.0, pose_separation=0.5,
+                              seed=2)
+    blocks, summary = solve_robot_pose_mle(odo, rng, corridor_length=5.0)
+    assert summary.is_solution_usable()
+    # With precise range readings the MLE location lands near the truth.
+    assert abs(sum(float(b[0]) for b in blocks) - 5.0) < 0.05
+
+
+def test_ellipse_approximation_small():
+    from ceres_tpu.examples.ellipse_approximation import (
+        solve_ellipse, synthesize_ellipse_points)
+    pts = synthesize_ellipse_points(n=40, seed=5)
+    X, t, summary = solve_ellipse(pts, num_segments=24, max_iterations=40)
+    assert summary.is_solution_usable()
+    assert summary.final_cost < summary.initial_cost * 0.05
+
+
+MGH_UNCONSTRAINED = [1, 5, 13, 15]
+MGH_CONSTRAINED = [3, 4, 5, 9]
+
+
+@pytest.mark.parametrize("number", MGH_UNCONSTRAINED)
+def test_mgh_unconstrained(number):
+    from ceres_tpu.examples.more_garbow_hillstrom import BY_NUMBER, solve_mgh
+    lre, summary, x = solve_mgh(BY_NUMBER[number])
+    assert lre >= 4.0, f"problem {number}: LRE {lre:.2f}"
+
+
+@pytest.mark.parametrize("number", MGH_CONSTRAINED)
+def test_mgh_constrained(number):
+    """Bounds-constrained solves must reach the published constrained
+    optimum (Gay 1984) — exercises box projection in Plus."""
+    from ceres_tpu.examples.more_garbow_hillstrom import BY_NUMBER, solve_mgh
+    lre, summary, x = solve_mgh(BY_NUMBER[number], constrained=True)
+    p = BY_NUMBER[number]
+    assert np.all(np.asarray(x) >= np.asarray(p.lower_bounds) - 1e-12)
+    assert np.all(np.asarray(x) <= np.asarray(p.upper_bounds) + 1e-12)
+    assert lre >= 4.0, f"problem {number} constrained: LRE {lre:.2f}"
