@@ -111,6 +111,53 @@ class DoglegRadiusStrategy:
         self.radius *= 0.5
 
 
+def make_projected_line_search_fn(program, options):
+    """Projected Armijo line search along the trust-region step
+    (trust_region_minimizer.cc:101-106 + DoLineSearch :587): phi(s) =
+    cost(Plus(x, s*delta)); Plus projects onto the bound box, so the search
+    enforces feasibility while improving step quality. Backtracks with
+    quadratic interpolation (line_search.cc ArmijoLineSearch), all inside one
+    jitted lax.while_loop. Returns (x_new, new_cost, s_used, n_evals)."""
+    suff = options.line_search_sufficient_function_decrease
+    max_iters = options.max_num_line_search_step_size_iterations
+    min_step = options.min_line_search_step_size
+    max_contract = options.max_line_search_step_contraction
+    min_contract = options.min_line_search_step_contraction
+
+    def ls(x, delta, cost0, gradient):
+        dphi0 = jnp.vdot(gradient, delta)
+
+        def phi(s):
+            return program.cost_fn(program.plus(x, s * delta))
+
+        def cond(state):
+            s, it, success, dead = state
+            return (~success) & (~dead) & (it < max_iters)
+
+        def body(state):
+            s, it, _, _ = state
+            f_s = phi(s)
+            ok = f_s <= cost0 + suff * s * dphi0
+            denom = 2.0 * (f_s - cost0 - dphi0 * s)
+            s_quad = jnp.where(denom > 0.0,
+                               -dphi0 * s * s / denom, 0.5 * s)
+            s_next = jnp.clip(s_quad, max_contract * s, min_contract * s)
+            s_new = jnp.where(ok, s, s_next)
+            return (s_new, it + 1, ok, s_new < min_step)
+
+        one = jnp.asarray(1.0, dtype=program.dtype)
+        s, n_evals, success, _ = jax.lax.while_loop(
+            cond, body, (one, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(False), jnp.asarray(False)))
+        # On failure keep the full step (reference DoLineSearch: delta is
+        # only rescaled when the search succeeds).
+        s_used = jnp.where(success, s, one)
+        x_new = program.plus(x, s_used * delta)
+        return x_new, program.cost_fn(x_new), s_used, n_evals
+
+    return ls
+
+
 def minimize_trust_region(program, options, step_fn: Callable,
                           summary: SolverSummary,
                           x0=None) -> np.ndarray:
@@ -139,6 +186,16 @@ def minimize_trust_region(program, options, step_fn: Callable,
             lambda: program.jit_with_consts(_pg_norm, (ex_x, ex_d)))
     else:
         pg_norm = None
+
+    proj_ls = None
+    if (program.has_bounds
+            and options.max_num_line_search_step_size_iterations > 0):
+        ex_c = jnp.asarray(0.0, dtype=dtype)
+        proj_ls = program.cached_jit(
+            ("proj_ls", options.cache_key()),
+            lambda: program.jit_with_consts(
+                make_projected_line_search_fn(program, options),
+                (ex_x, ex_d, ex_c, ex_d)))
 
     x = program.initial_state() if x0 is None else x0
 
@@ -297,11 +354,22 @@ def minimize_trust_region(program, options, step_fn: Callable,
 
         # Candidate evaluation.
         t0 = time.time()
-        x_new = plus(x, step_out["delta"])
         if options.evaluation_callback is not None:
             options.evaluation_callback.prepare_for_evaluation(
                 evaluate_jacobians=False, new_evaluation_point=True)
-        new_cost = float(cost_eval(x_new))
+        if proj_ls is not None:
+            # Projected line search enforces bounds and improves the step
+            # (trust_region_minimizer.cc:101-106).
+            x_new, nc, s_used, n_evals = proj_ls(
+                x, step_out["delta"], step_out["cost"],
+                step_out["gradient_full"])
+            new_cost = float(nc)
+            it.step_size = float(s_used)
+            it.line_search_function_evaluations = int(n_evals) + 1
+            step_norm = step_norm * it.step_size
+        else:
+            x_new = plus(x, step_out["delta"])
+            new_cost = float(cost_eval(x_new))
         # Inner iterations refine the candidate before acceptance
         # (trust_region_minimizer.cc:506 DoInnerIterationsIfNeeded).
         if inner_fn is not None and math.isfinite(new_cost):
