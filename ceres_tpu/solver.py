@@ -40,11 +40,20 @@ def _make_linear_solver(program, options):
         return lambda jac, res, D: dense_solvers.solve_dense_qr(jac, res, D)
     if t in (LinearSolverType.DENSE_NORMAL_CHOLESKY,
              LinearSolverType.SPARSE_NORMAL_CHOLESKY):
-        # SPARSE_NORMAL_CHOLESKY: the reduced normal matrix is formed
-        # block-sparsely (jtj_dense scatters Gram blocks; for the problem
-        # sizes where a direct factorization is the right call on TPU the
-        # dense factorization IS the fast path — the MXU eats dense
-        # Cholesky; CHOLMOD-style supernodal sparsity does not map to TPU).
+        # SPARSE_NORMAL_CHOLESKY, large problems: device computes Gram
+        # blocks + rhs on the MXU; a host callback scatters them into a
+        # cached CSC pattern and runs the native C++ LDL^T (the
+        # SuiteSparse role; see solvers/sparse_direct.py). Small problems:
+        # the dense factorization IS the fast path — the MXU eats dense
+        # Cholesky, and CHOLMOD-style supernodal sparsity does not map to
+        # TPU. dynamic_sparsity needs no re-analysis here: the bucketed
+        # pattern is static by construction.
+        if t == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
+            from . import native as _native
+            if program.num_effective >= 200 and _native.available():
+                from .solvers.sparse_direct import (
+                    make_sparse_normal_cholesky_solver)
+                return make_sparse_normal_cholesky_solver(program, options)
         mixed = options.use_mixed_precision_solves
         refine = options.max_num_refinement_iterations
         return lambda jac, res, D: dense_solvers.solve_dense_normal_cholesky(

@@ -1,0 +1,103 @@
+"""SPARSE_NORMAL_CHOLESKY via the native host factorization.
+
+TPU-native split of the reference's SparseNormalCholeskySolver
+(sparse_normal_cholesky_solver.cc + inner_product_computer.cc +
+suitesparse.cc): the device (MXU) computes per-bucket Gram blocks
+G_k = J_k^T J_k and the rhs J^T r in one fused jit; a `jax.pure_callback`
+hands the Gram values to the host, where the native C++ runtime scatters
+them into a cached CSC pattern (symbolic analysis done once — the
+InnerProductComputer role) and runs a simplicial LDL^T refactor + solve
+(the CHOLMOD role). Factorization breakdown returns NaNs, which the
+trust-region loop treats as an invalid step and retries with a smaller
+radius (LinearSolverTerminationType::FAILURE semantics,
+linear_solver.h:57).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native
+from ..ops.bsr import BlockJacobian, RVec
+
+
+class SparseNormalCholeskyContext:
+    """Host-side symbolic state: CSC pattern of J^T J, per-bucket scatter
+    maps from flattened Gram tensors into the CSC values array, diagonal
+    positions, and the reusable native factorization handle."""
+
+    def __init__(self, program, use_rcm: bool = True):
+        n = program.num_effective
+        self.n = n
+        bucket_cols: List[np.ndarray] = []
+        for bk in program.buckets:
+            cols = [sl.cols for sl in bk.slots if sl.variable]
+            bucket_cols.append(np.concatenate(cols, axis=1)
+                               if len(cols) > 1 else cols[0])
+        self.bucket_cols = bucket_cols
+
+        # Keys of every Gram entry: (col * n + row), CSC (column-major).
+        key_parts = []
+        for ac in bucket_cols:
+            rows = ac[:, :, None].astype(np.int64)       # [nb, t, 1]
+            cols = ac[:, None, :].astype(np.int64)       # [nb, 1, t]
+            key_parts.append((cols * n + rows).reshape(-1))
+        all_keys = (np.concatenate(key_parts) if key_parts
+                    else np.zeros(0, np.int64))
+        uniq = np.unique(all_keys)
+        self.nnz = uniq.size
+        # CSC structure.
+        col_of = (uniq // n).astype(np.int64)
+        row_of = (uniq % n).astype(np.int32)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, col_of + 1, 1)
+        self.Ap = np.cumsum(indptr)
+        self.Ai = row_of
+        # Per-bucket maps: flattened Gram index -> CSC position.
+        self.maps = [np.searchsorted(uniq, k).astype(np.int64)
+                     for k in key_parts]
+        diag_keys = np.arange(n, dtype=np.int64) * n + np.arange(
+            n, dtype=np.int64)
+        self.diag_pos = np.searchsorted(uniq, diag_keys).astype(np.int64)
+
+        self.chol = native.SparseCholesky(n, self.Ap, self.Ai,
+                                          use_rcm=use_rcm)
+
+    def host_solve(self, D_sq: np.ndarray, rhs: np.ndarray,
+                   *gram_flats) -> np.ndarray:
+        values = np.zeros(self.nnz, dtype=np.float64)
+        for flat, idx in zip(gram_flats, self.maps):
+            native.scatter_add(values, idx,
+                               np.asarray(flat, dtype=np.float64).reshape(-1))
+        values[self.diag_pos] += np.asarray(D_sq, dtype=np.float64)
+        status = self.chol.factor(values)
+        if status != 0:
+            return np.full(self.n, np.nan)
+        return self.chol.solve(np.asarray(rhs, dtype=np.float64))
+
+
+def make_sparse_normal_cholesky_solver(program, options):
+    """Returns solve(jac, res, D) -> (step, lin_iters), jit-safe."""
+    ctx = SparseNormalCholeskyContext(program)
+    dtype = program.dtype
+
+    def solve(jac: BlockJacobian, res: RVec, D):
+        grams = [jnp.einsum("nrt,nru->ntu", b.J, b.J) for b in jac.buckets]
+        rhs = -jac.rmatvec(res)
+        D_sq = D * D
+
+        def cb(d_sq, r, *gs):
+            return ctx.host_solve(d_sq, r, *gs).astype(np.float64)
+
+        step = jax.pure_callback(
+            cb, jax.ShapeDtypeStruct((ctx.n,), jnp.float64),
+            D_sq.astype(jnp.float64), rhs.astype(jnp.float64),
+            *[g.astype(jnp.float64) for g in grams],
+            vmap_method="sequential")
+        return step.astype(dtype), jnp.asarray(0, jnp.int32)
+
+    return solve
