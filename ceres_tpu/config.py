@@ -19,6 +19,11 @@ import jax.numpy as jnp
 if not os.environ.get("CERES_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Escape hatch for embedded/subprocess use (the C API shim, CI without an
+# accelerator): force the host CPU backend before any computation runs.
+if os.environ.get("CERES_TPU_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def default_dtype():
     """Solver state dtype: f64 when x64 is enabled, else f32."""
