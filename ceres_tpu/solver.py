@@ -62,11 +62,22 @@ def _make_linear_solver(program, options):
     if t == LinearSolverType.CGNR:
         max_it = options.max_linear_solver_iterations
         eta = options.eta
-        use_jacobi = options.preconditioner_type != PreconditionerType.IDENTITY
+        pk = options.preconditioner_type
+        subset_factory = None
+        if pk == PreconditionerType.SUBSET:
+            from .solvers.preconditioners import (
+                make_subset_preconditioner_factory)
+            subset_factory = make_subset_preconditioner_factory(program,
+                                                                options)
 
         def solve(jac, res, D):
-            precond = (make_block_jacobi_preconditioner(
-                jac, D, program.traced_groups()) if use_jacobi else None)
+            if subset_factory is not None:
+                precond = subset_factory(jac, D)
+            elif pk != PreconditionerType.IDENTITY:
+                precond = make_block_jacobi_preconditioner(
+                    jac, D, program.traced_groups())
+            else:
+                precond = None
             return solve_cgnr(jac, res, D, apply_preconditioner=precond,
                               max_iterations=max_it, q_tolerance=eta)
 

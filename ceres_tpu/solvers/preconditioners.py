@@ -50,5 +50,60 @@ def make_block_jacobi_preconditioner(jac: BlockJacobian, D, groups):
     return apply
 
 
+def make_subset_preconditioner_factory(program, options):
+    """SUBSET preconditioner for CGNR (reference subset_preconditioner.h:70):
+    M = Q^T Q + D^2 where Q is the rows of J belonging to the residual
+    blocks in options.residual_blocks_for_subset_preconditioner. The device
+    computes the subset Gram blocks on the MXU; the host factors them once
+    per linearization with the native LDL^T and applies backsolves per CG
+    iteration (the SuiteSparse role). Returns make(jac, D) -> apply(v)."""
+    import jax
+    import numpy as np
+    from .sparse_direct import SparseNormalCholeskyContext
+
+    subset = options.residual_blocks_for_subset_preconditioner
+    if not subset:
+        raise ValueError(
+            "SUBSET preconditioner requires "
+            "residual_blocks_for_subset_preconditioner (solver.h)")
+    subset_idx = np.asarray(sorted({rb.index for rb in subset}),
+                            dtype=np.int64)
+    lanes = []
+    for bk in program.buckets:
+        lanes.append(np.nonzero(np.isin(bk.orig_indices, subset_idx))[0]
+                     .astype(np.int32))
+    ctx = SparseNormalCholeskyContext(program, lanes_per_bucket=lanes)
+    dtype = program.dtype
+
+    def make(jac: BlockJacobian, D):
+        grams = []
+        for bk_lanes, b in zip(lanes, jac.buckets):
+            if bk_lanes.size == 0:
+                continue
+            Js = b.J[bk_lanes]
+            grams.append(jnp.einsum("nrt,nru->ntu", Js, Js))
+        nonempty = [g for g in grams]
+        token = jax.pure_callback(
+            lambda d_sq, *gs: ctx.host_factor(d_sq, *gs),
+            jax.ShapeDtypeStruct((), jnp.int32),
+            (D * D).astype(jnp.float64), *nonempty,
+            vmap_method="sequential")
+
+        def apply(v):
+            # The token data-dependency orders the backsolve after the
+            # factorization callback.
+            out = jax.pure_callback(
+                lambda b_, _t: ctx.host_apply(b_),
+                jax.ShapeDtypeStruct((ctx.n,), jnp.float64),
+                v.astype(jnp.float64), token, vmap_method="sequential")
+            return out.astype(dtype)
+
+        return apply
+
+    # Restrict the gram maps to the nonempty buckets' order.
+    ctx.maps = [m for m, ln in zip(ctx.maps, lanes) if ln.size > 0]
+    return make
+
+
 def make_identity_preconditioner():
     return lambda v: v

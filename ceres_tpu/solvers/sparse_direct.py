@@ -15,7 +15,7 @@ linear_solver.h:57).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,14 +30,22 @@ class SparseNormalCholeskyContext:
     maps from flattened Gram tensors into the CSC values array, diagonal
     positions, and the reusable native factorization handle."""
 
-    def __init__(self, program, use_rcm: bool = True):
+    def __init__(self, program, use_rcm: bool = True,
+                 lanes_per_bucket: Optional[List[np.ndarray]] = None):
+        """lanes_per_bucket: optional per-bucket arrays of residual-block
+        lane indices restricting the pattern to a row subset (the
+        SubsetPreconditioner case, subset_preconditioner.h:70); None uses
+        every block."""
         n = program.num_effective
         self.n = n
         bucket_cols: List[np.ndarray] = []
-        for bk in program.buckets:
+        for bi, bk in enumerate(program.buckets):
             cols = [sl.cols for sl in bk.slots if sl.variable]
-            bucket_cols.append(np.concatenate(cols, axis=1)
-                               if len(cols) > 1 else cols[0])
+            ac = (np.concatenate(cols, axis=1)
+                  if len(cols) > 1 else cols[0])
+            if lanes_per_bucket is not None:
+                ac = ac[lanes_per_bucket[bi]]
+            bucket_cols.append(ac)
         self.bucket_cols = bucket_cols
 
         # Keys of every Gram entry: (col * n + row), CSC (column-major).
@@ -46,8 +54,12 @@ class SparseNormalCholeskyContext:
             rows = ac[:, :, None].astype(np.int64)       # [nb, t, 1]
             cols = ac[:, None, :].astype(np.int64)       # [nb, 1, t]
             key_parts.append((cols * n + rows).reshape(-1))
-        all_keys = (np.concatenate(key_parts) if key_parts
-                    else np.zeros(0, np.int64))
+        # Union in the diagonal: always structurally present so the D^2
+        # regularizer keeps the factor SPD even for columns the (possibly
+        # subset) rows never touch.
+        diag = np.arange(n, dtype=np.int64) * n + np.arange(n,
+                                                            dtype=np.int64)
+        all_keys = np.concatenate(key_parts + [diag])
         uniq = np.unique(all_keys)
         self.nnz = uniq.size
         # CSC structure.
@@ -67,17 +79,28 @@ class SparseNormalCholeskyContext:
         self.chol = native.SparseCholesky(n, self.Ap, self.Ai,
                                           use_rcm=use_rcm)
 
-    def host_solve(self, D_sq: np.ndarray, rhs: np.ndarray,
-                   *gram_flats) -> np.ndarray:
+    def host_factor(self, D_sq: np.ndarray, *gram_flats) -> np.ndarray:
+        """Assemble + refactor; returns int32 status (0 = ok)."""
         values = np.zeros(self.nnz, dtype=np.float64)
         for flat, idx in zip(gram_flats, self.maps):
             native.scatter_add(values, idx,
                                np.asarray(flat, dtype=np.float64).reshape(-1))
         values[self.diag_pos] += np.asarray(D_sq, dtype=np.float64)
-        status = self.chol.factor(values)
-        if status != 0:
+        self._ok = (self.chol.factor(values) == 0)
+        return np.int32(0 if self._ok else 1)
+
+    def host_apply(self, b: np.ndarray) -> np.ndarray:
+        """Backsolve; identity when the last factorization broke down (the
+        preconditioner-update-failure fallback)."""
+        b = np.asarray(b, dtype=np.float64)
+        return self.chol.solve(b) if getattr(self, "_ok", False) else b
+
+    def host_solve(self, D_sq: np.ndarray, rhs: np.ndarray,
+                   *gram_flats) -> np.ndarray:
+        status = self.host_factor(D_sq, *gram_flats)
+        if int(status) != 0:
             return np.full(self.n, np.nan)
-        return self.chol.solve(np.asarray(rhs, dtype=np.float64))
+        return self.host_apply(rhs)
 
 
 def make_sparse_normal_cholesky_solver(program, options):

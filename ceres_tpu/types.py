@@ -226,6 +226,11 @@ class SolverOptions:
     # reference ordered_groups.h)
     linear_solver_ordering: Optional["ParameterBlockOrdering"] = None
 
+    # SUBSET preconditioner rows (reference solver.h
+    # residual_blocks_for_subset_preconditioner): collection of
+    # ResidualBlockIds whose rows form the preconditioning matrix Q.
+    residual_blocks_for_subset_preconditioner: Optional[Any] = None
+
     # Inner iterations (reference coordinate_descent_minimizer)
     use_inner_iterations: bool = False
     inner_iteration_tolerance: float = 1e-3
@@ -262,7 +267,11 @@ class SolverOptions:
         parts = []
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if isinstance(v, (int, float, bool, str, enum.Enum)) or v is None:
+            if f.name == "residual_blocks_for_subset_preconditioner":
+                v = (tuple(sorted(rb.index for rb in v))
+                     if v is not None else None)
+            if isinstance(v, (int, float, bool, str, enum.Enum,
+                              tuple)) or v is None:
                 parts.append((f.name, v))
         return tuple(parts)
 

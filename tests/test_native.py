@@ -99,3 +99,30 @@ def test_sparse_normal_cholesky_matches_dense():
     np.testing.assert_allclose(
         results["SPARSE_NORMAL_CHOLESKY"].final_cost,
         results["DENSE_NORMAL_CHOLESKY"].final_cost, rtol=1e-8)
+
+
+def test_subset_preconditioner_cgnr():
+    """SUBSET preconditioner (subset_preconditioner.h:70): CGNR
+    preconditioned by Q^T Q from the odometry-chain rows converges to the
+    same optimum as block-Jacobi."""
+    import ceres_tpu as ct
+    from ceres_tpu.io.g2o import synthetic_pose_graph_2d
+    from ceres_tpu.examples.slam import build_pose_graph_2d_problem
+
+    poses, constraints, gt = synthetic_pose_graph_2d(num_poses=60, seed=4)
+    pr, pos, yaws = build_pose_graph_2d_problem(poses, constraints)
+    rbs = pr.residual_blocks()[:59]
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.CGNR,
+        preconditioner_type=ct.PreconditionerType.SUBSET,
+        residual_blocks_for_subset_preconditioner=rbs,
+        max_num_iterations=60)
+    s = ct.solve(options, pr)
+    assert s.is_solution_usable()
+
+    pr2, _, _ = build_pose_graph_2d_problem(poses, constraints)
+    s2 = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.CGNR,
+        preconditioner_type=ct.PreconditionerType.JACOBI,
+        max_num_iterations=60), pr2)
+    np.testing.assert_allclose(s.final_cost, s2.final_cost, rtol=1e-3)
