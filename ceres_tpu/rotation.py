@@ -184,6 +184,146 @@ def euler_angles_to_rotation_matrix(euler_deg):
     ], axis=-2)
 
 
+class EulerSystem:
+    """One of the 24 Euler-angle conventions, Shoemake's classification
+    (reference include/ceres/internal/euler_angles.h:84-93): an inner axis,
+    permutation parity, proper-Euler vs Tait-Bryan, extrinsic vs intrinsic.
+    Use the named instances (rotation.ExtrinsicXYZ, rotation.IntrinsicZYX,
+    ...) with euler_angles_to_rotation / rotation_matrix_to_euler_angles."""
+
+    def __init__(self, name, inner_axis, parity_odd, proper, intrinsic):
+        self.name = name
+        self.inner_axis = inner_axis
+        self.parity_odd = parity_odd
+        self.proper = proper
+        self.intrinsic = intrinsic
+
+    @property
+    def axes(self):
+        i = self.inner_axis
+        return (i, (i + 1 + int(self.parity_odd)) % 3,
+                (i + 2 - int(self.parity_odd)) % 3)
+
+    def __repr__(self):
+        return f"EulerSystem({self.name})"
+
+
+def _make_euler_systems():
+    ax = {"X": 0, "Y": 1, "Z": 2}
+    systems = {}
+    for frame in ("Extrinsic", "Intrinsic"):
+        for a in "XYZ":
+            for b in "XYZ":
+                if b == a:
+                    continue
+                for c in "XYZ":
+                    if c == b:
+                        continue
+                    seq = a + b + c
+                    # Intrinsic names are the reversed extrinsic sequence.
+                    eff = seq if frame == "Extrinsic" else seq[::-1]
+                    inner = ax[eff[0]]
+                    parity_odd = (ax[eff[1]] != (inner + 1) % 3)
+                    proper = eff[2] == eff[0]
+                    name = frame + seq
+                    systems[name] = EulerSystem(
+                        name, inner, parity_odd, proper,
+                        frame == "Intrinsic")
+    return systems
+
+
+EULER_SYSTEMS = _make_euler_systems()
+globals().update(EULER_SYSTEMS)
+
+
+def euler_angles_to_rotation(euler, system: EulerSystem):
+    """General Euler angles (radians) -> rotation matrix
+    (rotation.h:497-551 EulerAnglesToRotation)."""
+    euler = jnp.asarray(euler)
+    i, j, k = system.axes
+    ea1 = euler[..., 1]
+    if system.intrinsic:
+        ea0, ea2 = euler[..., 2], euler[..., 0]
+    else:
+        ea0, ea2 = euler[..., 0], euler[..., 2]
+    if system.parity_odd:
+        ea0, ea1, ea2 = -ea0, -ea1, -ea2
+
+    ci, cj, ch = jnp.cos(ea0), jnp.cos(ea1), jnp.cos(ea2)
+    si, sj, sh = jnp.sin(ea0), jnp.sin(ea1), jnp.sin(ea2)
+    cc, cs, sc, ss = ci * ch, ci * sh, si * ch, si * sh
+
+    R = [[None] * 3 for _ in range(3)]
+    if system.proper:
+        R[i][i] = cj
+        R[i][j] = sj * si
+        R[i][k] = sj * ci
+        R[j][i] = sj * sh
+        R[j][j] = -cj * ss + cc
+        R[j][k] = -cj * cs - sc
+        R[k][i] = -sj * ch
+        R[k][j] = cj * sc + cs
+        R[k][k] = cj * cc - ss
+    else:
+        R[i][i] = cj * ch
+        R[i][j] = sj * sc - cs
+        R[i][k] = sj * cc + ss
+        R[j][i] = cj * sh
+        R[j][j] = sj * ss + cc
+        R[j][k] = sj * cs - sc
+        R[k][i] = -sj
+        R[k][j] = cj * si
+        R[k][k] = cj * ci
+    return jnp.stack([jnp.stack([R[r][c] for c in range(3)], axis=-1)
+                      for r in range(3)], axis=-2)
+
+
+def rotation_matrix_to_euler_angles(R, system: EulerSystem):
+    """Rotation matrix -> general Euler angles in radians
+    (rotation.h:558-628 RotationMatrixToEulerAngles); branches via
+    jnp.where so the conversion is traceable and Jet-equivalent."""
+    R = jnp.asarray(R)
+    i, j, k = system.axes
+    if system.proper:
+        sy = jnp.hypot(R[..., i, j], R[..., i, k])
+        degenerate = sy == 0.0
+        ea0 = jnp.where(degenerate,
+                        jnp.arctan2(-R[..., j, k], R[..., j, j]),
+                        jnp.arctan2(R[..., i, j], R[..., i, k]))
+        ea1 = jnp.arctan2(sy, R[..., i, i])
+        ea2 = jnp.where(degenerate, 0.0,
+                        jnp.arctan2(R[..., j, i], -R[..., k, i]))
+    else:
+        cy = jnp.hypot(R[..., i, i], R[..., j, i])
+        degenerate = cy == 0.0
+        ea0 = jnp.where(degenerate,
+                        jnp.arctan2(-R[..., j, k], R[..., j, j]),
+                        jnp.arctan2(R[..., k, j], R[..., k, k]))
+        ea1 = jnp.arctan2(-R[..., k, i], cy)
+        ea2 = jnp.where(degenerate, 0.0,
+                        jnp.arctan2(R[..., j, i], R[..., i, i]))
+    if system.parity_odd:
+        ea0, ea1, ea2 = -ea0, -ea1, -ea2
+    e1 = ea1
+    if system.intrinsic:
+        e0, e2 = ea2, ea0
+    else:
+        e0, e2 = ea0, ea2
+    if system.proper:
+        # Normalize into [-pi, pi) x [0, pi/2) x [-pi, pi).
+        flip = e1 < 0.0
+        e0 = jnp.where(flip, e0 + jnp.pi, e0)
+        e1 = jnp.where(flip, -e1, e1)
+        e2 = jnp.where(flip, e2 - jnp.pi, e2)
+
+        def wrap(a):
+            a = jnp.where(a < -jnp.pi, a + 2.0 * jnp.pi, a)
+            return jnp.where(a > jnp.pi, a - 2.0 * jnp.pi, a)
+
+        e0, e1, e2 = wrap(e0), wrap(e1), wrap(e2)
+    return jnp.stack([e0, e1, e2], axis=-1)
+
+
 def quaternion_product(z, w):
     """rotation.h:270 zw = z * w (Hamilton product, w-first)."""
     z0, z1, z2, z3 = z[..., 0], z[..., 1], z[..., 2], z[..., 3]

@@ -113,3 +113,40 @@ def test_jet_compatibility_jacfwd(rng):
         fd = (np.asarray(rot.angle_axis_rotate_point(aa + e, pt))
               - np.asarray(rot.angle_axis_rotate_point(aa - e, pt))) / (2 * eps)
         np.testing.assert_allclose(np.asarray(J)[:, i], fd, atol=1e-6)
+
+
+def test_euler_systems_round_trip():
+    """All 24 Euler conventions (rotation.h:497-628, euler_angles.h):
+    angles -> R -> angles -> R must reproduce R; canonical-range angles
+    round-trip exactly."""
+    import numpy as np
+    from ceres_tpu import rotation as rot
+
+    rng = np.random.default_rng(7)
+    for name, system in rot.EULER_SYSTEMS.items():
+        for _ in range(5):
+            e = rng.uniform(-1.2, 1.2, size=3)
+            if system.proper:
+                e[1] = rng.uniform(0.05, 1.4)
+            R = np.asarray(rot.euler_angles_to_rotation(e, system))
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+            e2 = rot.rotation_matrix_to_euler_angles(R, system)
+            R2 = np.asarray(rot.euler_angles_to_rotation(e2, system))
+            np.testing.assert_allclose(R, R2, atol=1e-10, err_msg=name)
+            np.testing.assert_allclose(np.asarray(e2), e, atol=1e-10,
+                                       err_msg=name)
+
+
+def test_euler_system_gimbal_lock():
+    """Degenerate configurations take the documented zero-third-angle
+    branch instead of producing NaNs."""
+    import numpy as np
+    from ceres_tpu import rotation as rot
+
+    s = rot.EULER_SYSTEMS["ExtrinsicXYZ"]
+    e = np.array([0.3, np.pi / 2.0, 0.2])  # cy == 0 (gimbal lock)
+    R = rot.euler_angles_to_rotation(e, s)
+    e2 = np.asarray(rot.rotation_matrix_to_euler_angles(R, s))
+    assert np.all(np.isfinite(e2))
+    R2 = np.asarray(rot.euler_angles_to_rotation(e2, s))
+    np.testing.assert_allclose(np.asarray(R), R2, atol=1e-9)
