@@ -69,3 +69,36 @@ def test_mgh_constrained(number):
     assert np.all(np.asarray(x) >= np.asarray(p.lower_bounds) - 1e-12)
     assert np.all(np.asarray(x) <= np.asarray(p.upper_bounds) + 1e-12)
     assert lre >= 4.0, f"problem {number} constrained: LRE {lre:.2f}"
+
+
+def test_libmv_homography():
+    """libmv_homography.cc: symmetric-transfer-error homography with
+    callback-driven termination recovers the true H."""
+    from ceres_tpu.examples.libmv_homography import main
+    H, H_true = main()
+    np.testing.assert_allclose(H / H[2, 2], H_true, atol=1e-5)
+
+
+LIBMV_FILE = "/root/reference/data/libmv-ba-problems/problem_01.bin"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(LIBMV_FILE),
+                    reason="libmv fixtures not available")
+def test_libmv_bundle_adjuster():
+    """libmv_bundle_adjuster.cc: binary loader + OpenCV-distortion BA on a
+    Tears-of-Steel refinement problem."""
+    import ceres_tpu as ct
+    from ceres_tpu.io.libmv import read_libmv_problem
+    from ceres_tpu.examples.libmv_bundle_adjuster import solve_libmv
+
+    lp = read_libmv_problem(LIBMV_FILE)
+    assert lp.is_image_space and len(lp.cameras) == 333
+    assert len(lp.points) == 26 and len(lp.markers) == 5421
+
+    opts = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        max_num_iterations=10)
+    s, intr, cams, pts = solve_libmv(LIBMV_FILE, options=opts)
+    assert s.is_solution_usable()
+    assert s.final_cost <= s.initial_cost
