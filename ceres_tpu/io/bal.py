@@ -150,17 +150,48 @@ def synthetic_bal_problem(num_cameras: int, num_points: int,
     rng = np.random.default_rng(seed)
     points = rng.normal(0.0, 1.0, (num_points, 3))
 
+    def _rotmat_to_angle_axis(R):
+        # R -> quaternion -> angle-axis (numpy; generator stays off-device).
+        t = np.trace(R)
+        if t > 0:
+            w = 0.5 * np.sqrt(1.0 + t)
+            v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                          R[1, 0] - R[0, 1]]) / (4.0 * w)
+        else:
+            i = int(np.argmax(np.diag(R)))
+            j, k = (i + 1) % 3, (i + 2) % 3
+            s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12))
+            v = np.zeros(3)
+            v[i] = 0.5 * s
+            w = (R[k, j] - R[j, k]) / (2.0 * s)
+            v[j] = (R[j, i] + R[i, j]) / (2.0 * s)
+            v[k] = (R[k, i] + R[i, k]) / (2.0 * s)
+        n = np.linalg.norm(v)
+        if n < 1e-12:
+            return np.zeros(3)
+        angle = 2.0 * np.arctan2(n, w)
+        return angle * v / n
+
+    # Cameras on a ring of radius 8 around the unit cloud, each looking at
+    # the origin (BAL convention: p = R X + t, camera looks along -z, so R
+    # maps the camera-center direction to +z). Depth to every point stays
+    # in ~[3.5, 12.5], far from the projection singularity even after the
+    # caller's perturbation.
+    radius = 8.0
     cameras = np.zeros((num_cameras, 9))
     for i in range(num_cameras):
         theta = 2.0 * math.pi * i / max(num_cameras, 1)
-        center = np.array([3.0 * math.cos(theta), 0.5 * math.sin(theta),
-                           3.0 * math.sin(theta) + 6.0])
-        # Look roughly at the origin along -z after rotation: build a small
-        # random rotation; with the cloud near origin and cameras at z ~ 6,
-        # -p/z projection stays well conditioned.
-        aa = 0.1 * rng.normal(size=3)
-        cameras[i, :3] = aa
-        cameras[i, 3:6] = -center  # t ~= -R c with R ~= I
+        center = np.array([radius * math.cos(theta),
+                           1.5 * math.sin(2.0 * theta),
+                           radius * math.sin(theta)])
+        z_cam = center / np.linalg.norm(center)
+        up = np.array([0.0, 1.0, 0.0])
+        x_cam = np.cross(up, z_cam)
+        x_cam /= np.linalg.norm(x_cam)
+        y_cam = np.cross(z_cam, x_cam)
+        R = np.stack([x_cam, y_cam, z_cam])   # rows: world -> camera
+        cameras[i, :3] = _rotmat_to_angle_axis(R)
+        cameras[i, 3:6] = -R @ center
         cameras[i, 6] = 500.0 + 20.0 * rng.normal()
         cameras[i, 7] = 1e-7 * rng.normal()
         cameras[i, 8] = 1e-13 * rng.normal()

@@ -165,9 +165,10 @@ def run_fused(program, options, summary):
         lambda: program.jit_with_consts(
             make_fused_tr_solve(program, options), (program.example_x(),)))
     result = solve(program.initial_state())
-    result = jax.tree_util.tree_map(lambda a: a.block_until_ready()
-                                    if hasattr(a, "block_until_ready") else a,
-                                    result)
+    # ONE host transfer for the whole result pytree: per-scalar pulls cost
+    # a full tunnel roundtrip each (~65 ms on the remote TPU), so the
+    # entire summary comes back in a single device_get.
+    result = jax.device_get(result)
     summary.minimizer_time_in_seconds = time.time() - t0
     summary.initial_cost = float(result.initial_cost)
     summary.final_cost = float(result.cost)

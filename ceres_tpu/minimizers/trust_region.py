@@ -177,6 +177,17 @@ def minimize_trust_region(program, options, step_fn: Callable,
         lambda: program.jit_with_consts(program.cost_fn, (ex_x,)))
     plus = program.cached_jit(
         "plus", lambda: program.jit_with_consts(program.plus, (ex_x, ex_d)))
+
+    def _try_step(xx, dd):
+        """Candidate point + its cost + its norm in ONE device program, so
+        the host pulls one tuple per iteration (each separate scalar pull
+        is a full device roundtrip — ~65 ms on a tunneled TPU)."""
+        x_new = program.plus(xx, dd)
+        return x_new, program.cost_fn(x_new), jnp.linalg.norm(x_new)
+
+    try_step = program.cached_jit(
+        "try_step",
+        lambda: program.jit_with_consts(_try_step, (ex_x, ex_d)))
     if program.has_bounds:
         def _pg_norm(x, grad):
             # Projected gradient max-norm: ||Plus(x, -g) - x||_inf
@@ -299,14 +310,20 @@ def minimize_trust_region(program, options, step_fn: Callable,
             options.evaluation_callback.prepare_for_evaluation(
                 evaluate_jacobians=True, new_evaluation_point=True)
         step_out = step_fn(x, jnp.asarray(strategy.radius, dtype=dtype))
-        lin_cost = float(step_out["cost"])
-        mcc = float(step_out["model_cost_change"])
-        step_norm = float(step_out["step_norm"])
-        grad_max = (float(pg_norm(x, step_out["gradient_full"]))
-                    if program.has_bounds
-                    else float(step_out["gradient_max_norm"]))
-        grad_norm = float(step_out["gradient_norm"])
-        lin_iters = int(step_out["lin_iters"])
+        pulls = {k: step_out[k] for k in
+                 ("cost", "model_cost_change", "step_norm",
+                  "gradient_norm", "lin_iters")}
+        if program.has_bounds:
+            pulls["grad_max"] = pg_norm(x, step_out["gradient_full"])
+        else:
+            pulls["grad_max"] = step_out["gradient_max_norm"]
+        host = jax.device_get(pulls)   # ONE roundtrip for all scalars
+        lin_cost = float(host["cost"])
+        mcc = float(host["model_cost_change"])
+        step_norm = float(host["step_norm"])
+        grad_max = float(host["grad_max"])
+        grad_norm = float(host["gradient_norm"])
+        lin_iters = int(host["lin_iters"])
         t_solve = time.time() - t0
         total_solver_time += t_solve
         summary.num_linear_solves += 1
@@ -363,13 +380,18 @@ def minimize_trust_region(program, options, step_fn: Callable,
             x_new, nc, s_used, n_evals = proj_ls(
                 x, step_out["delta"], step_out["cost"],
                 step_out["gradient_full"])
-            new_cost = float(nc)
-            it.step_size = float(s_used)
-            it.line_search_function_evaluations = int(n_evals) + 1
+            h2 = jax.device_get((nc, s_used, n_evals,
+                                 jnp.linalg.norm(x_new)))
+            new_cost = float(h2[0])
+            it.step_size = float(h2[1])
+            it.line_search_function_evaluations = int(h2[2]) + 1
+            new_x_norm = float(h2[3])
             step_norm = step_norm * it.step_size
         else:
-            x_new = plus(x, step_out["delta"])
-            new_cost = float(cost_eval(x_new))
+            x_new, nc, xn = try_step(x, step_out["delta"])
+            h2 = jax.device_get((nc, xn))
+            new_cost = float(h2[0])
+            new_x_norm = float(h2[1])
         # Inner iterations refine the candidate before acceptance
         # (trust_region_minimizer.cc:506 DoInnerIterationsIfNeeded).
         if inner_fn is not None and math.isfinite(new_cost):
@@ -405,7 +427,7 @@ def minimize_trust_region(program, options, step_fn: Callable,
             x = x_new
             prev_cost = cost
             cost = new_cost
-            x_norm = float(jnp.linalg.norm(x))
+            x_norm = new_x_norm
             it.cost = cost
             if options.update_state_every_iteration:
                 # solver.h:785: keep the user's arrays in sync so callbacks

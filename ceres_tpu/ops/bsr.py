@@ -34,12 +34,26 @@ class BucketJacobian:
 
     J:    [n, r, t_total] block Jacobians (tangent space, loss-corrected).
     cols: tuple over variable slots of [n, t_s] int32 global column indices.
+    onehots: optional tuple over slots of [n, k_s] f32 block one-hots (or
+        None per slot) — when present, transpose-side accumulations run as
+        one-hot matmuls on the MXU instead of duplicate-heavy scatters.
+    gcols: tuple over slots of [k_s, t_s] int32 group tangent columns
+        (aligned with onehots; None when the slot has no one-hot).
     """
 
-    def __init__(self, J, cols: Tuple, row_offset: int):
+    def __init__(self, J, cols: Tuple, row_offset: int,
+                 onehots: Tuple = None, gcols: Tuple = None,
+                 sorted_slot: int = -1):
         self.J = J
         self.cols = tuple(cols)
         self.row_offset = int(row_offset)
+        self.onehots = (tuple(onehots) if onehots is not None
+                        else (None,) * len(self.cols))
+        self.gcols = (tuple(gcols) if gcols is not None
+                      else (None,) * len(self.cols))
+        # index of the variable slot whose block ids are sorted across the
+        # bucket rows (-1 = none): its scatters use indices_are_sorted.
+        self.sorted_slot = int(sorted_slot)
 
     @property
     def n(self):
@@ -67,12 +81,19 @@ class BucketJacobian:
         return self.J[:, :, off:off + self.cols[s].shape[1]]
 
     def tree_flatten(self):
-        return (self.J, self.cols), (self.row_offset,)
+        return (self.J, self.cols, self.onehots, self.gcols), \
+            (self.row_offset, self.sorted_slot)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        J, cols = children
-        return cls(J, cols, aux[0])
+        J, cols, onehots, gcols = children
+        return cls(J, cols, aux[0], onehots, gcols, aux[1])
+
+    def slot_off(self, s: int) -> int:
+        off = 0
+        for i in range(s):
+            off += self.cols[i].shape[1]
+        return off
 
 
 @register_pytree_node_class
@@ -147,19 +168,36 @@ class BlockJacobian:
             parts.append(jnp.einsum("nrt,nt->nr", b.J, vb))
         return RVec(parts)
 
+    def _scatter_by_slot(self, b: BucketJacobian, contrib, out):
+        """out[cols] += contrib, slot by slot: one-hot matmul where the
+        slot has few distinct blocks, scatter-add otherwise."""
+        off = 0
+        for s, c in enumerate(b.cols):
+            t_s = c.shape[1]
+            part = contrib[:, off:off + t_s]
+            oh, gc = b.onehots[s], b.gcols[s]
+            if oh is not None:
+                acc = jnp.einsum("nk,nt->kt", oh.astype(part.dtype), part)
+                out = out.at[gc].add(acc)
+            else:
+                out = out.at[c].add(
+                    part, indices_are_sorted=(s == b.sorted_slot))
+            off += t_s
+        return out
+
     def rmatvec(self, w: RVec):
         """J^T w: residual space -> tangent [num_cols]."""
         out = jnp.zeros((self.num_cols,), dtype=self.buckets[0].J.dtype)
         for b, wp in zip(self.buckets, w.parts):
             contrib = jnp.einsum("nrt,nr->nt", b.J, wp)  # [n, t_total]
-            out = out.at[b.all_cols].add(contrib)
+            out = self._scatter_by_slot(b, contrib, out)
         return out
 
     def squared_column_norms(self):
         """diag(J^T J) (block_sparse_matrix.h SquaredColumnNorm)."""
         out = jnp.zeros((self.num_cols,), dtype=self.buckets[0].J.dtype)
         for b in self.buckets:
-            out = out.at[b.all_cols].add(jnp.sum(b.J * b.J, axis=1))
+            out = self._scatter_by_slot(b, jnp.sum(b.J * b.J, axis=1), out)
         return out
 
     def scale_columns(self, scale) -> "BlockJacobian":
@@ -168,7 +206,8 @@ class BlockJacobian:
         for b in self.buckets:
             sb = scale[b.all_cols]  # [n, t_total]
             buckets.append(BucketJacobian(b.J * sb[:, None, :], b.cols,
-                                          b.row_offset))
+                                          b.row_offset, b.onehots,
+                                          b.gcols, b.sorted_slot))
         return BlockJacobian(buckets, self.num_rows, self.num_cols)
 
     def to_dense(self):
@@ -222,6 +261,11 @@ def block_diag_jtj(jac: BlockJacobian, groups):
             b = jac.buckets[bi]
             Js = b.slot_J(si)                         # [n, r, t]
             G = jnp.einsum("nrt,nru->ntu", Js, Js)    # [n, t, t]
-            acc = acc.at[local_ids].add(G)
+            oh = b.onehots[si]
+            if oh is not None:
+                acc = acc + jnp.einsum("nk,ntu->ktu",
+                                       oh.astype(G.dtype), G)
+            else:
+                acc = acc.at[local_ids].add(G)
         out.append(acc)
     return out

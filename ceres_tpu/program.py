@@ -68,7 +68,7 @@ def _loss_key(loss):
 class _Slot:
     __slots__ = ("variable", "amb_size", "tangent_size", "manifold",
                  "amb_idx", "cols", "local_ids", "group_id",
-                 "amb_name", "cols_name", "local_name")
+                 "amb_name", "cols_name", "local_name", "oh_name")
 
     def __init__(self):
         self.variable = False
@@ -80,12 +80,13 @@ class _Slot:
         self.amb_name = None
         self.cols_name = None
         self.local_name = None
+        self.oh_name = None
 
 
 class _Bucket:
     __slots__ = ("cost", "loss", "residual_fn", "jac_mode", "data", "slots",
                  "n", "r", "row_offset", "orig_indices", "key", "_slot_keys",
-                 "data_name")
+                 "data_name", "sorted_abs_slot")
 
 
 class GroupMeta:
@@ -320,7 +321,31 @@ class CompiledProgram:
 
         row = 0
         for bi, (key, rbs) in enumerate(groups_map.items()):
+            # Order the bucket's rows by the block index of the slot with
+            # the most parameter blocks (BA: the point slot). Transpose-
+            # side scatter-adds then see sorted indices (fast segmented
+            # reduction on TPU instead of serialized random updates), and
+            # the Schur chunk gathers become near-contiguous.
+            if len(rbs) > 1:
+                sort_si, sort_kg = None, 1
+                for si, k in enumerate(rbs[0].param_keys):
+                    blk = problem._blocks[k]
+                    if blk.constant or blk.tangent_size <= 0:
+                        continue
+                    kg = len([b for b in self.variable_blocks
+                              if b.tangent_size == blk.tangent_size])
+                    gi_, _ = self._group_of_block[k]
+                    kg = self.groups[gi_].num_blocks
+                    if kg > sort_kg:
+                        sort_kg, sort_si = kg, si
+                if sort_si is not None:
+                    rbs = sorted(
+                        rbs, key=lambda rb: self._group_of_block[
+                            rb.param_keys[sort_si]][1])
+            else:
+                sort_si = None
             bk = _Bucket()
+            bk.sorted_abs_slot = sort_si
             bk.key = key
             bk.cost = rbs[0].cost
             bk.loss = rbs[0].loss if apply_loss else None
@@ -411,6 +436,18 @@ class CompiledProgram:
                     sl.local_name = f"b{bi}.local{var_si}"
                     self.register_const(sl.cols_name, sl.cols)
                     self.register_const(sl.local_name, sl.local_ids)
+                    # One-hot of the slot's block index: scatter-adds with
+                    # massive index duplication (few blocks shared by many
+                    # residual rows — e.g. 16 cameras x 83k observations)
+                    # serialize on TPU; a one-hot matmul makes the
+                    # duplicate reduction a dense contraction on the MXU.
+                    kg = self.groups[sl.group_id].num_blocks
+                    if kg <= 1024 and bk.n * kg <= 3e8 \
+                            and bk.n // max(kg, 1) >= 16:
+                        oh = np.zeros((bk.n, kg), dtype=np.float32)
+                        oh[np.arange(bk.n), sl.local_ids] = 1.0
+                        sl.oh_name = f"b{bi}.oh{var_si}"
+                        self.register_const(sl.oh_name, oh)
                     var_si += 1
         for gi, g in enumerate(self.groups):
             self.register_const(f"grp{gi}.tan_cols", g.tan_cols)
@@ -626,9 +663,26 @@ class CompiledProgram:
             r, J = self._bucket_linearize(bk, x)
             cost, rc, Jc = correct_residuals_and_jacobian(bk.loss, r, J)
             total = total + jnp.sum(cost)
-            cols = tuple(self.const(sl.cols_name) for sl in bk.slots
-                         if sl.variable)
-            jac_buckets.append(BucketJacobian(Jc, cols, bk.row_offset))
+            vslots = [sl for sl in bk.slots if sl.variable]
+            cols = tuple(self.const(sl.cols_name) for sl in vslots)
+            onehots = tuple(self.const(sl.oh_name)
+                            if sl.oh_name is not None else None
+                            for sl in vslots)
+            gcols = tuple(self.const(f"grp{sl.group_id}.tan_cols")
+                          if sl.oh_name is not None else None
+                          for sl in vslots)
+            sorted_vslot = -1
+            if getattr(bk, "sorted_abs_slot", None) is not None:
+                vcount = -1
+                for si, sl in enumerate(bk.slots):
+                    if sl.variable:
+                        vcount += 1
+                    if si == bk.sorted_abs_slot:
+                        sorted_vslot = vcount if sl.variable else -1
+                        break
+            jac_buckets.append(BucketJacobian(Jc, cols, bk.row_offset,
+                                              onehots, gcols,
+                                              sorted_slot=sorted_vslot))
             res_parts.append(rc)
         jac = BlockJacobian(jac_buckets, self.num_rows, self.num_effective)
         res = RVec(res_parts)

@@ -45,7 +45,8 @@ from ..types import LinearSolverType, PreconditionerType
 
 
 class _BucketSchur:
-    __slots__ = ("e_slot", "e_ids", "f_cols", "f_slots")
+    __slots__ = ("e_slot", "e_ids", "f_cols", "f_slots",
+                 "chunk_rows", "chunk_mask")
 
 
 class SchurMeta:
@@ -63,6 +64,7 @@ class SchurMeta:
         self.cluster_mask = None      # np [nf, nf], set for CLUSTER_* kinds
         self.cluster_mask_diag = None  # cluster-diagonal-only pattern
         self._program = None
+        self._onehots = {}            # (gi, bi, si) -> np [n, kf] f32
 
     def bind(self, program):
         """Register the meta's index arrays as program constants so they
@@ -75,10 +77,55 @@ class SchurMeta:
                 program.register_const(f"schur.b{bi}.e_ids", bs.e_ids)
             if bs.f_cols is not None:
                 program.register_const(f"schur.b{bi}.f_cols", bs.f_cols)
+            if bs.chunk_rows is not None:
+                program.register_const(f"schur.b{bi}.chunk_rows",
+                                       bs.chunk_rows)
+                program.register_const(f"schur.b{bi}.chunk_mask",
+                                       bs.chunk_mask)
+        # Grouped (chunk-layout) f-slot structures for e-buckets: the f
+        # columns and the f-block one-hot of every chunk lane, all static.
+        for gi, grp in enumerate(self.f_groups):
+            for k, (bi, si, local) in enumerate(grp["slots"]):
+                bs = self.buckets[bi]
+                if bs.chunk_rows is None:
+                    continue
+                cols_rows = grp["cols"][local]            # [n, t]
+                program.register_const(
+                    f"schur.g{gi}_{bi}_{si}.cols",
+                    cols_rows[bs.chunk_rows])             # [ne, k, t]
+                oh = self._build_onehot(gi, bi, si, local, grp["kf"])
+                if oh is not None:
+                    program.register_const(
+                        f"schur.g{gi}_{bi}_{si}.oh",
+                        oh[bs.chunk_rows])                # [ne, k, kf]
         for gi, grp in enumerate(self.f_groups):
             program.register_const(f"schur.fg{gi}.cols", grp["cols"])
             for k, (bbi, vsi, local) in enumerate(grp["slots"]):
                 program.register_const(f"schur.fg{gi}.local{k}", local)
+                oh = self._build_onehot(gi, bbi, vsi, local, grp["kf"])
+                if oh is not None:
+                    program.register_const(f"schur.oh{gi}_{bbi}_{vsi}", oh)
+
+    def _build_onehot(self, gi, bi, si, local, kf):
+        n = local.shape[0]
+        if n * kf > 3e8:
+            return None
+        key = (gi, bi, si)
+        if key not in self._onehots:
+            oh = np.zeros((n, kf), dtype=np.float32)
+            oh[np.arange(n), local] = 1.0
+            self._onehots[key] = oh
+        return self._onehots[key]
+
+    def onehot(self, gi, bi, si, local, kf):
+        """[n, kf] one-hot of each row's local f-block index (traced const
+        when bound); None when too large to materialize."""
+        oh = self._build_onehot(gi, bi, si, local, kf)
+        if oh is None:
+            return None
+        if self._program is not None:
+            return self._program.const(f"schur.oh{gi}_{bi}_{si}")
+        return jnp.asarray(oh)
 
     def c(self, name, np_value):
         """Traced constant accessor (falls back to literal embedding when
@@ -86,6 +133,22 @@ class SchurMeta:
         if self._program is not None:
             return self._program.const("schur." + name)
         return jnp.asarray(np_value)
+
+    def grouped_fslot(self, gi, bi, si, local):
+        """(cols [ne,k,t], onehot [ne,k,kf] or None) for an e-bucket's f
+        slot in chunk layout."""
+        bs = self.buckets[bi]
+        grp = self.f_groups[gi]
+        oh_np = self._build_onehot(gi, bi, si, local, grp["kf"])
+        if self._program is not None:
+            cols = self._program.const(f"schur.g{gi}_{bi}_{si}.cols")
+            oh = (self._program.const(f"schur.g{gi}_{bi}_{si}.oh")
+                  if oh_np is not None else None)
+        else:
+            cols = jnp.asarray(grp["cols"][local][bs.chunk_rows])
+            oh = (jnp.asarray(oh_np[bs.chunk_rows])
+                  if oh_np is not None else None)
+        return cols, oh
 
 
 def detect_schur_structure(program, options) -> Optional[SchurMeta]:
@@ -215,6 +278,29 @@ def _detect_schur_structure(program, options):
                 f_col_parts.append(g2f[sl.cols])
         bs.f_cols = (np.concatenate(f_col_parts, axis=1)
                      if f_col_parts else None)
+        # Chunk grouping: rows of this bucket sorted into per-e-block
+        # chunks, padded to the max chunk size (the reference's
+        # schur_eliminator chunk layout, schur_eliminator_impl.h:195; on
+        # TPU the padding buys fully dense einsums — no gather/scatter in
+        # the CG body, where [n, 3]-shaped scatters measured ~40 ms).
+        bs.chunk_rows = None
+        bs.chunk_mask = None
+        if bs.e_slot is not None:
+            e_ids = bs.e_ids
+            n = e_ids.shape[0]
+            order = np.argsort(e_ids, kind="stable")
+            counts = np.bincount(e_ids, minlength=meta.ne)
+            kmax = max(1, int(counts.max()))
+            starts = np.zeros(meta.ne, dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            sorted_e = e_ids[order]
+            rank = np.arange(n, dtype=np.int64) - starts[sorted_e]
+            chunk_rows = np.zeros((meta.ne, kmax), dtype=np.int32)
+            chunk_mask = np.zeros((meta.ne, kmax), dtype=np.float32)
+            chunk_rows[sorted_e, rank] = order.astype(np.int32)
+            chunk_mask[sorted_e, rank] = 1.0
+            bs.chunk_rows = chunk_rows
+            bs.chunk_mask = chunk_mask
         meta.buckets.append(bs)
 
     # f-block groups (for SCHUR_JACOBI / JACOBI preconditioners)
@@ -287,21 +373,67 @@ class SchurOps:
         dtype = jac.buckets[0].J.dtype
         ne, te, nf = meta.ne, meta.te, meta.nf
 
-        # block diagonal of E^T E + D_e^2 (implicit_schur_complement Init)
+        # ---- chunk-grouped layout (built once per linearization) ----
+        # For each e-bucket: gather its rows into [ne, kmax, ...] chunk
+        # tensors (the reference's schur_eliminator chunk layout). Every
+        # CG-body operation then becomes a dense batched einsum — the
+        # per-observation [n, 3] scatters/gathers this replaces measured
+        # ~40 ms each on TPU at BAL scale (last-dim 3 vs 128-lane tiles).
+        # self._groups: bi -> dict(Je_g [ne,k,r,te],
+        #                          fslots: [(gi, Jf_g, cols, onehot, kf, t)])
+        self._groups = {}
+        for gi, grp in enumerate(meta.f_groups):
+            for (bi, si, local) in grp["slots"]:
+                bs = meta.buckets[bi]
+                if bs.chunk_rows is None:
+                    continue
+                bj = jac.buckets[bi]
+                g = self._groups.get(bi)
+                if g is None:
+                    rows = meta.c(f"b{bi}.chunk_rows", bs.chunk_rows)
+                    mask = meta.c(f"b{bi}.chunk_mask", bs.chunk_mask)
+                    Je_g = bj.slot_J(bs.e_slot)[rows] \
+                        * mask[..., None, None].astype(dtype)
+                    g = {"Je_g": Je_g, "rows": rows, "mask": mask,
+                         "fslots": []}
+                    self._groups[bi] = g
+                cols, oh = meta.grouped_fslot(gi, bi, si, local)
+                Jf_g = bj.slot_J(si)[g["rows"]] \
+                    * g["mask"][..., None, None].astype(dtype)
+                g["fslots"].append((gi, Jf_g, cols, oh, grp["kf"],
+                                    grp["t"], si, local))
+        # A bucket is grouped only if every f slot has a one-hot (else the
+        # whole bucket takes the observation-order fallback).
+        self._groups = {bi: g for bi, g in self._groups.items()
+                        if all(f[3] is not None for f in g["fslots"])}
+
+        # block diagonal of E^T E + D_e^2 (implicit_schur_complement Init),
+        # assembled densely from the chunk tensors.
         ete = jnp.zeros((ne, te, te), dtype=dtype)
         for bi, (bj, bs) in enumerate(zip(jac.buckets, meta.buckets)):
             if bs.e_slot is None:
                 continue
-            Je = bj.slot_J(bs.e_slot)
-            G = jnp.einsum("nrt,nru->ntu", Je, Je)
-            ete = ete.at[meta.c(f"b{bi}.e_ids", bs.e_ids)].add(G)
+            g = self._groups.get(bi)
+            if g is not None:
+                ete = ete + jnp.einsum("nkrt,nkru->ntu", g["Je_g"],
+                                       g["Je_g"])
+            else:
+                Je = bj.slot_J(bs.e_slot)
+                G = jnp.einsum("nrt,nru->ntu", Je, Je)
+                ete = ete.at[meta.c(f"b{bi}.e_ids", bs.e_ids)].add(G)
         d_e = D[meta.c("e_cols", meta.e_cols)]                # [ne, te]
         ete = ete + _embed_diag(d_e * d_e)
         self.chol_e = jnp.linalg.cholesky(ete)
+        # Explicit (E^T E)^-1, formed once per linearization: each CG
+        # iteration then applies it as one batched einsum on the MXU
+        # instead of 2*ne batched triangular solves. SPD 3x3..4x4 blocks
+        # after the D^2 regularization invert stably via their Cholesky.
+        eye = jnp.broadcast_to(jnp.eye(te, dtype=dtype), (ne, te, te))
+        self.inv_ete = _batched_cho_solve(self.chol_e, eye)
         self.D_f = D[meta.c("f_global", meta.f_global_cols)]
 
     def esolve(self, u):
-        return _batched_cho_solve(self.chol_e, u)
+        return jnp.einsum("nij,nj->ni", self.inv_ete, u)
 
     def F_apply(self, v):
         """F v: [nf] -> RVec (residual space)."""
@@ -317,14 +449,31 @@ class SchurOps:
         return RVec(parts)
 
     def Ft_apply(self, w: RVec):
-        out = jnp.zeros((self.meta.nf,), dtype=self.jac.buckets[0].J.dtype)
-        for bi, (bj, bs, wp) in enumerate(zip(self.jac.buckets,
-                                              self.meta.buckets, w.parts)):
-            if bs.f_cols is None:
-                continue
-            Jf = _f_part(bj, bs)
-            contrib = jnp.einsum("nrt,nr->nt", Jf, wp)
-            out = out.at[self.meta.c(f"b{bi}.f_cols", bs.f_cols)].add(contrib)
+        """F^T w. The reference accumulates per-cell with mutexes
+        (partitioned_matrix_view LeftMultiplyAndAccumulateF); a scatter-add
+        translation serializes on the TPU because every one of the ~n*t
+        updates lands in the tiny [nf] output (83k x 9 adds into 144 slots
+        measured 102 ms). The MXU-native formulation: per f-group one-hot
+        [n, kf] matmuls — the duplicate reduction IS the contraction."""
+        meta, jac = self.meta, self.jac
+        dtype = jac.buckets[0].J.dtype
+        out = jnp.zeros((meta.nf,), dtype=dtype)
+        for gi, grp in enumerate(meta.f_groups):
+            kf, t = grp["kf"], grp["t"]
+            acc = jnp.zeros((kf, t), dtype=dtype)
+            for k, (bi, si, local) in enumerate(grp["slots"]):
+                bj = jac.buckets[bi]
+                wp = w.parts[bi]
+                Js = bj.slot_J(si)                       # [n, r, t]
+                contrib = jnp.einsum("nrt,nr->nt", Js, wp)
+                oh = meta.onehot(gi, bi, si, local, kf)
+                if oh is not None:
+                    acc = acc + jnp.einsum("nk,nt->kt",
+                                           oh.astype(dtype), contrib)
+                else:  # one-hot too large; fall back to scatter
+                    acc = acc.at[meta.c(f"fg{gi}.local{k}", local)
+                                 ].add(contrib)
+            out = out.at[meta.c(f"fg{gi}.cols", grp["cols"])].add(acc)
         return out
 
     def E_apply(self, z):
@@ -352,24 +501,143 @@ class SchurOps:
             out = out.at[self.meta.c(f"b{bi}.e_ids", bs.e_ids)].add(contrib)
         return out
 
+    # ---- grouped building blocks ----
+
+    def _grouped_Fv(self, g, v):
+        """F v for one grouped e-bucket: [ne, k, r]."""
+        w_g = None
+        for (gi, Jf_g, cols, oh, kf, t, si, local) in g["fslots"]:
+            term = jnp.einsum("nkrt,nkt->nkr", Jf_g, v[cols])
+            w_g = term if w_g is None else w_g + term
+        return w_g
+
+    def _grouped_Ft(self, g, w_g, accs):
+        """Accumulate F^T w_g into the per-f-group accumulators."""
+        dtype = w_g.dtype
+        for (gi, Jf_g, cols, oh, kf, t, si, local) in g["fslots"]:
+            contrib = jnp.einsum("nkrt,nkr->nkt", Jf_g, w_g)
+            accs[gi] = accs[gi] + jnp.einsum("nkc,nkt->ct",
+                                             oh.astype(dtype), contrib)
+        return accs
+
+    def _obs_Fv(self, bi, v):
+        """F v for an ungrouped bucket, observation order: [n, r]."""
+        meta, jac = self.meta, self.jac
+        bj, bs = jac.buckets[bi], meta.buckets[bi]
+        Jf = _f_part(bj, bs)
+        vb = v[meta.c(f"b{bi}.f_cols", bs.f_cols)]
+        return jnp.einsum("nrt,nt->nr", Jf, vb)
+
+    def _obs_Ft(self, bi, w, accs):
+        """Accumulate F^T w of an ungrouped bucket into accs (one-hot when
+        available, scatter otherwise)."""
+        meta, jac = self.meta, self.jac
+        dtype = w.dtype
+        for gi, grp in enumerate(meta.f_groups):
+            for k, (bbi, si, local) in enumerate(grp["slots"]):
+                if bbi != bi:
+                    continue
+                Js = jac.buckets[bi].slot_J(si)
+                contrib = jnp.einsum("nrt,nr->nt", Js, w)
+                oh = meta.onehot(gi, bi, si, local, grp["kf"])
+                if oh is not None:
+                    accs[gi] = accs[gi] + jnp.einsum(
+                        "nk,nt->kt", oh.astype(dtype), contrib)
+                else:
+                    accs[gi] = accs[gi].at[
+                        meta.c(f"fg{gi}.local{k}", local)].add(contrib)
+        return accs
+
+    def _ungrouped_f_buckets(self):
+        return [bi for bi, bs in enumerate(self.meta.buckets)
+                if bs.f_cols is not None and bi not in self._groups]
+
+    def _place(self, accs):
+        meta = self.meta
+        out = jnp.zeros((meta.nf,),
+                        dtype=self.jac.buckets[0].J.dtype)
+        for gi, grp in enumerate(meta.f_groups):
+            out = out.at[meta.c(f"fg{gi}.cols", grp["cols"])].add(accs[gi])
+        return out
+
+    def _zero_accs(self):
+        dtype = self.jac.buckets[0].J.dtype
+        return [jnp.zeros((grp["kf"], grp["t"]), dtype=dtype)
+                for grp in self.meta.f_groups]
+
+    def _Et_of_obs_w(self, bi, w, u):
+        """Accumulate E^T w of an ungrouped e-bucket into u [ne, te]."""
+        meta, jac = self.meta, self.jac
+        bj, bs = jac.buckets[bi], meta.buckets[bi]
+        if bs.e_slot is None:
+            return u
+        Je = bj.slot_J(bs.e_slot)
+        return u.at[meta.c(f"b{bi}.e_ids", bs.e_ids)].add(
+            jnp.einsum("nrt,nr->nt", Je, w))
+
     def apply_S(self, v):
         """Implicit S v = F^T F v + D_f^2 v - F^T E (E^T E)^-1 E^T F v
-        (implicit_schur_complement.h:52-91)."""
-        w = self.F_apply(v)
-        u = self.Et_apply(w)
+        (implicit_schur_complement.h:52-91) — dense einsums over the chunk
+        layout; no gather/scatter in the CG body for grouped buckets."""
+        meta = self.meta
+        dtype = self.jac.buckets[0].J.dtype
+        u = jnp.zeros((meta.ne, meta.te), dtype=dtype)
+        w_gs = {}
+        for bi, g in self._groups.items():
+            w_g = self._grouped_Fv(g, v)
+            w_gs[bi] = w_g
+            u = u + jnp.einsum("nkrt,nkr->nt", g["Je_g"], w_g)
+        ungrouped = self._ungrouped_f_buckets()
+        w_obs = {}
+        for bi in ungrouped:
+            w = self._obs_Fv(bi, v)
+            w_obs[bi] = w
+            u = self._Et_of_obs_w(bi, w, u)
         z = self.esolve(u)
-        w2 = self.E_apply(z)
-        return self.Ft_apply(w - w2) + (self.D_f * self.D_f) * v
+        accs = self._zero_accs()
+        for bi, g in self._groups.items():
+            w2_g = jnp.einsum("nkrt,nt->nkr", g["Je_g"], z)
+            accs = self._grouped_Ft(g, w_gs[bi] - w2_g, accs)
+        for bi in ungrouped:
+            w = w_obs[bi]
+            bs = meta.buckets[bi]
+            if bs.e_slot is not None:
+                Je = self.jac.buckets[bi].slot_J(bs.e_slot)
+                eids = meta.c(f"b{bi}.e_ids", bs.e_ids)
+                w = w - jnp.einsum("nrt,nt->nr", Je, z[eids])
+            accs = self._obs_Ft(bi, w, accs)
+        return self._place(accs) + (self.D_f * self.D_f) * v
 
     def rhs(self, b_e, b_f):
         """Reduced rhs: b_f - F^T E (E^T E)^-1 b_e."""
         z = self.esolve(b_e)
-        return b_f - self.Ft_apply(self.E_apply(z))
+        accs = self._zero_accs()
+        for bi, g in self._groups.items():
+            w2_g = jnp.einsum("nkrt,nt->nkr", g["Je_g"], z)
+            accs = self._grouped_Ft(g, w2_g, accs)
+        for bi in self._ungrouped_f_buckets():
+            bs = self.meta.buckets[bi]
+            if bs.e_slot is None:
+                continue
+            Je = self.jac.buckets[bi].slot_J(bs.e_slot)
+            eids = self.meta.c(f"b{bi}.e_ids", bs.e_ids)
+            w2 = jnp.einsum("nrt,nt->nr", Je, z[eids])
+            accs = self._obs_Ft(bi, w2, accs)
+        return b_f - self._place(accs)
 
     def back_substitute(self, b_e, y):
         """d_e = (E^T E)^-1 (b_e - E^T F y)
         (implicit_schur_complement.cc:208)."""
-        u = self.Et_apply(self.F_apply(y))
+        meta = self.meta
+        dtype = self.jac.buckets[0].J.dtype
+        u = jnp.zeros((meta.ne, meta.te), dtype=dtype)
+        for bi, g in self._groups.items():
+            u = u + jnp.einsum("nkrt,nkr->nt", g["Je_g"],
+                               self._grouped_Fv(g, y))
+        for bi in self._ungrouped_f_buckets():
+            if self.meta.buckets[bi].e_slot is None:
+                continue
+            u = self._Et_of_obs_w(bi, self._obs_Fv(bi, y), u)
         return self.esolve(b_e - u)
 
     # ---- explicit S (DENSE_SCHUR / SPARSE_SCHUR,
@@ -385,7 +653,84 @@ class SchurOps:
         rhs = b_f - jnp.einsum("itf,it->f", A, self.esolve(b_e))
         return S, rhs
 
+    def _grouped_assemble_possible(self):
+        """Fast explicit-S assembly requires: one f group, and every
+        f-carrying bucket grouped with a single f slot."""
+        if len(self.meta.f_groups) != 1:
+            return False
+        for bi, bs in enumerate(self.meta.buckets):
+            if bs.f_cols is None:
+                continue
+            g = self._groups.get(bi)
+            if bs.e_slot is not None:
+                if g is None or len(g["fslots"]) != 1:
+                    return False
+            else:
+                grp = self.meta.f_groups[0]
+                slots_here = [s for s in grp["slots"] if s[0] == bi]
+                if len(slots_here) != 1:
+                    return False
+                if self.meta.onehot(0, bi, slots_here[0][1],
+                                    slots_here[0][2], grp["kf"]) is None:
+                    return False
+        return True
+
+    def _assemble_S_grouped(self):
+        """Explicit S over the chunk layout: every accumulation is a
+        one-hot matmul on the MXU — no scatters (the reference's
+        SchurEliminator chunk products, schur_eliminator_impl.h:228,
+        re-expressed as dense contractions)."""
+        meta, jac = self.meta, self.jac
+        dtype = jac.buckets[0].J.dtype
+        ne, te, nf = meta.ne, meta.te, meta.nf
+        grp = meta.f_groups[0]
+        kf, t = grp["kf"], grp["t"]
+
+        FtF_blocks = jnp.zeros((kf, t, t), dtype=dtype)
+        A = jnp.zeros((ne, te, kf, t), dtype=dtype)
+        for bi, bs in enumerate(meta.buckets):
+            if bs.f_cols is None:
+                continue
+            g = self._groups.get(bi)
+            if g is not None:
+                (gi, Jf_g, cols, oh, _kf, _t, si, local) = g["fslots"][0]
+                ohd = oh.astype(dtype)
+                Gf = jnp.einsum("nkrt,nkru->nktu", Jf_g, Jf_g)
+                FtF_blocks = FtF_blocks + jnp.einsum("nkc,nktu->ctu",
+                                                     ohd, Gf)
+                Ge = jnp.einsum("nkru,nkrt->nkut", g["Je_g"], Jf_g)
+                A = A + jnp.einsum("nkc,nkut->nuct", ohd, Ge)
+            else:
+                # f-only bucket: block-diagonal contribution via one-hot.
+                slots_here = [s for s in grp["slots"] if s[0] == bi]
+                (_, si, local) = slots_here[0]
+                bj = jac.buckets[bi]
+                Js = bj.slot_J(si)
+                G = jnp.einsum("nrt,nru->ntu", Js, Js)
+                oh = meta.onehot(0, bi, si, local, kf).astype(dtype)
+                FtF_blocks = FtF_blocks + jnp.einsum("nc,ntu->ctu", oh, G)
+
+        # S (group-local ordering) = blockdiag(FtF) - A^T (EtE)^-1 A
+        Y = jnp.einsum("nuv,nvct->nuct", self.inv_ete, A)
+        S_corr = jnp.einsum("nuct,nudw->ctdw", A, Y)
+        S_local = -S_corr.reshape(kf * t, kf * t)
+        ii = jnp.arange(kf)
+        S_local = S_local.reshape(kf, t, kf, t).at[ii, :, ii, :].add(
+            FtF_blocks).reshape(kf * t, kf * t)
+
+        # Map group-local ordering to global f ordering.
+        pos = meta.c("fg0.cols", grp["cols"]).reshape(-1)    # [kf*t]
+        S = jnp.zeros((nf, nf), dtype=dtype)
+        S = S.at[pos[:, None], pos[None, :]].add(S_local)
+        S = S + jnp.diag(self.D_f * self.D_f)
+        # A in global ordering for rhs computation: [ne, te, nf].
+        A_glob = jnp.zeros((ne, te, nf), dtype=dtype)
+        A_glob = A_glob.at[:, :, pos].add(A.reshape(ne, te, kf * t))
+        return S, A_glob
+
     def _assemble_S(self):
+        if self._grouped_assemble_possible():
+            return self._assemble_S_grouped()
         meta, jac = self.meta, self.jac
         dtype = jac.buckets[0].J.dtype
         ne, te, nf = meta.ne, meta.te, meta.nf
@@ -481,7 +826,7 @@ class SchurOps:
                     Je = bj.slot_J(bs.e_slot)
                     Gc = jnp.einsum("nrt,nru->ntu", Je, Jf)  # [n, te, t]
                     eids = meta.c(f"b{bi}.e_ids", bs.e_ids)
-                    MG = _batched_cho_solve(self.chol_e[eids], Gc)
+                    MG = jnp.einsum("nij,njv->niv", self.inv_ete[eids], Gc)
                     sub = jnp.einsum("ntu,ntv->nuv", Gc, MG)
                     acc = acc.at[li].add(-sub)
             cols = meta.c(f"fg{gi}.cols", grp["cols"])      # [kf, t]
@@ -582,7 +927,26 @@ def make_schur_solver(program, options):
 
     from .cg import conjugate_gradients
 
+    mixed = options.use_mixed_precision_solves
+
     def solve(jac, res, D):
+        out_dtype = jac.buckets[0].J.dtype
+        if mixed:
+            # Mixed precision (solver.h:572-589 use_mixed_precision_solves,
+            # re-targeted): the LM inner solve runs in f32 — on TPU, f64 is
+            # software-emulated, so the f32 Schur elimination is ~12x
+            # faster; the trust region tolerates the inexact step (it is a
+            # descent direction; radius control absorbs the rest), and
+            # cost/gradient/convergence stay f64.
+            from ..ops.bsr import BucketJacobian
+            jac = BlockJacobian(
+                [BucketJacobian(b.J.astype(jnp.float32), b.cols,
+                                b.row_offset, b.onehots, b.gcols,
+                                b.sorted_slot)
+                 for b in jac.buckets],
+                jac.num_rows, jac.num_cols)
+            res = RVec([p.astype(jnp.float32) for p in res.parts])
+            D = D.astype(jnp.float32)
         ops = SchurOps(meta, jac, D)
         g = jac.rmatvec(res)
         b = -g
@@ -609,6 +973,6 @@ def make_schur_solver(program, options):
         d = jnp.zeros((program.num_effective,), dtype=y.dtype)
         d = d.at[meta.c("f_global", meta.f_global_cols)].set(y)
         d = d.at[meta.c("e_cols", meta.e_cols)].set(d_e)
-        return d, iters
+        return d.astype(out_dtype), iters
 
     return solve
