@@ -92,28 +92,30 @@ def main():
     log(f"  preprocessor {summary.preprocessor_time_in_seconds:.3f}s, "
         f"minimizer {summary.minimizer_time_in_seconds:.3f}s")
 
-    # reset and re-solve (compiled executables cached)
-    for c, c0 in zip(cams, cam0):
-        c[:] = c0
-    for p, p0 in zip(pts, pt0):
-        p[:] = p0
-
-    t0 = time.time()
-    summary = ct.solve(make_options(), problem)
-    wall = time.time() - t0
-    iters = summary.num_iterations
-    log(f"timed solve: {wall:.4f}s, {iters} iterations, "
-        f"cost {summary.initial_cost:.6e} -> {summary.final_cost:.6e}, "
-        f"{summary.termination_type}")
-    log(f"  minimizer {summary.minimizer_time_in_seconds:.4f}s "
-        f"(linear {summary.linear_solver_time_in_seconds:.4f}s, "
-        f"residual {summary.residual_evaluation_time_in_seconds:.4f}s)")
+    # Timed solves: median of 5 (the tunneled device's dispatch latency
+    # fluctuates; the median reflects the solver, not the tunnel weather).
+    times = []
+    for trial in range(5):
+        for c, c0 in zip(cams, cam0):
+            c[:] = c0
+        for p, p0 in zip(pts, pt0):
+            p[:] = p0
+        t0 = time.time()
+        summary = ct.solve(make_options(), problem)
+        wall = time.time() - t0
+        iters = summary.num_iterations
+        measured_i = summary.minimizer_time_in_seconds \
+            + summary.preprocessor_time_in_seconds
+        times.append(measured_i)
+        log(f"timed solve {trial}: {wall:.4f}s (measured {measured_i:.4f}), "
+            f"{iters} iterations, cost {summary.initial_cost:.6e} -> "
+            f"{summary.final_cost:.6e}, {summary.termination_type}")
     per_iter = summary.minimizer_time_in_seconds / max(iters - 1, 1)
-    log(f"  per-LM-iteration: {per_iter:.4f}s (reference 4.75e-2 s)")
+    log(f"  per-LM-iteration (last): {per_iter:.4f}s "
+        f"(reference 4.75e-2 s)")
 
-    # timed wall excludes graph rebuild: use minimizer time + preprocessor
-    measured = summary.minimizer_time_in_seconds \
-        + summary.preprocessor_time_in_seconds
+    # timed wall excludes graph rebuild: minimizer + preprocessor, median
+    measured = sorted(times)[len(times) // 2]
     print(json.dumps({
         "metric": f"bal16_22106_{solver_name.lower()}_wall_to_convergence",
         "value": round(measured, 4),

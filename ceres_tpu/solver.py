@@ -109,8 +109,25 @@ def make_step_impl(program, options):
     max_diag = options.max_lm_diagonal
     strategy = options.trust_region_strategy_type
 
+    mixed = options.use_mixed_precision_solves
+
     def lm_step(x, radius):
-        cost, grad, jac, res = program.linearize_fn(x)
+        cost, grad64, jac, res = program.linearize_fn(x)
+        if mixed:
+            # Mixed precision: everything J-wide runs in f32 (f64 on TPU
+            # is software-emulated; the f64 J^T-side reductions alone cost
+            # ~100 ms/iteration at BAL scale). Cost stays f64; the f64
+            # gradient is dead code and XLA drops it.
+            from .ops.bsr import BlockJacobian, BucketJacobian, RVec
+            jac = BlockJacobian(
+                [BucketJacobian(b.J.astype(jnp.float32), b.cols,
+                                b.row_offset, b.onehots, b.gcols,
+                                b.sorted_slot) for b in jac.buckets],
+                jac.num_rows, jac.num_cols)
+            res = RVec([p.astype(jnp.float32) for p in res.parts])
+            grad = jac.rmatvec(res)
+        else:
+            grad = grad64
         if use_jacobi_scaling:
             scale = 1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
         else:
@@ -119,22 +136,22 @@ def make_step_impl(program, options):
         grad_s = grad * scale
         # LM diagonal (levenberg_marquardt_strategy.cc:80-92).
         diag = jnp.clip(jac_s.squared_column_norms(), min_diag, max_diag)
-        D = jnp.sqrt(diag / radius)
+        D = jnp.sqrt(diag / radius.astype(jac_s.buckets[0].J.dtype))
         d, lin_iters = linear_solve(jac_s, res, D)
         Jd = jac_s.matvec(d)
         mcc = -(jnp.vdot(d, grad_s) + 0.5 * Jd.squared_norm())
-        delta = scale * d
+        delta = (scale * d).astype(dtype)
         out = {
             "cost": cost,
-            "gradient_max_norm": jnp.max(jnp.abs(grad)),
-            "gradient_norm": jnp.linalg.norm(grad),
+            "gradient_max_norm": jnp.max(jnp.abs(grad)).astype(dtype),
+            "gradient_norm": jnp.linalg.norm(grad).astype(dtype),
             "delta": delta,
-            "model_cost_change": mcc,
+            "model_cost_change": mcc.astype(dtype),
             "step_norm": jnp.linalg.norm(delta),
             "lin_iters": lin_iters,
         }
         if program.has_bounds:
-            out["gradient_full"] = grad
+            out["gradient_full"] = grad.astype(dtype)
         return out
 
     def _subspace_solve(jac_s, g, gn, radius, dtype):
