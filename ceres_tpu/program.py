@@ -68,7 +68,8 @@ def _loss_key(loss):
 class _Slot:
     __slots__ = ("variable", "amb_size", "tangent_size", "manifold",
                  "amb_idx", "cols", "local_ids", "group_id",
-                 "amb_name", "cols_name", "local_name", "oh_name")
+                 "amb_name", "cols_name", "local_name", "oh_name",
+                 "amb_gid", "amb_local", "alocal_name")
 
     def __init__(self):
         self.variable = False
@@ -81,6 +82,9 @@ class _Slot:
         self.cols_name = None
         self.local_name = None
         self.oh_name = None
+        self.amb_gid = -1
+        self.amb_local = None
+        self.alocal_name = None
 
 
 class _Bucket:
@@ -243,6 +247,14 @@ class CompiledProgram:
         self.used_blocks = [b for b in records if id(b.array) in used_keys]
         self.unused_blocks = [b for b in records
                               if id(b.array) not in used_keys]
+        # Layout blocks grouped by size (stable within a size): every
+        # same-size group occupies ONE contiguous slab of x, so per-slot
+        # parameter gathers become slice+reshape+row-take — on TPU, taking
+        # rows of a [k, size] matrix is ~free while the equivalent flat
+        # gather x[idx[n, size]] costs ~10 ms at BAL scale. Public
+        # gradient/jacobian views are permuted back to insertion order in
+        # public_evaluate.
+        self.used_blocks.sort(key=lambda b: b.size)
         self.amb_offset = {}
         off = 0
         for b in self.used_blocks:
@@ -252,12 +264,26 @@ class CompiledProgram:
 
         self.variable_blocks = [b for b in self.used_blocks
                                 if not b.constant and b.tangent_size > 0]
+        self.variable_blocks.sort(key=lambda b: b.tangent_size)
         self.tan_offset = {}
         toff = 0
         for b in self.variable_blocks:
             self.tan_offset[id(b.array)] = toff
             toff += b.tangent_size
         self.num_effective = toff
+
+        # Ambient slabs: blocks grouped by ambient size, each contiguous.
+        # _amb_group_of_block: id -> (group_index, local_row).
+        self._amb_group_of_block = {}
+        self.amb_slabs = []   # [(start_offset, k, size)]
+        _ag = {}
+        for b in self.used_blocks:
+            _ag.setdefault(b.size, []).append(b)
+        for gi, (size, blks) in enumerate(sorted(_ag.items())):
+            start = self.amb_offset[id(blks[0].array)]
+            for li, b in enumerate(blks):
+                self._amb_group_of_block[id(b.array)] = (gi, li)
+            self.amb_slabs.append((start, len(blks), size))
 
         # --- summary counts ---
         self.num_parameter_blocks = len(records)
@@ -395,6 +421,11 @@ class CompiledProgram:
                     dtype=np.int32, count=bk.n)
                 sl.amb_idx = amb_off[:, None] + np.arange(
                     sl.amb_size, dtype=np.int32)[None, :]
+                sl.amb_gid = self._amb_group_of_block[
+                    rbs[0].param_keys[si]][0]
+                sl.amb_local = np.fromiter(
+                    (self._amb_group_of_block[rb.param_keys[si]][1]
+                     for rb in rbs), dtype=np.int32, count=bk.n)
                 if sl.variable:
                     t = sl.tangent_size
                     tan_off = np.fromiter(
@@ -430,7 +461,9 @@ class CompiledProgram:
             var_si = 0
             for si, sl in enumerate(bk.slots):
                 sl.amb_name = f"b{bi}.amb{si}"
+                sl.alocal_name = f"b{bi}.alocal{si}"
                 self.register_const(sl.amb_name, sl.amb_idx)
+                self.register_const(sl.alocal_name, sl.amb_local)
                 if sl.variable:
                     sl.cols_name = f"b{bi}.cols{var_si}"
                     sl.local_name = f"b{bi}.local{var_si}"
@@ -526,7 +559,15 @@ class CompiledProgram:
     # evaluation
 
     def _bucket_params(self, bk, x):
-        return [x[self.const(sl.amb_name)] for sl in bk.slots]  # [n, amb]
+        """Per-slot parameters [n, amb]: slab slice + row-take (blocks of a
+        size group are contiguous in x, so this avoids the TPU-hostile
+        flat gather x[idx[n, size]])."""
+        out = []
+        for sl in bk.slots:
+            start, k, size = self.amb_slabs[sl.amb_gid]
+            Xg = x[start:start + k * size].reshape(k, size)
+            out.append(Xg[self.const(sl.alocal_name)])
+        return out
 
     def _eval_fixed(self, fixed_res):
         total = 0.0
@@ -727,7 +768,39 @@ class CompiledProgram:
                     out[offs[orig]:offs[orig] + bk.r] = ph[i]
             residuals_out = out
 
+        # Permute tangent-space outputs from the internal grouped-by-size
+        # layout back to parameter-block insertion order (the reference's
+        # Problem::Evaluate contract, problem_impl.cc:585).
+        perm = None
+        if want_gradient or want_jacobian:
+            order = [b for b in self.problem._param_records()
+                     if id(b.array) in self.tan_offset]
+            perm = np.concatenate([
+                np.arange(self.tan_offset[id(b.array)],
+                          self.tan_offset[id(b.array)] + b.tangent_size)
+                for b in order]) if order else np.zeros(0, np.int64)
+
+        grad_out = None
+        if want_gradient:
+            grad_out = np.asarray(grad)[perm]
+        jac_out = None
+        if want_jacobian:
+            jd = np.asarray(jac.to_dense())[:, perm]
+            # rows to residual-block insertion order (as residuals above)
+            sizes = {rb.index: rb.cost.num_residuals
+                     for rb in self.problem._residual_records()}
+            offs, o = {}, 0
+            for idx in sorted(sizes):
+                offs[idx] = o
+                o += sizes[idx]
+            jac_out = np.zeros_like(jd)
+            row = 0
+            for bk in self.buckets:
+                for i, orig in enumerate(bk.orig_indices):
+                    jac_out[offs[orig]:offs[orig] + bk.r] = \
+                        jd[row:row + bk.r]
+                    row += bk.r
         return (float(cost),
                 residuals_out,
-                np.asarray(grad) if want_gradient else None,
-                np.asarray(jac.to_dense()) if want_jacobian else None)
+                grad_out,
+                jac_out)
