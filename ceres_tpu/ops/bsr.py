@@ -43,7 +43,8 @@ class BucketJacobian:
 
     def __init__(self, J, cols: Tuple, row_offset: int,
                  onehots: Tuple = None, gcols: Tuple = None,
-                 sorted_slot: int = -1):
+                 sorted_slot: int = -1, tlocals: Tuple = None,
+                 tslabs: Tuple = None):
         self.J = J
         self.cols = tuple(cols)
         self.row_offset = int(row_offset)
@@ -54,6 +55,13 @@ class BucketJacobian:
         # index of the variable slot whose block ids are sorted across the
         # bucket rows (-1 = none): its scatters use indices_are_sorted.
         self.sorted_slot = int(sorted_slot)
+        # Tangent slab row-take structure: tlocals[s] = [n] block row ids
+        # within the slot's size group; tslabs[s] = (start, k, t) of the
+        # group's contiguous slab in tangent space (None -> flat gather).
+        self.tlocals = (tuple(tlocals) if tlocals is not None
+                        else (None,) * len(self.cols))
+        self.tslabs = (tuple(tslabs) if tslabs is not None
+                       else (None,) * len(self.cols))
 
     @property
     def n(self):
@@ -81,13 +89,29 @@ class BucketJacobian:
         return self.J[:, :, off:off + self.cols[s].shape[1]]
 
     def tree_flatten(self):
-        return (self.J, self.cols, self.onehots, self.gcols), \
-            (self.row_offset, self.sorted_slot)
+        return (self.J, self.cols, self.onehots, self.gcols,
+                self.tlocals), (self.row_offset, self.sorted_slot,
+                                self.tslabs)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        J, cols, onehots, gcols = children
-        return cls(J, cols, aux[0], onehots, gcols, aux[1])
+        J, cols, onehots, gcols, tlocals = children
+        return cls(J, cols, aux[0], onehots, gcols, aux[1], tlocals,
+                   aux[2])
+
+    def gather_cols(self, v):
+        """v[all_cols] as [n, t_total] via slab row-takes when available."""
+        parts = []
+        for s, c in enumerate(self.cols):
+            sl = self.tslabs[s]
+            if sl is not None and self.tlocals[s] is not None:
+                start, k, t = sl
+                Vg = v[start:start + k * t].reshape(k, t)
+                parts.append(Vg[self.tlocals[s]])
+            else:
+                parts.append(v[c])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=1)
 
     def slot_off(self, s: int) -> int:
         off = 0
@@ -164,7 +188,7 @@ class BlockJacobian:
         """J v: tangent [num_cols] -> residual space."""
         parts = []
         for b in self.buckets:
-            vb = v[b.all_cols]                      # [n, t_total]
+            vb = b.gather_cols(v)                   # [n, t_total]
             parts.append(jnp.einsum("nrt,nt->nr", b.J, vb))
         return RVec(parts)
 
@@ -204,10 +228,11 @@ class BlockJacobian:
         """J <- J diag(scale) (block_sparse_matrix ScaleColumns)."""
         buckets = []
         for b in self.buckets:
-            sb = scale[b.all_cols]  # [n, t_total]
+            sb = b.gather_cols(scale)  # [n, t_total]
             buckets.append(BucketJacobian(b.J * sb[:, None, :], b.cols,
                                           b.row_offset, b.onehots,
-                                          b.gcols, b.sorted_slot))
+                                          b.gcols, b.sorted_slot,
+                                          b.tlocals, b.tslabs))
         return BlockJacobian(buckets, self.num_rows, self.num_cols)
 
     def to_dense(self):

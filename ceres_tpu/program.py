@@ -721,9 +721,17 @@ class CompiledProgram:
                     if si == bk.sorted_abs_slot:
                         sorted_vslot = vcount if sl.variable else -1
                         break
+            tlocals = tuple(self.const(sl.local_name) for sl in vslots)
+            tslabs = tuple(
+                (int(self.groups[sl.group_id].tan_cols[0, 0]),
+                 self.groups[sl.group_id].num_blocks,
+                 self.groups[sl.group_id].tangent_size)
+                for sl in vslots)
             jac_buckets.append(BucketJacobian(Jc, cols, bk.row_offset,
                                               onehots, gcols,
-                                              sorted_slot=sorted_vslot))
+                                              sorted_slot=sorted_vslot,
+                                              tlocals=tlocals,
+                                              tslabs=tslabs))
             res_parts.append(rc)
         jac = BlockJacobian(jac_buckets, self.num_rows, self.num_effective)
         res = RVec(res_parts)

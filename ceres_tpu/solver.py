@@ -122,7 +122,8 @@ def make_step_impl(program, options):
             jac = BlockJacobian(
                 [BucketJacobian(b.J.astype(jnp.float32), b.cols,
                                 b.row_offset, b.onehots, b.gcols,
-                                b.sorted_slot) for b in jac.buckets],
+                                b.sorted_slot, b.tlocals, b.tslabs)
+                 for b in jac.buckets],
                 jac.num_rows, jac.num_cols)
             res = RVec([p.astype(jnp.float32) for p in res.parts])
             grad = jac.rmatvec(res)

@@ -942,7 +942,7 @@ def make_schur_solver(program, options):
             jac = BlockJacobian(
                 [BucketJacobian(b.J.astype(jnp.float32), b.cols,
                                 b.row_offset, b.onehots, b.gcols,
-                                b.sorted_slot)
+                                b.sorted_slot, b.tlocals, b.tslabs)
                  for b in jac.buckets],
                 jac.num_rows, jac.num_cols)
             res = RVec([p.astype(jnp.float32) for p in res.parts])
