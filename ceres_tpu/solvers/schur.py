@@ -717,20 +717,30 @@ class SchurOps:
         ii = jnp.arange(kf)
         S_local = S_local.reshape(kf, t, kf, t).at[ii, :, ii, :].add(
             FtF_blocks).reshape(kf * t, kf * t)
-
-        # Map group-local ordering to global f ordering.
         pos = meta.c("fg0.cols", grp["cols"]).reshape(-1)    # [kf*t]
-        S = jnp.zeros((nf, nf), dtype=dtype)
-        S = S.at[pos[:, None], pos[None, :]].add(S_local)
-        S = S + jnp.diag(self.D_f * self.D_f)
-        # A in global ordering for rhs computation: [ne, te, nf].
-        A_glob = jnp.zeros((ne, te, nf), dtype=dtype)
-        A_glob = A_glob.at[:, :, pos].add(A.reshape(ne, te, kf * t))
-        return S, A_glob
+        S_local = S_local + jnp.diag((self.D_f * self.D_f)[pos])
+        return S_local, A.reshape(ne, te, kf * t), pos
+
+    def explicit_S_rhs_local(self, b_e, b_f):
+        """(S_local, rhs_local, pos): the reduced system in group-local
+        ordering — avoids scattering the [ne, te, nf] A tensor into global
+        ordering (a ~40 MB scatter per iteration). Only valid when
+        _grouped_assemble_possible()."""
+        S_local, A, pos = self._assemble_S_grouped()
+        z = self.esolve(b_e)
+        rhs_local = b_f[pos] - jnp.einsum("itf,it->f", A, z)
+        return S_local, rhs_local, pos
 
     def _assemble_S(self):
         if self._grouped_assemble_possible():
-            return self._assemble_S_grouped()
+            S_local, A, pos = self._assemble_S_grouped()
+            meta = self.meta
+            dtype = S_local.dtype
+            S = jnp.zeros((meta.nf, meta.nf), dtype=dtype)
+            S = S.at[pos[:, None], pos[None, :]].add(S_local)
+            A_glob = jnp.zeros((meta.ne, meta.te, meta.nf), dtype=dtype)
+            A_glob = A_glob.at[:, :, pos].add(A)
+            return S, A_glob
         meta, jac = self.meta, self.jac
         dtype = jac.buckets[0].J.dtype
         ne, te, nf = meta.ne, meta.te, meta.nf
