@@ -245,3 +245,183 @@ def make_sharded_cost_fn(program, mesh: Mesh, shards_np, axis: str = "data"):
     shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shards_np)
     return jax.jit(shard_map(cost, mesh=mesh, in_specs=(P(), shard_spec),
                              out_specs=P(), check_rep=False))
+
+
+def make_sharded_schur_step(program, options, mesh: Mesh,
+                            axis: str = "data"):
+    """Sharded DENSE_SCHUR LM step: each shard eliminates its rows into
+    partial Gram tensors (E^T E blocks, F^T F, the cross tensor A = E^T F,
+    gradient), ONE psum per tensor over ICI, then the reduced camera system
+    solves replicated — the multi-chip form of the reference's chunked
+    SchurEliminator (schur_eliminator_impl.h:228: per-thread buffers +
+    reduction; here per-chip partials + psum, SURVEY.md section 5.7).
+
+    Returns (step_fn, shards_np, place) like make_sharded_lm_step.
+    """
+    from ..solvers.schur import detect_schur_structure
+
+    meta = detect_schur_structure(program, options)
+    if meta is None:
+        raise ValueError("no Schur structure for sharded Schur step")
+    num_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                              if a == axis]))
+    shards_np = build_row_shards(program, num_shards)
+    # Augment with per-row Schur indexing.
+    for bi, bs in enumerate(meta.buckets):
+        bk = program.buckets[bi]
+        n_pad = shards_np[bi]["mask"].shape[0]
+        if bs.e_slot is not None:
+            shards_np[bi]["e_ids"] = _pad_rows(bs.e_ids, n_pad)
+        if bs.f_cols is not None:
+            shards_np[bi]["f_cols"] = _pad_rows(bs.f_cols, n_pad)
+
+    dtype = program.dtype
+    n_eff = program.num_effective
+    ne, te, nf = meta.ne, meta.te, meta.nf
+    e_cols = meta.e_cols             # np [ne, te]
+    f_global = meta.f_global_cols    # np [nf]
+    use_jacobi_scaling = options.jacobi_scaling
+    min_diag, max_diag = options.min_lm_diagonal, options.max_lm_diagonal
+
+    # Per-bucket variable-slot offsets within J's t_total.
+    slot_offsets = []
+    for bk in program.buckets:
+        offs, off = [], 0
+        for sl in bk.slots:
+            if sl.variable:
+                offs.append(off)
+                off += sl.tangent_size
+        slot_offsets.append(offs)
+
+    def step(x, radius, shards):
+        cost_local, outs = _local_linearize(program, x, shards, dtype)
+        cost = jax.lax.psum(cost_local, axis) + program.fixed_cost
+
+        g_loc = jnp.zeros((n_eff,), dtype=dtype)
+        cn_loc = jnp.zeros((n_eff,), dtype=dtype)
+        for (rc, Jc), sh in zip(outs, shards):
+            g_loc = g_loc.at[sh["cols"]].add(
+                jnp.einsum("nrt,nr->nt", Jc, rc))
+            cn_loc = cn_loc.at[sh["cols"]].add(jnp.sum(Jc * Jc, axis=1))
+        grad = jax.lax.psum(g_loc, axis)
+        col_norms = jax.lax.psum(cn_loc, axis)
+
+        scale = (1.0 / (1.0 + jnp.sqrt(col_norms))
+                 if use_jacobi_scaling else jnp.ones_like(grad))
+        diag = jnp.clip(col_norms * scale * scale, min_diag, max_diag)
+        D2 = diag / radius
+        b = -(grad * scale)
+        b_e = b[jnp.asarray(e_cols)]                      # [ne, te]
+        b_f = b[jnp.asarray(f_global)]                    # [nf]
+
+        # Shard-local partial elimination tensors.
+        ete_loc = jnp.zeros((ne, te, te), dtype=dtype)
+        FtF_loc = jnp.zeros((nf, nf), dtype=dtype)
+        A_loc = jnp.zeros((ne, te, nf), dtype=dtype)
+        g2f = -np.ones(n_eff, dtype=np.int64)
+        g2f[f_global] = np.arange(nf)
+        for bi, ((rc, Jc), sh, bs) in enumerate(zip(outs, shards,
+                                                    meta.buckets)):
+            Js = Jc * scale[sh["cols"]][:, None, :]
+            if bs.e_slot is not None:
+                off = slot_offsets[bi][bs.e_slot]
+                Je = Js[:, :, off:off + te]
+                G = jnp.einsum("nrt,nru->ntu", Je, Je)
+                ete_loc = ete_loc.at[sh["e_ids"]].add(G)
+            if bs.f_cols is not None:
+                Jf_parts = []
+                for vs in bs.f_slots:
+                    offv = slot_offsets[bi][vs]
+                    tv = program.buckets[bi].slots[
+                        _abs_slot_of(program.buckets[bi], vs)].tangent_size
+                    Jf_parts.append(Js[:, :, offv:offv + tv])
+                Jf = (jnp.concatenate(Jf_parts, axis=2)
+                      if len(Jf_parts) > 1 else Jf_parts[0])
+                Gf = jnp.einsum("nrt,nru->ntu", Jf, Jf)
+                c = sh["f_cols"]
+                n, t = c.shape
+                rows = jnp.broadcast_to(c[:, :, None], (n, t, t))
+                colsb = jnp.broadcast_to(c[:, None, :], (n, t, t))
+                FtF_loc = FtF_loc.at[rows, colsb].add(Gf)
+                if bs.e_slot is not None:
+                    off = slot_offsets[bi][bs.e_slot]
+                    Je = Js[:, :, off:off + te]
+                    Gc = jnp.einsum("nrt,nru->ntu", Je, Jf)  # [n, te, tf]
+                    erows = jnp.broadcast_to(sh["e_ids"][:, None, None],
+                                             (n, te, t))
+                    mids = jnp.broadcast_to(
+                        jnp.arange(te)[None, :, None], (n, te, t))
+                    fcols = jnp.broadcast_to(c[:, None, :], (n, te, t))
+                    A_loc = A_loc.at[erows, mids, fcols].add(Gc)
+
+        ete = jax.lax.psum(ete_loc, axis)
+        FtF = jax.lax.psum(FtF_loc, axis)
+        A = jax.lax.psum(A_loc, axis)
+
+        # Replicated reduced solve.
+        d2e = D2[jnp.asarray(e_cols)]
+        ete = ete + d2e[..., :, None] * jnp.eye(te, dtype=dtype)[None]
+        chol_e = jnp.linalg.cholesky(ete)
+        eye = jnp.broadcast_to(jnp.eye(te, dtype=dtype), (ne, te, te))
+        ylo = jax.scipy.linalg.solve_triangular(chol_e, eye, lower=True)
+        inv_ete = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol_e, -1, -2), ylo, lower=False)
+        B = jnp.einsum("iuv,ivg->iug", inv_ete, A)        # (EtE)^-1 A
+        S = FtF + jnp.diag(D2[jnp.asarray(f_global)]) \
+            - jnp.einsum("itf,itg->fg", A, B)
+        rhs = b_f - jnp.einsum("itf,it->f", A,
+                               jnp.einsum("iuv,iv->iu", inv_ete, b_e))
+        c_, lo = jax.scipy.linalg.cho_factor(S)
+        y = jax.scipy.linalg.cho_solve((c_, lo), rhs)
+        d_e = jnp.einsum("iuv,iv->iu", inv_ete,
+                         b_e - jnp.einsum("iuf,f->iu", A, y))
+        d = jnp.zeros((n_eff,), dtype=dtype)
+        d = d.at[jnp.asarray(f_global)].set(y)
+        d = d.at[jnp.asarray(e_cols)].set(d_e)
+
+        # ||J_s d||^2 for the model cost change (psum of local pieces).
+        Jd_sq_loc = jnp.asarray(0.0, dtype=dtype)
+        for (rc, Jc), sh in zip(outs, shards):
+            Js = Jc * scale[sh["cols"]][:, None, :]
+            Jv = jnp.einsum("nrt,nt->nr", Js, d[sh["cols"]])
+            Jd_sq_loc = Jd_sq_loc + jnp.sum(Jv * Jv)
+        Jd_sq = jax.lax.psum(Jd_sq_loc, axis)
+        mcc = -(jnp.vdot(d, -b) + 0.5 * Jd_sq)
+        delta = scale * d
+        return {
+            "cost": cost,
+            "gradient_max_norm": jnp.max(jnp.abs(grad)),
+            "gradient_norm": jnp.linalg.norm(grad),
+            "delta": delta,
+            "model_cost_change": mcc,
+            "step_norm": jnp.linalg.norm(delta),
+            "lin_iters": jnp.asarray(1, jnp.int32),
+        }
+
+    from jax.experimental.shard_map import shard_map
+
+    shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shards_np)
+    step_sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), shard_spec),
+        out_specs=P(),
+        check_rep=False)
+
+    def place(shards):
+        return jax.tree_util.tree_map(
+            lambda a, s: jax.device_put(jnp.asarray(a),
+                                        NamedSharding(mesh, s)),
+            shards, shard_spec)
+
+    return jax.jit(step_sharded), shards_np, place
+
+
+def _abs_slot_of(bk, var_si):
+    """Absolute slot index of the var_si-th variable slot."""
+    v = -1
+    for si, sl in enumerate(bk.slots):
+        if sl.variable:
+            v += 1
+            if v == var_si:
+                return si
+    raise IndexError(var_si)
