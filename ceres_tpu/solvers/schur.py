@@ -973,6 +973,30 @@ def make_schur_solver(program, options):
             rhs = ops.rhs(b_e, b_f)
             precond = ops.make_preconditioner(precond_kind)
             x0 = jnp.zeros((nf,), dtype=rhs.dtype)
+            if options.use_spse_initialization:
+                # SPSE warm start (iterative_schur_complement_solver.cc:
+                # 99-111): seed PCG with a truncated power-series estimate
+                # of S^-1 rhs around the Schur-Jacobi splitting, iterating
+                # until the correction drops below spse_tolerance.
+                p_apply = ops._make_block_diag_preconditioner(True)
+                spse_max = options.max_num_spse_iterations
+                spse_tol = options.spse_tolerance
+
+                def spse_cond(s):
+                    xk, dx, i = s
+                    return ((i < spse_max)
+                            & (jnp.linalg.norm(dx)
+                               > spse_tol * jnp.linalg.norm(xk)))
+
+                def spse_body(s):
+                    xk, _, i = s
+                    dx = p_apply(rhs - ops.apply_S(xk))
+                    return (xk + dx, dx, i + 1)
+
+                x0 = p_apply(rhs)
+                x0, _, _ = jax.lax.while_loop(
+                    spse_cond, spse_body,
+                    (x0, x0, jnp.asarray(1, jnp.int32)))
             result = conjugate_gradients(
                 ops.apply_S, rhs, x0, apply_preconditioner=precond,
                 max_iterations=max_it, q_tolerance=eta)
