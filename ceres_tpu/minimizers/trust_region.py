@@ -198,6 +198,24 @@ def minimize_trust_region(program, options, step_fn: Callable,
     else:
         pg_norm = None
 
+    dump_dir = options.trust_region_problem_dump_directory
+    dump_fn = None
+    if dump_dir:
+        # Per-iteration inner-problem dump (solver.h:724-734,
+        # trust_region_minimizer.cc:383-392 DumpLinearLeastSquaresProblem):
+        # the TPU-native format is one .npz per iteration with the dense
+        # Jacobian, residuals, gradient, state, step and radius.
+        import os as _os
+        _os.makedirs(dump_dir, exist_ok=True)
+
+        def _dump_arrays(xx):
+            cost, grad, jac, res = program.linearize_fn(xx)
+            return jac.to_dense(), res.flatten(), grad
+
+        dump_fn = program.cached_jit(
+            "dump_fn",
+            lambda: program.jit_with_consts(_dump_arrays, (ex_x,)))
+
     proj_ls = None
     if (program.has_bounds
             and options.max_num_line_search_step_size_iterations > 0):
@@ -334,6 +352,16 @@ def minimize_trust_region(program, options, step_fn: Callable,
             trust_region_radius=strategy.radius,
             linear_solver_iterations=lin_iters,
             step_solver_time_in_seconds=t_solve)
+
+        if dump_fn is not None:
+            import os as _os
+            Jd, rd, gd = jax.device_get(dump_fn(x))
+            np.savez(
+                _os.path.join(dump_dir,
+                              f"ceres_tpu_iteration_{iteration:03d}.npz"),
+                J=Jd, residuals=rd, gradient=gd, x=np.asarray(x),
+                delta=np.asarray(step_out["delta"]),
+                radius=strategy.radius)
 
         # Gradient convergence (checked on the fresh linearization).
         if grad_max <= options.gradient_tolerance:

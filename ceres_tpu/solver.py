@@ -349,7 +349,8 @@ def solve(options: SolverOptions, problem,
                      and not options.callbacks
                      and not options.use_nonmonotonic_steps
                      and not options.minimizer_progress_to_stdout
-                     and not options.use_inner_iterations)
+                     and not options.use_inner_iterations
+                     and not options.trust_region_problem_dump_directory)
         if use_fused:
             from .minimizers.fused import run_fused
             x = run_fused(program, options, summary)

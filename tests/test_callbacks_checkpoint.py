@@ -103,3 +103,29 @@ def test_dump_linear_problem(tmp_path):
     data = np.load(tmp_path / "lsqp.npz")
     assert data["jacobian"].shape == (1, 1)
     np.testing.assert_allclose(data["rhs"], [2.0])
+
+
+def test_trust_region_problem_dump(tmp_path):
+    """solver.h:724-734: per-iteration (J, residuals, gradient, x, delta,
+    radius) dumps, npz format (the TPU-native
+    DumpLinearLeastSquaresProblem)."""
+    import glob
+    import jax.numpy as jnp
+
+    def f(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    x = np.array([-1.2, 1.0])
+    problem = ct.Problem()
+    problem.add_residual_block(ct.AutoDiffCostFunction(f, 2, [2]), None, x)
+    options = ct.SolverOptions(
+        max_num_iterations=5,
+        fused_iterations=False,
+        trust_region_problem_dump_directory=str(tmp_path))
+    ct.solve(options, problem)
+    files = sorted(glob.glob(str(tmp_path / "ceres_tpu_iteration_*.npz")))
+    assert len(files) >= 2
+    d = np.load(files[0])
+    assert d["J"].shape == (2, 2)
+    assert d["residuals"].shape == (2,)
+    assert np.isfinite(d["radius"])
