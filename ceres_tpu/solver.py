@@ -79,7 +79,8 @@ def _make_linear_solver(program, options):
             else:
                 precond = None
             return solve_cgnr(jac, res, D, apply_preconditioner=precond,
-                              max_iterations=max_it, q_tolerance=eta)
+                              max_iterations=max_it, q_tolerance=eta,
+                              min_iterations=options.min_linear_solver_iterations)
 
         return solve
     if t in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR,

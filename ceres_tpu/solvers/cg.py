@@ -96,7 +96,7 @@ def conjugate_gradients(
 
 def solve_cgnr(jac, res, D, apply_preconditioner=None,
                max_iterations: int = 100, q_tolerance: float = 1e-1,
-               r_tolerance: float = 0.0):
+               r_tolerance: float = 0.0, min_iterations: int = 0):
     """CGNR: CG on the normal equations (J^T J + D^T D) d = -J^T r
     (cgnr_solver.cc; math doc cgnr_linear_operator semantics z = A^T A x +
     D^T D x). Fully matrix-free over the bucketed BlockJacobian. With
@@ -115,6 +115,6 @@ def solve_cgnr(jac, res, D, apply_preconditioner=None,
     x0 = jnp.zeros_like(b)
     result = conjugate_gradients(
         apply_A, b, x0, apply_preconditioner=apply_preconditioner,
-        max_iterations=max_iterations, q_tolerance=q_tolerance,
-        r_tolerance=r_tolerance)
+        max_iterations=max_iterations, min_iterations=min_iterations,
+        q_tolerance=q_tolerance, r_tolerance=r_tolerance)
     return result.x, result.num_iterations

@@ -999,7 +999,8 @@ def make_schur_solver(program, options):
                     (x0, x0, jnp.asarray(1, jnp.int32)))
             result = conjugate_gradients(
                 ops.apply_S, rhs, x0, apply_preconditioner=precond,
-                max_iterations=max_it, q_tolerance=eta)
+                max_iterations=max_it, q_tolerance=eta,
+                min_iterations=options.min_linear_solver_iterations)
             y = result.x
             iters = result.num_iterations
 
