@@ -972,6 +972,19 @@ def make_schur_solver(program, options):
         else:
             rhs = ops.rhs(b_e, b_f)
             precond = ops.make_preconditioner(precond_kind)
+            # Explicit-S operator (solver.h use_explicit_schur_complement):
+            # for small camera counts, forming the dense S once and using a
+            # [nf, nf] matvec per CG iteration beats the matrix-free chain
+            # (the reference documents this for < ~100 cameras; the TPU
+            # crossover is larger — each implicit apply walks the chunk
+            # tensors, a dense matvec is one MXU op).
+            use_explicit = (options.use_explicit_schur_complement
+                            or nf <= 2048)
+            if use_explicit:
+                S_exp = ops.explicit_S()
+                apply_S = lambda v: S_exp @ v
+            else:
+                apply_S = ops.apply_S
             x0 = jnp.zeros((nf,), dtype=rhs.dtype)
             if options.use_spse_initialization:
                 # SPSE warm start (iterative_schur_complement_solver.cc:
@@ -990,7 +1003,7 @@ def make_schur_solver(program, options):
 
                 def spse_body(s):
                     xk, _, i = s
-                    dx = p_apply(rhs - ops.apply_S(xk))
+                    dx = p_apply(rhs - apply_S(xk))
                     return (xk + dx, dx, i + 1)
 
                 x0 = p_apply(rhs)
@@ -998,7 +1011,7 @@ def make_schur_solver(program, options):
                     spse_cond, spse_body,
                     (x0, x0, jnp.asarray(1, jnp.int32)))
             result = conjugate_gradients(
-                ops.apply_S, rhs, x0, apply_preconditioner=precond,
+                apply_S, rhs, x0, apply_preconditioner=precond,
                 max_iterations=max_it, q_tolerance=eta,
                 min_iterations=options.min_linear_solver_iterations)
             y = result.x
