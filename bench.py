@@ -79,6 +79,8 @@ def main():
             max_linear_solver_iterations=100,
             use_mixed_precision_solves=not bool(
                 os.environ.get("BENCH_NO_MIXED")),
+            max_num_refinement_iterations=int(
+                os.environ.get("BENCH_REFINE", "0")),
             fused_iterations=not bool(os.environ.get("BENCH_HOST_LOOP")),
         )
 

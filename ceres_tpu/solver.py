@@ -112,8 +112,12 @@ def make_step_impl(program, options):
 
     mixed = options.use_mixed_precision_solves
 
+    refine_iters = options.max_num_refinement_iterations
+    solve_b = getattr(linear_solve, "solve_b", None)
+
     def lm_step(x, radius):
         cost, grad64, jac, res = program.linearize_fn(x)
+        jac64, res64 = jac, res
         if mixed:
             # Mixed precision: everything J-wide runs in f32 (f64 on TPU
             # is software-emulated; the f64 J^T-side reductions alone cost
@@ -140,6 +144,24 @@ def make_step_impl(program, options):
         diag = jnp.clip(jac_s.squared_column_norms(), min_diag, max_diag)
         D = jnp.sqrt(diag / radius.astype(jac_s.buckets[0].J.dtype))
         d, lin_iters = linear_solve(jac_s, res, D)
+        if mixed and refine_iters > 0 and solve_b is not None:
+            # Mixed-precision iterative refinement (solver.h:572-589 +
+            # iterative_refiner.h): the f64 residual of the damped normal
+            # equations drives f32 correction solves, recovering
+            # f64-quality steps from the fast f32 factorization.
+            scale64 = scale.astype(dtype)
+            jac64_s = jac64.scale_columns(scale64)
+            D64 = D.astype(dtype)
+            b64 = -jac64_s.rmatvec(res64)
+            d64 = d.astype(dtype)
+            for _ in range(refine_iters):
+                Hd = jac64_s.rmatvec(jac64_s.matvec(d64)) \
+                    + (D64 * D64) * d64
+                rn = b64 - Hd
+                dc, it2 = solve_b(jac_s, D, rn)
+                d64 = d64 + dc.astype(dtype)
+                lin_iters = lin_iters + it2
+            d = d64
         Jd = jac_s.matvec(d)
         mcc = -(jnp.vdot(d, grad_s) + 0.5 * Jd.squared_norm())
         delta = (scale * d).astype(dtype)

@@ -939,7 +939,10 @@ def make_schur_solver(program, options):
 
     mixed = options.use_mixed_precision_solves
 
-    def solve(jac, res, D):
+    def solve_b(jac, D, b):
+        """Solve (J^T J + D^2) d = b via Schur elimination; jac/D/b share a
+        dtype. Returns (d, lin_iters). Used both for the LM step (with
+        b = -J^T r) and for mixed-precision refinement corrections."""
         out_dtype = jac.buckets[0].J.dtype
         if mixed:
             # Mixed precision (solver.h:572-589 use_mixed_precision_solves,
@@ -950,16 +953,14 @@ def make_schur_solver(program, options):
             # cost/gradient/convergence stay f64.
             from ..ops.bsr import BucketJacobian
             jac = BlockJacobian(
-                [BucketJacobian(b.J.astype(jnp.float32), b.cols,
-                                b.row_offset, b.onehots, b.gcols,
-                                b.sorted_slot, b.tlocals, b.tslabs)
-                 for b in jac.buckets],
+                [BucketJacobian(b_.J.astype(jnp.float32), b_.cols,
+                                b_.row_offset, b_.onehots, b_.gcols,
+                                b_.sorted_slot, b_.tlocals, b_.tslabs)
+                 for b_ in jac.buckets],
                 jac.num_rows, jac.num_cols)
-            res = RVec([p.astype(jnp.float32) for p in res.parts])
             D = D.astype(jnp.float32)
+            b = b.astype(jnp.float32)
         ops = SchurOps(meta, jac, D)
-        g = jac.rmatvec(res)
-        b = -g
         b_e = b[meta.c("e_cols", meta.e_cols)]          # [ne, te]
         b_f = b[meta.c("f_global", meta.f_global_cols)]   # [nf]
 
@@ -1023,4 +1024,8 @@ def make_schur_solver(program, options):
         d = d.at[meta.c("e_cols", meta.e_cols)].set(d_e)
         return d.astype(out_dtype), iters
 
+    def solve(jac, res, D):
+        return solve_b(jac, D, -jac.rmatvec(res))
+
+    solve.solve_b = solve_b
     return solve
