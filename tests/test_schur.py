@@ -205,3 +205,26 @@ def test_clustering_algorithms():
         int(m2.max()) + 1, {(0, int(m2.max())): 1.0}
         if m2.max() > 0 else {})
     assert isinstance(forest, list)
+
+
+def test_mixed_precision_refinement_recovers_f64_step():
+    """solver.h:572-589 + iterative_refiner.h: f32 Schur solve + f64
+    normal-equation residual refinement reproduces the f64 step."""
+    problem, cams, pts = small_ba(seed=11, ncam=4, npts=40, nobs=120)
+    prog = CompiledProgram(problem)
+    x = prog.initial_state()
+    radius = jnp.asarray(1e4)
+
+    def delta(mixed, refine):
+        options = ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            use_mixed_precision_solves=mixed,
+            max_num_refinement_iterations=refine)
+        return np.asarray(make_step_fn(prog, options)(x, radius)["delta"])
+
+    d64 = delta(False, 0)
+    d32 = delta(True, 0)
+    d32r = delta(True, 2)
+    err32 = np.abs(d32 - d64).max()
+    err32r = np.abs(d32r - d64).max()
+    assert err32r < max(err32 * 1e-2, 1e-12), (err32, err32r)
