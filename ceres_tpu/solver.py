@@ -114,6 +114,14 @@ def make_step_impl(program, options):
 
     refine_iters = options.max_num_refinement_iterations
     solve_b = getattr(linear_solve, "solve_b", None)
+    # Direct solvers return (J'J + D^2) d = b exactly, so
+    # ||J_s d||^2 = d.b - ||D d||^2 — the extra J matvec for the model
+    # cost change is unnecessary (levenberg_marquardt_strategy.cc computes
+    # it the same way for exact steps).
+    exact_solver = options.linear_solver_type in (
+        LinearSolverType.DENSE_QR, LinearSolverType.DENSE_NORMAL_CHOLESKY,
+        LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+        LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR)
 
     def lm_step(x, radius):
         cost, grad64, jac, res = program.linearize_fn(x)
@@ -162,8 +170,13 @@ def make_step_impl(program, options):
                 d64 = d64 + dc.astype(dtype)
                 lin_iters = lin_iters + it2
             d = d64
-        Jd = jac_s.matvec(d)
-        mcc = -(jnp.vdot(d, grad_s) + 0.5 * Jd.squared_norm())
+        if exact_solver:
+            Dd = D.astype(d.dtype) * d
+            Jd_sq = -jnp.vdot(d, grad_s) - jnp.vdot(Dd, Dd)
+            mcc = -(jnp.vdot(d, grad_s) + 0.5 * Jd_sq)
+        else:
+            Jd = jac_s.matvec(d)
+            mcc = -(jnp.vdot(d, grad_s) + 0.5 * Jd.squared_norm())
         delta = (scale * d).astype(dtype)
         out = {
             "cost": cost,

@@ -687,7 +687,10 @@ class SchurOps:
         kf, t = grp["kf"], grp["t"]
 
         FtF_blocks = jnp.zeros((kf, t, t), dtype=dtype)
-        A = jnp.zeros((ne, te, kf, t), dtype=dtype)
+        # A = E^T F kept as [ne, te, kf*t]: a 144-wide minor dim tiles far
+        # better than the 4-D [ne, te, kf, t] form (t=9 pads to a full
+        # 128-lane tile).
+        A = jnp.zeros((ne, te, kf * t), dtype=dtype)
         for bi, bs in enumerate(meta.buckets):
             if bs.f_cols is None:
                 continue
@@ -699,7 +702,8 @@ class SchurOps:
                 FtF_blocks = FtF_blocks + jnp.einsum("nkc,nktu->ctu",
                                                      ohd, Gf)
                 Ge = jnp.einsum("nkru,nkrt->nkut", g["Je_g"], Jf_g)
-                A = A + jnp.einsum("nkc,nkut->nuct", ohd, Ge)
+                A = A + jnp.einsum("nkc,nkut->nuct", ohd,
+                                   Ge).reshape(ne, te, kf * t)
             else:
                 # f-only bucket: block-diagonal contribution via one-hot.
                 slots_here = [s for s in grp["slots"] if s[0] == bi]
@@ -710,16 +714,16 @@ class SchurOps:
                 oh = meta.onehot(0, bi, si, local, kf).astype(dtype)
                 FtF_blocks = FtF_blocks + jnp.einsum("nc,ntu->ctu", oh, G)
 
-        # S (group-local ordering) = blockdiag(FtF) - A^T (EtE)^-1 A
-        Y = jnp.einsum("nuv,nvct->nuct", self.inv_ete, A)
-        S_corr = jnp.einsum("nuct,nudw->ctdw", A, Y)
-        S_local = -S_corr.reshape(kf * t, kf * t)
+        # S (group-local ordering) = blockdiag(FtF) - A^T (EtE)^-1 A,
+        # with the correction as ONE [kf*t, ne*te] x [ne*te, kf*t] matmul.
+        Y = jnp.einsum("nuv,nvf->nuf", self.inv_ete, A)
+        S_corr = jnp.einsum("nuf,nug->fg", A, Y)
         ii = jnp.arange(kf)
-        S_local = S_local.reshape(kf, t, kf, t).at[ii, :, ii, :].add(
+        S_local = (-S_corr).reshape(kf, t, kf, t).at[ii, :, ii, :].add(
             FtF_blocks).reshape(kf * t, kf * t)
         pos = meta.c("fg0.cols", grp["cols"]).reshape(-1)    # [kf*t]
         S_local = S_local + jnp.diag((self.D_f * self.D_f)[pos])
-        return S_local, A.reshape(ne, te, kf * t), pos
+        return S_local, A, pos
 
     def explicit_S_rhs_local(self, b_e, b_f):
         """(S_local, rhs_local, pos): the reduced system in group-local
