@@ -116,9 +116,11 @@ def make_step_impl(program, options):
     solve_b = getattr(linear_solve, "solve_b", None)
     # Direct solvers return (J'J + D^2) d = b exactly, so
     # ||J_s d||^2 = d.b - ||D d||^2 — the extra J matvec for the model
-    # cost change is unnecessary (levenberg_marquardt_strategy.cc computes
-    # it the same way for exact steps).
-    exact_solver = options.linear_solver_type in (
+    # cost change is unnecessary. The subtraction cancels catastrophically
+    # near convergence, so use it only in mixed mode, where the f32 step
+    # already bounds the achievable tail accuracy and the saved matvec is
+    # material; full-f64 solves keep the exact product (NIST tail digits).
+    exact_solver = mixed and options.linear_solver_type in (
         LinearSolverType.DENSE_QR, LinearSolverType.DENSE_NORMAL_CHOLESKY,
         LinearSolverType.SPARSE_NORMAL_CHOLESKY,
         LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR)
