@@ -97,22 +97,38 @@ def make_fused_tr_solve(program, options):
             invalid = jnp.where(step_valid, 0, s["invalid"] + 1)
             it = s["iter"] + 1
 
-            x_out = jnp.where(accept, x_new, s["x"])
-            cost_out = jnp.where(accept, new_cost, cost)
-            x_norm = jnp.linalg.norm(x_out)
+            candidate_ok = step_valid & jnp.isfinite(new_cost)
+            had_success = (s["ok_steps"] > 0) | accept
 
             code = jnp.asarray(0, jnp.int32)
-            # priority mirrors the host loop's check order
+            # priority mirrors the host loop / reference check order
+            # (tolerances tested on the CANDIDATE, before accept/reject,
+            # trust_region_minimizer.cc:110-116).
             code = jnp.where((code == 0) & (grad_max <= gtol), 1, code)
             code = jnp.where(
-                (code == 0) & accept
-                & (jnp.abs(cost - new_cost) <= ftol * cost), 2, code)
+                (code == 0) & candidate_ok
+                & (jnp.abs(cost - new_cost) <= ftol * cost)
+                & (accept | (jnp.abs(mcc) <= ftol * cost)), 2, code)
+            # Negligible model cost change on an invalid step = converged
+            # at rounding level, not a failure.
             code = jnp.where(
-                (code == 0) & accept
-                & (step_norm <= ptol * (x_norm + ptol)), 3, code)
+                (code == 0) & ~step_valid & jnp.isfinite(mcc)
+                & (jnp.abs(mcc) <= ftol * cost), 2, code)
+            code = jnp.where(
+                (code == 0) & candidate_ok & had_success
+                & (step_norm <= ptol * (jnp.linalg.norm(s["x"]) + ptol)),
+                3, code)
             code = jnp.where((code == 0) & (radius < min_radius), 4, code)
             code = jnp.where((code == 0) & (it >= max_iters), 5, code)
             code = jnp.where((code == 0) & (invalid >= max_invalid), 6, code)
+
+            # Keep the candidate when accepted, or when terminating on
+            # function tolerance with an improving candidate.
+            take = accept | ((code == 2) & candidate_ok
+                             & (new_cost < cost))
+            x_out = jnp.where(take, x_new, s["x"])
+            cost_out = jnp.where(take, new_cost, cost)
+            x_norm = jnp.linalg.norm(x_out)
 
             return {
                 "x": x_out,

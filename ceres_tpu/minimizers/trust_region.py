@@ -375,6 +375,17 @@ def minimize_trust_region(program, options, step_fn: Callable,
                          and math.isfinite(step_norm))
         if not step_is_valid:
             # HandleInvalidStep (trust_region_minimizer.cc:464).
+            if (math.isfinite(mcc)
+                    and abs(mcc) <= options.function_tolerance * cost):
+                # The model predicts no possible decrease beyond rounding:
+                # this is convergence, not failure (resolves the
+                # reference's TODO at trust_region_minimizer.cc:465-468 —
+                # "model_cost_change ~ 0.0, but just slightly negative").
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = (
+                    "Function tolerance reached. Model cost change "
+                    f"{mcc:e} is negligible relative to the cost.")
+                break
             num_consecutive_invalid_steps += 1
             if (num_consecutive_invalid_steps
                     >= options.max_num_consecutive_invalid_steps):
@@ -439,6 +450,49 @@ def minimize_trust_region(program, options, step_fn: Callable,
         it.relative_decrease = relative_decrease
         it.cost_change = cost - new_cost
         it.step_is_valid = True
+
+        # Tolerance tests run on the CANDIDATE, before the accept/reject
+        # decision (trust_region_minimizer.cc:110-116) — this is what ends
+        # solves cleanly once candidate costs stop moving, even when the
+        # step would be rejected.
+        if math.isfinite(new_cost):
+            if (summary.num_successful_steps > 0
+                    and step_norm <= options.parameter_tolerance
+                    * (x_norm + options.parameter_tolerance)):
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = "Parameter tolerance reached."
+                it.iteration_time_in_seconds = time.time() - it_start
+                it.cumulative_time_in_seconds = time.time() - t_start
+                summary.iterations.append(it)
+                log_line(it)
+                break
+            # A rejected candidate with a tiny cost change terminates only
+            # when the model ALSO predicts negligible decrease — otherwise
+            # a smaller radius can still make progress (keeps the solver
+            # polishing on ill-conditioned problems; NIST tails).
+            would_accept = relative_decrease > options.min_relative_decrease
+            if (abs(cost - new_cost) <= options.function_tolerance * cost
+                    and (would_accept
+                         or abs(mcc) <= options.function_tolerance * cost)):
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = (
+                    f"Function tolerance reached. |cost_change|/cost: "
+                    f"{abs(cost - new_cost) / max(cost, 1e-300):e} <= "
+                    f"{options.function_tolerance:e}")
+                # Keep the candidate when it improves the cost (the
+                # reference keeps x_, which equals the candidate when the
+                # step was successful).
+                if new_cost < cost:
+                    x, cost = x_new, new_cost
+                    x_norm = new_x_norm
+                    it.cost = cost
+                    it.step_is_successful = True
+                    summary.num_successful_steps += 1
+                it.iteration_time_in_seconds = time.time() - it_start
+                it.cumulative_time_in_seconds = time.time() - t_start
+                summary.iterations.append(it)
+                log_line(it)
+                break
 
         if relative_decrease > options.min_relative_decrease:
             # Accepted.
