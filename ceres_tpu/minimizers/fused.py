@@ -128,7 +128,6 @@ def make_fused_tr_solve(program, options):
                              & (new_cost < cost))
             x_out = jnp.where(take, x_new, s["x"])
             cost_out = jnp.where(take, new_cost, cost)
-            x_norm = jnp.linalg.norm(x_out)
 
             return {
                 "x": x_out,

@@ -204,8 +204,10 @@ class BlockJacobian:
                 acc = jnp.einsum("nk,nt->kt", oh.astype(part.dtype), part)
                 out = out.at[gc].add(acc)
             else:
-                out = out.at[c].add(
-                    part, indices_are_sorted=(s == b.sorted_slot))
+                # NOTE: even with rows sorted by block id, the flattened
+                # [n, t] indices are not monotonic (within-block columns
+                # repeat), so indices_are_sorted must NOT be passed.
+                out = out.at[c].add(part)
             off += t_s
         return out
 

@@ -268,7 +268,6 @@ def make_sharded_schur_step(program, options, mesh: Mesh,
     shards_np = build_row_shards(program, num_shards)
     # Augment with per-row Schur indexing.
     for bi, bs in enumerate(meta.buckets):
-        bk = program.buckets[bi]
         n_pad = shards_np[bi]["mask"].shape[0]
         if bs.e_slot is not None:
             shards_np[bi]["e_ids"] = _pad_rows(bs.e_ids, n_pad)
@@ -318,8 +317,6 @@ def make_sharded_schur_step(program, options, mesh: Mesh,
         ete_loc = jnp.zeros((ne, te, te), dtype=dtype)
         FtF_loc = jnp.zeros((nf, nf), dtype=dtype)
         A_loc = jnp.zeros((ne, te, nf), dtype=dtype)
-        g2f = -np.ones(n_eff, dtype=np.int64)
-        g2f[f_global] = np.arange(nf)
         for bi, ((rc, Jc), sh, bs) in enumerate(zip(outs, shards,
                                                     meta.buckets)):
             Js = Jc * scale[sh["cols"]][:, None, :]

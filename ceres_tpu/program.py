@@ -358,8 +358,6 @@ class CompiledProgram:
                     blk = problem._blocks[k]
                     if blk.constant or blk.tangent_size <= 0:
                         continue
-                    kg = len([b for b in self.variable_blocks
-                              if b.tangent_size == blk.tangent_size])
                     gi_, _ = self._group_of_block[k]
                     kg = self.groups[gi_].num_blocks
                     if kg > sort_kg:

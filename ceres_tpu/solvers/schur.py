@@ -301,16 +301,24 @@ def _detect_schur_structure(program, options):
             order = np.argsort(e_ids, kind="stable")
             counts = np.bincount(e_ids, minlength=meta.ne)
             kmax = max(1, int(counts.max()))
-            starts = np.zeros(meta.ne, dtype=np.int64)
-            starts[1:] = np.cumsum(counts)[:-1]
-            sorted_e = e_ids[order]
-            rank = np.arange(n, dtype=np.int64) - starts[sorted_e]
-            chunk_rows = np.zeros((meta.ne, kmax), dtype=np.int32)
-            chunk_mask = np.zeros((meta.ne, kmax), dtype=np.float32)
-            chunk_rows[sorted_e, rank] = order.astype(np.int32)
-            chunk_mask[sorted_e, rank] = 1.0
-            bs.chunk_rows = chunk_rows
-            bs.chunk_mask = chunk_mask
+            # Guard against pathological padding: one landmark seen by
+            # thousands of cameras would inflate every [ne, kmax, ...]
+            # chunk tensor by kmax/mean(k); fall back to the
+            # observation-order path when padding exceeds ~4x.
+            if meta.ne * kmax > 4 * n + 1024:
+                bs.chunk_rows = None
+                bs.chunk_mask = None
+            else:
+                starts = np.zeros(meta.ne, dtype=np.int64)
+                starts[1:] = np.cumsum(counts)[:-1]
+                sorted_e = e_ids[order]
+                rank = np.arange(n, dtype=np.int64) - starts[sorted_e]
+                chunk_rows = np.zeros((meta.ne, kmax), dtype=np.int32)
+                chunk_mask = np.zeros((meta.ne, kmax), dtype=np.float32)
+                chunk_rows[sorted_e, rank] = order.astype(np.int32)
+                chunk_mask[sorted_e, rank] = 1.0
+                bs.chunk_rows = chunk_rows
+                bs.chunk_mask = chunk_mask
         meta.buckets.append(bs)
 
     # f-block groups (for SCHUR_JACOBI / JACOBI preconditioners)
@@ -743,16 +751,6 @@ class SchurOps:
         S_local = S_local + jnp.diag((self.D_f * self.D_f)[pos])
         return S_local, A, pos
 
-    def explicit_S_rhs_local(self, b_e, b_f):
-        """(S_local, rhs_local, pos): the reduced system in group-local
-        ordering — avoids scattering the [ne, te, nf] A tensor into global
-        ordering (a ~40 MB scatter per iteration). Only valid when
-        _grouped_assemble_possible()."""
-        S_local, A, pos = self._assemble_S_grouped()
-        z = self.esolve(b_e)
-        rhs_local = b_f[pos] - jnp.einsum("itf,it->f", A, z)
-        return S_local, rhs_local, pos
-
     def _assemble_S(self):
         if self._grouped_assemble_possible():
             S_local, A, pos = self._assemble_S_grouped()
@@ -1002,7 +1000,8 @@ def make_schur_solver(program, options):
             # crossover is larger — each implicit apply walks the chunk
             # tensors, a dense matvec is one MXU op).
             use_explicit = (options.use_explicit_schur_complement
-                            or nf <= 2048)
+                            or (nf <= 2048
+                                and meta.ne * meta.te * nf <= 1e8))
             if use_explicit:
                 S_exp = ops.explicit_S()
                 apply_S = lambda v: S_exp @ v
