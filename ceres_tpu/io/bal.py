@@ -151,9 +151,28 @@ def synthetic_bal_problem(num_cameras: int, num_points: int,
     points = rng.normal(0.0, 1.0, (num_points, 3))
 
     def _rotmat_to_angle_axis(R):
-        from .. import rotation as _rot
-        return np.asarray(_rot.rotation_matrix_to_angle_axis(
-            np.asarray(R, dtype=np.float64)))
+        # Local numpy R->quaternion->angle-axis (kept separate from
+        # rotation.py's traced version so the synthetic problem instances
+        # stay byte-identical across releases — benchmark continuity).
+        t = np.trace(R)
+        if t > 0:
+            w = 0.5 * np.sqrt(1.0 + t)
+            v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                          R[1, 0] - R[0, 1]]) / (4.0 * w)
+        else:
+            i = int(np.argmax(np.diag(R)))
+            j, k = (i + 1) % 3, (i + 2) % 3
+            sq = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12))
+            v = np.zeros(3)
+            v[i] = 0.5 * sq
+            w = (R[k, j] - R[j, k]) / (2.0 * sq)
+            v[j] = (R[j, i] + R[i, j]) / (2.0 * sq)
+            v[k] = (R[k, i] + R[i, k]) / (2.0 * sq)
+        n = np.linalg.norm(v)
+        if n < 1e-12:
+            return np.zeros(3)
+        angle = 2.0 * np.arctan2(n, w)
+        return angle * v / n
 
     # Cameras on a ring of radius 8 around the unit cloud, each looking at
     # the origin (BAL convention: p = R X + t, camera looks along -z, so R
