@@ -126,3 +126,21 @@ def test_subset_preconditioner_cgnr():
         preconditioner_type=ct.PreconditionerType.JACOBI,
         max_num_iterations=60), pr2)
     np.testing.assert_allclose(s.final_cost, s2.final_cost, rtol=1e-3)
+
+
+def test_pose_graph_3d_sparse_at_scale():
+    """300-pose 3D pose graph (2100 params, quaternion manifolds) through
+    the native sparse path converges."""
+    import ceres_tpu as ct
+    from ceres_tpu.io.g2o import synthetic_pose_graph_3d
+    from ceres_tpu.examples.slam import build_pose_graph_3d_problem
+
+    poses, constraints, gt = synthetic_pose_graph_3d(num_poses=300, seed=2)
+    pr, pos, quats = build_pose_graph_3d_problem(poses, constraints)
+    s = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+        max_num_iterations=60), pr)
+    assert s.is_solution_usable()
+    assert s.final_cost < 0.5 * s.initial_cost
+    for q in quats.values():
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-9)
