@@ -850,15 +850,19 @@ class SchurOps:
                 bs = meta.buckets[bi]
                 Jf = bj.slot_J(var_si)
                 G = jnp.einsum("nrt,nru->ntu", Jf, Jf)
-                li = meta.c(f"fg{gi}.local{k}", local)
-                acc = acc.at[li].add(G)
                 if subtract_cross and bs.e_slot is not None:
                     Je = bj.slot_J(bs.e_slot)
                     Gc = jnp.einsum("nrt,nru->ntu", Je, Jf)  # [n, te, t]
                     eids = meta.c(f"b{bi}.e_ids", bs.e_ids)
                     MG = jnp.einsum("nij,njv->niv", self.inv_ete[eids], Gc)
-                    sub = jnp.einsum("ntu,ntv->nuv", Gc, MG)
-                    acc = acc.at[li].add(-sub)
+                    G = G - jnp.einsum("ntu,ntv->nuv", Gc, MG)
+                oh = meta.onehot(gi, bi, var_si, local, kf)
+                if oh is not None:
+                    # duplicate reduction as a one-hot contraction (MXU)
+                    acc = acc + jnp.einsum("nk,ntu->ktu",
+                                           oh.astype(dtype), G)
+                else:
+                    acc = acc.at[meta.c(f"fg{gi}.local{k}", local)].add(G)
             cols = meta.c(f"fg{gi}.cols", grp["cols"])      # [kf, t]
             d = self.D_f[cols]
             acc = acc + _embed_diag(d * d)
