@@ -209,10 +209,15 @@ class Problem:
                 if id(pb) in seen:
                     raise ValueError("duplicate parameter block in residual")
                 seen.add(id(pb))
+        # Fast path: blocks already registered (the common case in bulk
+        # model building — e.g. 900k FoE patches over the same pixels).
+        blocks = self._blocks
         keys = []
         for pb in parameter_blocks:
-            self.add_parameter_block(pb)
-            keys.append(self._as_key(pb))
+            k = id(pb)
+            if k not in blocks:
+                self.add_parameter_block(pb)
+            keys.append(k)
         rb = ResidualBlockId(cost_function, loss_function, tuple(keys),
                              len(self._residuals))
         self._residuals.append(rb)
