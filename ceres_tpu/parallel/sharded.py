@@ -61,6 +61,9 @@ def build_row_shards(program, num_shards: int):
         mask = np.zeros(n_pad)
         mask[:bk.n] = 1.0
         entry["mask"] = mask
+        if getattr(bk, "loss_attrs", None):
+            entry["loss_attrs"] = {k: _pad_rows(np.asarray(v), n_pad)
+                                   for k, v in bk.loss_attrs.items()}
         shards.append(entry)
     return shards
 
@@ -75,7 +78,11 @@ def _local_linearize(program, x, shards, dtype):
         m = sh["mask"]
         r = r * m[:, None]
         J = J * m[:, None, None]
-        cost, rc, Jc = correct_residuals_and_jacobian(bk.loss, r, J)
+        loss = bk.loss
+        if "loss_attrs" in sh:
+            loss = object.__new__(type(bk.loss))
+            object.__setattr__(loss, "__dict__", dict(sh["loss_attrs"]))
+        cost, rc, Jc = correct_residuals_and_jacobian(loss, r, J)
         cost_local = cost_local + jnp.sum(cost)
         outs.append((rc, Jc))
     return cost_local, outs
@@ -237,7 +244,11 @@ def make_sharded_cost_fn(program, mesh: Mesh, shards_np, axis: str = "data"):
             r = program._bucket_residuals(bk, x, row_arrays=(sh["data"],
                                                              sh["amb"]))
             r = r * sh["mask"][:, None]
-            c, _, _ = correct_residuals_and_jacobian(bk.loss, r, None)
+            loss = bk.loss
+            if "loss_attrs" in sh:
+                loss = object.__new__(type(bk.loss))
+                object.__setattr__(loss, "__dict__", dict(sh["loss_attrs"]))
+            c, _, _ = correct_residuals_and_jacobian(loss, r, None)
             total = total + jnp.sum(c)
         return jax.lax.psum(total, axis) + program.fixed_cost
 

@@ -53,10 +53,27 @@ def _abs_slot(bucket, var_si):
     raise IndexError(var_si)
 
 
+def _loss_vectorizable(loss):
+    """A loss whose attributes are all plain numbers can be batched across
+    a bucket with per-row stacked attributes (they broadcast elementwise
+    against the [n] squared-norm vector in evaluate())."""
+    try:
+        return all(isinstance(v, (int, float))
+                   for v in vars(loss).values())
+    except Exception:
+        return False
+
+
 def _loss_key(loss):
     if loss is None:
         return None
     try:
+        if _loss_vectorizable(loss):
+            # Same-class losses batch into ONE bucket; differing scalar
+            # parameters ride as stacked per-row data (e.g. the 24
+            # per-filter alphas of Fields-of-Experts collapse 24 buckets
+            # into one, shrinking compile 24x).
+            return (type(loss).__name__, "vectorized")
         items = tuple(sorted(
             (k, v) for k, v in vars(loss).items()
             if isinstance(v, (int, float, bool, str))))
@@ -90,7 +107,8 @@ class _Slot:
 class _Bucket:
     __slots__ = ("cost", "loss", "residual_fn", "jac_mode", "data", "slots",
                  "n", "r", "row_offset", "orig_indices", "key", "_slot_keys",
-                 "data_name", "sorted_abs_slot")
+                 "data_name", "sorted_abs_slot", "loss_attrs",
+                 "loss_attr_consts")
 
 
 class GroupMeta:
@@ -373,6 +391,19 @@ class CompiledProgram:
             bk.key = key
             bk.cost = rbs[0].cost
             bk.loss = rbs[0].loss if apply_loss else None
+            # Vectorized per-row loss parameters (see _loss_key): stack the
+            # scalar attributes when they differ across the bucket.
+            bk.loss_attrs = None
+            bk.loss_attr_consts = None
+            if (apply_loss and bk.loss is not None
+                    and _loss_vectorizable(bk.loss)):
+                attr_sets = [vars(rb.loss) for rb in rbs]
+                names = sorted(attr_sets[0])
+                if any(attr_sets[i][k] != attr_sets[0][k]
+                       for i in range(len(rbs)) for k in names):
+                    bk.loss_attrs = {
+                        k: np.asarray([a[k] for a in attr_sets])
+                        for k in names}
             bk.n = len(rbs)
             bk.r = bk.cost.num_residuals
             bk.row_offset = row
@@ -456,6 +487,12 @@ class CompiledProgram:
         for bi, bk in enumerate(self.buckets):
             bk.data_name = f"b{bi}.data"
             self.register_const(bk.data_name, bk.data)
+            if bk.loss_attrs is not None:
+                bk.loss_attr_consts = {}
+                for k, v in bk.loss_attrs.items():
+                    name = f"b{bi}.lossattr.{k}"
+                    self.register_const(name, v)
+                    bk.loss_attr_consts[k] = name
             var_si = 0
             for si, sl in enumerate(bk.slots):
                 sl.amb_name = f"b{bi}.amb{si}"
@@ -555,6 +592,18 @@ class CompiledProgram:
 
     # ------------------------------------------------------------------
     # evaluation
+
+    def _bucket_loss(self, bk):
+        """The bucket's loss, with per-row stacked parameters when the
+        bucket batches same-class losses with differing scalars."""
+        if not getattr(bk, "loss_attr_consts", None):
+            return bk.loss
+        cls = type(bk.loss)
+        obj = object.__new__(cls)
+        object.__setattr__(obj, "__dict__",
+                           {k: self.const(nm).astype(self.dtype)
+                            for k, nm in bk.loss_attr_consts.items()})
+        return obj
 
     def _bucket_params(self, bk, x):
         """Per-slot parameters [n, amb]: slab slice + row-take (blocks of a
@@ -676,7 +725,7 @@ class CompiledProgram:
         total = jnp.asarray(self.fixed_cost, dtype=x.dtype)
         for bk in self.buckets:
             r = self._bucket_residuals(bk, x)
-            cost, _, _ = correct_residuals_and_jacobian(bk.loss, r, None)
+            cost, _, _ = correct_residuals_and_jacobian(self._bucket_loss(bk), r, None)
             total = total + jnp.sum(cost)
         return total
 
@@ -685,7 +734,7 @@ class CompiledProgram:
         for bk in self.buckets:
             r = self._bucket_residuals(bk, x)
             if corrected:
-                _, r, _ = correct_residuals_and_jacobian(bk.loss, r, None)
+                _, r, _ = correct_residuals_and_jacobian(self._bucket_loss(bk), r, None)
             parts.append(r)
         return RVec(parts)
 
@@ -700,7 +749,7 @@ class CompiledProgram:
         res_parts = []
         for bk in self.buckets:
             r, J = self._bucket_linearize(bk, x)
-            cost, rc, Jc = correct_residuals_and_jacobian(bk.loss, r, J)
+            cost, rc, Jc = correct_residuals_and_jacobian(self._bucket_loss(bk), r, J)
             total = total + jnp.sum(cost)
             vslots = [sl for sl in bk.slots if sl.variable]
             cols = tuple(self.const(sl.cols_name) for sl in vslots)
