@@ -112,3 +112,51 @@ def test_corrector_trivial_noop():
     np.testing.assert_allclose(np.asarray(Jc), np.asarray(jac))
     np.testing.assert_allclose(np.asarray(cost),
                                0.5 * np.sum(np.asarray(res) ** 2, axis=-1))
+
+
+def test_vectorized_loss_parameters_match_reference():
+    """Same-class losses with different scalar parameters batch into one
+    bucket; the result must match solving with explicitly distinct
+    losses (verified against a hand-computed robustified cost)."""
+    import ceres_tpu as ct
+
+    xs = np.linspace(0.0, 3.0, 12)
+    ys = np.exp(0.5 * xs) + np.array([3.0 if i == 5 else 0.0
+                                      for i in range(12)])
+
+    class R:
+        def __init__(self, x, y):
+            self.x = x
+            self.y = y
+
+        def __call__(self, m):
+            return self.y - jnp.exp(m[0] * self.x)
+
+    def build():
+        m = np.array([0.1])
+        problem = ct.Problem()
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            # per-block scale: same HuberLoss class, different a
+            loss = ct.HuberLoss(0.5 + 0.1 * i)
+            problem.add_residual_block(
+                ct.AutoDiffCostFunction(R(float(x), float(y)), 1, [1]),
+                loss, m)
+        return problem, m
+
+    problem, m = build()
+    from ceres_tpu.program import CompiledProgram
+    prog = CompiledProgram(problem)
+    assert len(prog.buckets) == 1  # batched despite 12 distinct a's
+
+    s = ct.solve(ct.SolverOptions(max_num_iterations=100), problem)
+    assert s.is_solution_usable()
+
+    # reference cost at the solution computed by hand
+    r = ys - np.exp(m[0] * xs)
+    sq = r * r
+    total = 0.0
+    for i, si in enumerate(sq):
+        a = 0.5 + 0.1 * i
+        b = a * a
+        total += 0.5 * (si if si <= b else 2.0 * a * np.sqrt(si) - b)
+    np.testing.assert_allclose(s.final_cost, total, rtol=1e-10)
