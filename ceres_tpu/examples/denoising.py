@@ -44,17 +44,27 @@ class FieldsOfExperts:
         return self.size * self.size
 
 
-class FoECost:
+class FoECost(ct.SizedCostFunction):
     """Linear filter response over a patch of 1-pixel parameter blocks
-    (fields_of_experts.h:60 FieldsOfExpertsCost)."""
+    (fields_of_experts.h:60 FieldsOfExpertsCost). The residual is LINEAR
+    in the pixels, so analytic Jacobians (= the filter coefficients) avoid
+    the 25-tangent jacfwd entirely — at full-image scale the AD
+    intermediates alone are ~4 GB."""
 
     def __init__(self, coefficients):
-        self.coefficients = np.asarray(coefficients)
+        coefficients = np.asarray(coefficients)
+        super().__init__(1, [1] * coefficients.size)
+        self.coefficients = coefficients
 
-    def __call__(self, *pixels):
+    def residuals(self, *pixels):
         import jax.numpy as jnp
-        patch = jnp.concatenate([jnp.atleast_1d(p) for p in pixels])
+        patch = jnp.stack([p[0] for p in pixels])
         return jnp.dot(self.coefficients, patch)[None]
+
+    def jacobians(self, *pixels):
+        import jax.numpy as jnp
+        return [jnp.reshape(self.coefficients[k], (1, 1))
+                for k in range(len(pixels))]
 
 
 class FieldsOfExpertsLoss(ct.LossFunction):
@@ -109,9 +119,8 @@ def build_denoising_problem(noisy_image: np.ndarray, foe: FieldsOfExperts,
             for c in range(w - size + 1):
                 blocks = [pixels[r + foe.y[k]][c + foe.x[k]]
                           for k in range(foe.num_variables)]
-                cost = ct.AutoDiffCostFunction(
-                    FoECost(cost_coeffs), 1, [1] * foe.num_variables)
-                problem.add_residual_block(cost, loss, *blocks)
+                problem.add_residual_block(FoECost(cost_coeffs), loss,
+                                           *blocks)
     return problem, pixels
 
 
