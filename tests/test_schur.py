@@ -228,3 +228,27 @@ def test_mixed_precision_refinement_recovers_f64_step():
     err32 = np.abs(d32 - d64).max()
     err32r = np.abs(d32r - d64).max()
     assert err32r < max(err32 * 1e-2, 1e-12), (err32, err32r)
+
+
+def test_user_elimination_ordering():
+    """A user-supplied ParameterBlockOrdering (ordered_groups.h) drives the
+    Schur partition: group 0 = e-blocks (points), higher groups = f-blocks
+    (trust_region_preprocessor.cc SetupLinearSolver ordering handling)."""
+    problem, cams, pts = small_ba()
+    ordering = ct.ParameterBlockOrdering()
+    for p in pts:
+        ordering.add_element_to_group(p, 0)
+    for c in cams:
+        ordering.add_element_to_group(c, 1)
+    prog = CompiledProgram(problem)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        linear_solver_ordering=ordering)
+    meta = detect_schur_structure(prog, options)
+    assert meta is not None
+    assert meta.ne == len(pts) and meta.te == 3
+    assert meta.nf == 9 * len(cams)
+
+    summary = ct.solve(options, problem)
+    assert summary.is_solution_usable()
+    assert summary.final_cost < summary.initial_cost
