@@ -63,6 +63,9 @@ def make_fused_tr_solve(program, options):
     min_radius = options.min_trust_region_radius
     max_radius = options.max_trust_region_radius
     max_invalid = options.max_num_consecutive_invalid_steps
+    from ..types import TrustRegionStrategyType
+    lm_strategy = (options.trust_region_strategy_type
+                   == TrustRegionStrategyType.LEVENBERG_MARQUARDT)
 
     def solve(x0):
         cost0 = program.cost_fn(x0)
@@ -85,14 +88,24 @@ def make_fused_tr_solve(program, options):
             accept = (step_valid & jnp.isfinite(new_cost)
                       & (rel_dec > min_rel_decrease))
 
-            # LM radius update (levenberg_marquardt_strategy.cc).
-            grow = s["radius"] / jnp.maximum(
-                1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3)
-            radius_acc = jnp.minimum(grow, max_radius)
-            radius_rej = s["radius"] / s["decrease_factor"]
-            radius = jnp.where(accept, radius_acc, radius_rej)
-            decrease_factor = jnp.where(accept, 2.0,
-                                        2.0 * s["decrease_factor"])
+            if lm_strategy:
+                # LM radius update (levenberg_marquardt_strategy.cc).
+                grow = s["radius"] / jnp.maximum(
+                    1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3)
+                radius_acc = jnp.minimum(grow, max_radius)
+                radius_rej = s["radius"] / s["decrease_factor"]
+                radius = jnp.where(accept, radius_acc, radius_rej)
+                decrease_factor = jnp.where(accept, 2.0,
+                                            2.0 * s["decrease_factor"])
+            else:
+                # Dogleg radius rules (dogleg_strategy.cc): grow 3x on a
+                # strong step, halve on rejection.
+                radius_acc = jnp.where(rel_dec > 0.75,
+                                       jnp.minimum(3.0 * s["radius"],
+                                                   max_radius),
+                                       s["radius"])
+                radius = jnp.where(accept, radius_acc, 0.5 * s["radius"])
+                decrease_factor = s["decrease_factor"]
 
             invalid = jnp.where(step_valid, 0, s["invalid"] + 1)
             it = s["iter"] + 1

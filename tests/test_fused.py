@@ -52,3 +52,23 @@ def test_fused_ba_schur():
     summary = ct.solve(options, problem)
     assert summary.is_solution_usable(), summary.message
     assert summary.final_cost < 0.05 * summary.initial_cost
+
+
+def test_fused_dogleg_matches_host_loop():
+    """Fused dogleg uses dogleg radius rules (grow 3x / halve), matching
+    the host-loop DoglegRadiusStrategy trajectory."""
+    problem, m, c = make_curve_fitting_problem()
+    opts = dict(
+        linear_solver_type=ct.LinearSolverType.DENSE_QR,
+        trust_region_strategy_type=ct.TrustRegionStrategyType.DOGLEG,
+        max_num_iterations=80)
+    s_fused = ct.solve(ct.SolverOptions(fused_iterations=True, **opts),
+                       problem)
+    m_f, c_f = m[0], c[0]
+    m[0] = 0.0
+    c[0] = 0.0
+    s_host = ct.solve(ct.SolverOptions(**opts), problem)
+    assert s_fused.is_solution_usable() and s_host.is_solution_usable()
+    np.testing.assert_allclose(s_fused.final_cost, s_host.final_cost,
+                               rtol=1e-8)
+    np.testing.assert_allclose([m_f, c_f], [m[0], c[0]], rtol=1e-5)
