@@ -105,6 +105,104 @@ def jac_normal_matvec(jac, v, use_pallas: bool = True):
     return out
 
 
+def _chol_solve_kernel(s_ref, b_ref, y_ref, u_ref, *, m: int):
+    """Solve S y = b for one SPD [P, P] system entirely in VMEM.
+
+    XLA's lax.linalg Cholesky/triangular-solve lowering is blocked for
+    LAPACK-scale matrices; on a [144,144] Schur complement it costs ~3.5 ms
+    on a v5e. Here: unblocked right-looking Cholesky (rows of U = L^T kept
+    in a VMEM scratch, one outer-product update per column) + two
+    substitution loops — O(P) tiny VPU steps, no HBM traffic.
+
+    Padding: rows/cols >= m carry identity (set by the caller), so the
+    factorization is exact for the leading m x m block. Indefinite S yields
+    NaN through sqrt, which the LM invalid-step retry expects.
+    """
+    P = s_ref.shape[0]
+    dt = s_ref.dtype
+    # Explicit 32-bit index/zero types throughout: under jax_enable_x64 the
+    # default literals become 64-bit, which Mosaic cannot lower.
+    i32 = jnp.int32
+    zero = jnp.zeros((), dtype=dt)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    u_ref[:] = s_ref[:]
+
+    # ---- Cholesky: U (upper) s.t. U^T U = S ----
+    def chol_body(j, _):
+        row = u_ref[pl.ds(j, 1), :]                           # [1, P]
+        onehot = (cols == j)
+        piv = jnp.sum(jnp.where(onehot, row, zero))
+        d = jnp.sqrt(piv)
+        urow = jnp.where(cols > j, row / d, zero)
+        urow = jnp.where(onehot, d, urow)                     # [1, P]
+        # trailing update: U[i, :] -= u_col[i] * urow; rows <= j have
+        # u_col == 0 via the strict mask, so they are untouched.
+        u_col = jnp.transpose(jnp.where(cols > j, urow, zero))  # [P, 1]
+        u_ref[:] = u_ref[:] - u_col * urow
+        u_ref[pl.ds(j, 1), :] = urow
+        return _
+
+    jax.lax.fori_loop(i32(0), i32(m), chol_body, i32(0))
+
+    # ---- forward substitution: solve U^T z = b (column-oriented) ----
+    b = b_ref[:]                                              # [1, P]
+
+    def fwd_body(j, carry):
+        acc, z = carry
+        onehot = (cols == j)
+        urow = u_ref[pl.ds(j, 1), :]
+        d = jnp.sum(jnp.where(onehot, urow, zero))
+        zj = jnp.sum(jnp.where(onehot, acc, zero)) / d
+        acc = acc - zj * jnp.where(cols > j, urow, zero)
+        z = jnp.where(onehot, zj, z)
+        return acc, z
+
+    _, z = jax.lax.fori_loop(i32(0), i32(m), fwd_body,
+                             (b, jnp.zeros_like(b)))
+
+    # ---- back substitution: solve U y = z (row-oriented, descending) ----
+    def bwd_body(i, y):
+        j = i32(m - 1) - i
+        onehot = (cols == j)
+        urow = u_ref[pl.ds(j, 1), :]
+        d = jnp.sum(jnp.where(onehot, urow, zero))
+        zj = jnp.sum(jnp.where(onehot, z, zero))
+        dot = jnp.sum(jnp.where(cols > j, urow * y, zero))
+        return jnp.where(onehot, (zj - dot) / d, y)
+
+    y_ref[:] = jax.lax.fori_loop(i32(0), i32(m), bwd_body,
+                                 jnp.zeros_like(b))
+
+
+def chol_solve_small(S, b):
+    """Solve S y = b, S SPD [m, m] with m small (a reduced Schur camera
+    system). Pads to lane/sublane multiples; identity on the padded tail.
+    """
+    m = S.shape[0]
+    P = max(128, int(np.ceil(m / 128) * 128))
+    idx = np.arange(P)
+    pad_eye = jnp.asarray((idx >= m)[:, None] & (idx == idx[:, None]),
+                          dtype=S.dtype)
+    Sp = jnp.zeros((P, P), dtype=S.dtype)
+    Sp = jax.lax.dynamic_update_slice(Sp, S, (0, 0)) + pad_eye
+    bp = jnp.zeros((1, P), dtype=b.dtype)
+    bp = jax.lax.dynamic_update_slice(bp, b[None, :], (0, 0))
+
+    y = pl.pallas_call(
+        functools.partial(_chol_solve_kernel, m=m),
+        out_shape=jax.ShapeDtypeStruct((1, P), S.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((P, P), S.dtype)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=P * P * m // 3, bytes_accessed=4 * P * P,
+            transcendentals=m),
+    )(Sp, bp)
+    return y[0, :m]
+
+
 def _block_outer_kernel(j_ref, g_ref, *, r: int, t: int):
     """Per-row Gram blocks G_n = J_n^T J_n (for block-Jacobi / E^T E
     construction); one J read, [TN, t*t] out."""

@@ -1,0 +1,543 @@
+"""Multi-chip fused Schur LM solve: the whole trust-region loop inside one
+shard_map-ed, jitted device program.
+
+This is the scale-out form of solvers/schur_fused.py (the single-chip fused
+eliminator) and the production consumer of SolverOptions.mesh: residual
+rows are sharded BY E-BLOCK over the mesh's data axis, so every tensor
+indexed by e-blocks — the chunk-layout Jacobians, E^T E, its inverse, the
+cross tensor A = E^T F, the e-side gradient and back-substitution — is
+shard-local, with NO replication (the round-1 sharded path replicated the
+dense A [ne, te, nf] per device; here A lives sharded, per-chip memory is
+O(ne/P * te * nf)).
+
+Per LM iteration the devices exchange exactly:
+  psum #1: cost + unscaled F^T F block-diagonal + f gradient (≈ kf·t² + kf·t
+           floats) + e-side max-abs gradient (pmax via psum of partials);
+  psum #2: the S correction A_s^T (EtE)^-1 A_s and reduced-rhs correction
+           (≈ nf² + nf floats);
+  all_gather: the e-part of the step ([ne, te] → the full tangent delta);
+  psum #3: the candidate cost (1 float).
+All other traffic is zero; the reduced [nf, nf] camera solve runs
+replicated (identical on every chip, so the LM control flow stays in
+lockstep without communication).
+
+Reference roles replaced: schur_eliminator_impl.h's per-thread chunk
+buffers + mutex reduction -> per-chip partial Grams + psum over ICI
+(SURVEY.md §5.7-5.8); trust_region_minimizer.cc's outer loop ->
+lax.while_loop running identically on all chips.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..loss import correct_residuals_and_jacobian
+from ..types import LinearSolverType, PreconditionerType
+
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+def sharded_fused_supported(program, options, meta) -> bool:
+    from ..solvers.schur_fused import fused_schur_supported
+    if not fused_schur_supported(program, options, meta):
+        return False
+    # every e-bucket must carry the chunk layout (fused_schur_supported
+    # already guarantees it) — nothing extra needed.
+    return True
+
+
+def build_chunk_shards(program, meta, num_shards: int):
+    """Host-side: per-bucket row data re-laid in chunk order and padded so
+    the e-block axis divides the shard count.
+
+    Returns (shards, ne_pad): `shards` is a list (one entry per bucket) of
+    dicts of numpy arrays whose LEADING axis is the shardable one —
+    [ne_pad, k, ...] for e-buckets, [n_pad, ...] for f-only buckets.
+    """
+    ne = meta.ne
+    ne_pad = int(math.ceil(max(ne, 1) / num_shards) * num_shards)
+    shards = []
+    for bi, (bk, bs) in enumerate(zip(program.buckets, meta.buckets)):
+        entry = {"kind": "e" if bs.e_slot is not None else "f"}
+        if bs.e_slot is not None:
+            rows = bs.chunk_rows                       # [ne, k]
+            k = rows.shape[1]
+
+            def chunked(a):
+                a = np.asarray(a)
+                out = a[rows.reshape(-1)].reshape((ne, k) + a.shape[1:])
+                if ne_pad != ne:
+                    pad = np.repeat(out[:1], ne_pad - ne, axis=0)
+                    out = np.concatenate([out, pad], axis=0)
+                return out
+
+            if bk.data == () or bk.data == {}:
+                entry["data"] = ()
+            else:
+                entry["data"] = jax.tree_util.tree_map(chunked, bk.data)
+            entry["amb"] = tuple(chunked(sl.amb_idx) for sl in bk.slots)
+            mask = bs.chunk_mask                        # [ne, k]
+            if ne_pad != ne:
+                mask = np.concatenate(
+                    [mask, np.zeros((ne_pad - ne, k), mask.dtype)], axis=0)
+            entry["mask"] = mask
+            # local f-block id per lane (for the on-the-fly one-hot)
+            grp = meta.f_groups[0]
+            (gi, f_si, local) = [s for s in grp["slots"] if s[0] == bi][0], \
+                None, None
+            for s in grp["slots"]:
+                if s[0] == bi:
+                    _, f_si, local = s
+            entry["f_ids"] = chunked(local).astype(np.int32)   # [ne_pad, k]
+            if getattr(bk, "loss_attrs", None):
+                entry["loss_attrs"] = {kk: chunked(v)
+                                       for kk, v in bk.loss_attrs.items()}
+        else:
+            n = np.asarray(bk.slots[0].amb_idx).shape[0] if bk.slots else 0
+            n_pad = int(math.ceil(max(n, 1) / num_shards) * num_shards)
+
+            def padded(a):
+                a = np.asarray(a)
+                if a.shape[0] == n_pad:
+                    return a
+                pad = np.repeat(a[:1], n_pad - a.shape[0], axis=0)
+                return np.concatenate([a, pad], axis=0)
+
+            if bk.data == () or bk.data == {}:
+                entry["data"] = ()
+            else:
+                entry["data"] = jax.tree_util.tree_map(padded, bk.data)
+            entry["amb"] = tuple(padded(sl.amb_idx) for sl in bk.slots)
+            mask = np.zeros(n_pad)
+            mask[:n] = 1.0
+            entry["mask"] = mask
+            grp = meta.f_groups[0]
+            for s in grp["slots"]:
+                if s[0] == bi:
+                    _, _, local = s
+            entry["f_ids"] = padded(local).astype(np.int32)    # [n_pad]
+            if getattr(bk, "loss_attrs", None):
+                entry["loss_attrs"] = {kk: padded(v)
+                                       for kk, v in bk.loss_attrs.items()}
+        shards.append(entry)
+    return shards, ne_pad
+
+
+class ShardedFusedResult(NamedTuple):
+    x: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray
+    successful_steps: jnp.ndarray
+    unsuccessful_steps: jnp.ndarray
+    termination_code: jnp.ndarray
+    gradient_max_norm: jnp.ndarray
+    total_linear_iterations: jnp.ndarray
+
+
+def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
+                             axis: str = "data"):
+    """Returns (solve, place): solve(x0, shards) -> ShardedFusedResult runs
+    the entire LM loop sharded; place(shards_np) device_puts the row data
+    with the right shardings. shards_np from build_chunk_shards."""
+    from ..solvers.schur_fused import (_spd_inv_small, _spd_solve_dense,
+                                       _slab_of, _block_precond)
+
+    num_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                              if a == axis]))
+    shards_np, ne_pad = build_chunk_shards(program, meta, num_shards)
+
+    dtype = program.dtype
+    mixed = options.use_mixed_precision_solves
+    work_dtype = jnp.float32 if mixed else dtype
+    use_jacobi_scaling = options.jacobi_scaling
+    min_diag = options.min_lm_diagonal
+    max_diag = options.max_lm_diagonal
+    ne, te, nf = meta.ne, meta.te, meta.nf
+    grp = meta.f_groups[0]
+    kf, tf = grp["kf"], grp["t"]
+    iterative = (options.linear_solver_type
+                 == LinearSolverType.ITERATIVE_SCHUR)
+    gtol = options.gradient_tolerance
+    ftol = options.function_tolerance
+    ptol = options.parameter_tolerance
+    min_rel_decrease = options.min_relative_decrease
+    max_iters = options.max_num_iterations
+    min_radius = options.min_trust_region_radius
+    max_radius = options.max_trust_region_radius
+    max_invalid = options.max_num_consecutive_invalid_steps
+
+    e_slab = _slab_of(meta.e_cols)
+    fpos_np = meta.f_global_cols[grp["cols"]].reshape(-1)
+    f_slab = _slab_of(fpos_np.reshape(kf, tf))
+    fpos = jnp.asarray(fpos_np.astype(np.int32))
+    # padded e-cols for the sharded scatter of delta_e (pad rows write into
+    # a sacrificial extra slot)
+    if e_slab is None:
+        ecols_pad = np.concatenate(
+            [meta.e_cols,
+             np.full((ne_pad - ne, te), program.num_effective,
+                     dtype=np.int32)], axis=0)
+        ecols_pad = jnp.asarray(ecols_pad)
+
+    # per-bucket slot offsets within the J tensor
+    plans = []
+    for bi, (bk, bs) in enumerate(zip(program.buckets, meta.buckets)):
+        offs, off = [], 0
+        for sl in bk.slots:
+            if sl.variable:
+                offs.append(off)
+                off += sl.tangent_size
+        f_si = None
+        for s in grp["slots"]:
+            if s[0] == bi:
+                f_si = s[1]
+        plans.append(dict(bk=bk, bs=bs, bi=bi, offs=offs, f_si=f_si))
+
+    def bucket_loss(bk, sh):
+        loss = bk.loss
+        if "loss_attrs" in sh:
+            loss = object.__new__(type(bk.loss))
+            object.__setattr__(loss, "__dict__", dict(sh["loss_attrs"]))
+        return loss
+
+    def local_cost(x, shards):
+        """Shard-local cost sum (pre-psum)."""
+        total = jnp.asarray(0.0, dtype=dtype)
+        for plan, sh in zip(plans, shards):
+            bk = plan["bk"]
+            if sh["kind"] == "e":
+                nloc, k = sh["mask"].shape
+                data = jax.tree_util.tree_map(
+                    lambda a: a.reshape((nloc * k,) + a.shape[2:]),
+                    sh["data"])
+                amb = tuple(a.reshape((nloc * k,) + a.shape[2:])
+                            for a in sh["amb"])
+                r = program._bucket_residuals(bk, x, row_arrays=(data, amb))
+                r = r * sh["mask"].reshape(-1)[:, None]
+            else:
+                r = program._bucket_residuals(
+                    bk, x, row_arrays=(sh["data"], sh["amb"]))
+                r = r * sh["mask"][:, None]
+            c, _, _ = correct_residuals_and_jacobian(bucket_loss(bk, sh),
+                                                     r, None)
+            total = total + jnp.sum(c)
+        return total
+
+    def lm_pieces(x, shards):
+        """Linearize + eliminate; returns everything the outer loop needs.
+        Mirrors solvers/schur_fused.py with shard-local e tensors."""
+        cost_loc = jnp.asarray(0.0, dtype=dtype)
+        nloc_e = ne_pad // num_shards
+        EtE = jnp.zeros((nloc_e, te, te), dtype=work_dtype)
+        g_e = jnp.zeros((nloc_e, te), dtype=work_dtype)
+        FtF = jnp.zeros((kf, tf, tf), dtype=work_dtype)
+        g_f = jnp.zeros((kf, tf), dtype=work_dtype)
+        A = jnp.zeros((nloc_e, te, kf * tf), dtype=work_dtype)
+        store = []
+        for plan, sh in zip(plans, shards):
+            bk, bs = plan["bk"], plan["bs"]
+            if sh["kind"] == "e":
+                nloc, k = sh["mask"].shape
+                data = jax.tree_util.tree_map(
+                    lambda a: a.reshape((nloc * k,) + a.shape[2:]),
+                    sh["data"])
+                amb = tuple(a.reshape((nloc * k,) + a.shape[2:])
+                            for a in sh["amb"])
+                r, J = program._bucket_linearize(bk, x,
+                                                 row_arrays=(data, amb))
+                cost, rc, Jc = correct_residuals_and_jacobian(
+                    bucket_loss(bk, sh),
+                    r * sh["mask"].reshape(-1)[:, None],
+                    J * sh["mask"].reshape(-1)[:, None, None])
+                cost_loc = cost_loc + jnp.sum(cost)
+                rr = Jc.shape[1]
+                Jg = Jc.reshape(nloc, k, rr, -1).astype(work_dtype)
+                rg = rc.reshape(nloc, k, rr).astype(work_dtype)
+                eo = plan["offs"][bs.e_slot]
+                fo = plan["offs"][plan["f_si"]]
+                Je = Jg[..., eo:eo + te]
+                Jf = Jg[..., fo:fo + tf]
+                oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
+                oh = oh * sh["mask"][..., None].astype(work_dtype)
+                EtE = EtE + _einsum("nkrt,nkru->ntu", Je, Je)
+                g_e = g_e + _einsum("nkrt,nkr->nt", Je, rg)
+                Gf = _einsum("nkrt,nkru->nktu", Jf, Jf)
+                FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
+                g_f = g_f + _einsum(
+                    "nkc,nkt->ct", oh, _einsum("nkrt,nkr->nkt", Jf, rg))
+                Ge = _einsum("nkru,nkrt->nkut", Je, Jf)
+                A = A + _einsum("nkc,nkut->nuct", oh,
+                                Ge).reshape(nloc, te, kf * tf)
+                store.append(("e", Je, Jf, oh))
+            else:
+                r, J = program._bucket_linearize(
+                    bk, x, row_arrays=(sh["data"], sh["amb"]))
+                cost, rc, Jc = correct_residuals_and_jacobian(
+                    bucket_loss(bk, sh), r * sh["mask"][:, None],
+                    J * sh["mask"][:, None, None])
+                cost_loc = cost_loc + jnp.sum(cost)
+                rc = rc.astype(work_dtype)
+                Jc = Jc.astype(work_dtype)
+                fo = plan["offs"][plan["f_si"]]
+                Jf = Jc[..., fo:fo + tf]
+                oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
+                oh = oh * sh["mask"][:, None].astype(work_dtype)
+                G = _einsum("nrt,nru->ntu", Jf, Jf)
+                FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
+                g_f = g_f + _einsum(
+                    "nc,nt->ct", oh, _einsum("nrt,nr->nt", Jf, rc))
+                store.append(("f", Jf, None, oh))
+        return cost_loc, EtE, g_e, FtF, g_f, A, store
+
+    def solve_body(x, radius, shards):
+        """One LM linearize+step; all-replicated outputs except delta_e."""
+        (cost_loc, EtE, g_e, FtF_loc, g_f_loc, A, store) = lm_pieces(
+            x, shards)
+        ge_max_loc = jnp.max(jnp.abs(g_e)) if g_e.size else \
+            jnp.asarray(0.0, work_dtype)
+        ge_sq_loc = jnp.vdot(g_e, g_e)
+        # ---- psum #1: cost, f Grams/gradient, e gradient norm ----
+        cost, FtF, g_f, ge_sq = jax.lax.psum(
+            (cost_loc, FtF_loc, g_f_loc, ge_sq_loc), axis)
+        ge_max = jax.lax.pmax(ge_max_loc, axis)
+        cost = cost + program.fixed_cost
+
+        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
+        cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)
+        if use_jacobi_scaling:
+            s_e = 1.0 / (1.0 + jnp.sqrt(cn_e))
+            s_f = 1.0 / (1.0 + jnp.sqrt(cn_f))
+        else:
+            s_e = jnp.ones_like(cn_e)
+            s_f = jnp.ones_like(cn_f)
+        diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
+        diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
+        rad = radius.astype(work_dtype)
+        D2_e = diag_e / rad
+        D2_f = diag_f / rad
+
+        EtE_d = EtE * (s_e[:, :, None] * s_e[:, None, :]) \
+            + D2_e[..., None] * jnp.eye(te, dtype=work_dtype)
+        FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
+        sA = s_f.reshape(kf * tf)
+        A_s = A * s_e[:, :, None] * sA[None, None, :]
+        g_se = g_e * s_e
+        g_sf = (g_f * s_f).reshape(kf * tf)
+        inv_ete = _spd_inv_small(EtE_d)
+
+        b_e = -g_se
+        b_f = -g_sf
+        z = _einsum("nij,nj->ni", inv_ete, b_e)
+        rhs_corr_loc = _einsum("nuf,nu->f", A_s, z)
+        Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
+        S_corr_loc = _einsum("nuf,nug->fg", A_s, Y)
+        # ---- psum #2: S and rhs corrections ----
+        S_corr, rhs_corr = jax.lax.psum((S_corr_loc, rhs_corr_loc), axis)
+        rhs = b_f - rhs_corr
+        ii = jnp.arange(kf)
+        S = (-S_corr).reshape(kf, tf, kf, tf).at[ii, :, ii, :].add(
+            FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype)
+        ).reshape(kf * tf, kf * tf)
+
+        if not iterative:
+            y = _spd_solve_dense(S, rhs)
+            lin_iters = jnp.asarray(1, dtype=jnp.int32)
+        else:
+            from ..solvers.cg import conjugate_gradients
+            precond = _block_precond(
+                FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype),
+                S, kf, tf, options.preconditioner_type, S_corr)
+            result = conjugate_gradients(
+                lambda v: S @ v, rhs, jnp.zeros_like(rhs),
+                apply_preconditioner=precond,
+                max_iterations=options.max_linear_solver_iterations,
+                q_tolerance=options.eta,
+                min_iterations=options.min_linear_solver_iterations)
+            y = result.x
+            lin_iters = result.num_iterations
+
+        d_e = _einsum("nij,nj->ni", inv_ete,
+                      b_e - _einsum("nuf,f->nu", A_s, y))
+
+        # norms / model cost change (communicated pieces via psum)
+        d_dot_g_loc = jnp.vdot(d_e, g_se)
+        Dd_sq_loc = jnp.sum(D2_e * d_e * d_e)
+        de_sq_loc = jnp.vdot(s_e * d_e, s_e * d_e)
+        d_dot_g_e, Dd_sq_e, de_sq = jax.lax.psum(
+            (d_dot_g_loc, Dd_sq_loc, de_sq_loc), axis)
+        d_dot_g = d_dot_g_e + jnp.vdot(y, g_sf)
+        Dd_sq = Dd_sq_e + jnp.sum(D2_f.reshape(kf * tf) * y * y)
+        Jd_sq = -d_dot_g - Dd_sq
+        mcc = -(d_dot_g + 0.5 * Jd_sq)
+
+        # ---- assemble the global delta (all_gather of the e part) ----
+        delta_e = (s_e * d_e).astype(dtype)                # [nloc_e, te]
+        delta_f = (sA * y).astype(dtype)
+        delta_e_full = jax.lax.all_gather(delta_e, axis,
+                                          tiled=True)      # [ne_pad, te]
+        delta = jnp.zeros((program.num_effective + (0 if e_slab is not None
+                                                    else 1),), dtype=dtype)
+        if e_slab is not None:
+            delta = jax.lax.dynamic_update_slice(
+                delta, delta_e_full[:ne].reshape(-1), (e_slab,))
+        else:
+            delta = delta.at[ecols_pad].set(delta_e_full)
+        if f_slab is not None:
+            delta = jax.lax.dynamic_update_slice(delta, delta_f, (f_slab,))
+        else:
+            delta = delta.at[fpos].set(delta_f)
+        delta = delta[:program.num_effective]
+
+        gf_flat = g_f.reshape(kf * tf)
+        grad_max = jnp.maximum(ge_max,
+                               jnp.max(jnp.abs(gf_flat))).astype(dtype)
+        grad_norm = jnp.sqrt(ge_sq + jnp.vdot(gf_flat, gf_flat)
+                             ).astype(dtype)
+        step_norm = jnp.sqrt(de_sq + jnp.vdot(delta_f, delta_f)
+                             ).astype(dtype)
+        return dict(cost=cost, delta=delta, mcc=mcc.astype(dtype),
+                    grad_max=grad_max, grad_norm=grad_norm,
+                    step_norm=step_norm, lin_iters=lin_iters)
+
+    lm_strategy = True  # sharded fused path is LM-only
+
+    def solve(x0, shards):
+        cost0 = jax.lax.psum(local_cost(x0, shards), axis) \
+            + program.fixed_cost
+
+        def cond(s):
+            return s["code"] == 0
+
+        def body(s):
+            out = solve_body(s["x"], s["radius"], shards)
+            cost = out["cost"]
+            mcc = out["mcc"]
+            step_norm = out["step_norm"]
+            grad_max = out["grad_max"]
+            step_valid = (jnp.isfinite(mcc) & (mcc > 0.0)
+                          & jnp.isfinite(step_norm))
+            x_new = program.plus(s["x"], out["delta"])
+            new_cost = jax.lax.psum(local_cost(x_new, shards), axis) \
+                + program.fixed_cost
+            rel_dec = (cost - new_cost) / jnp.where(mcc == 0, 1.0, mcc)
+            accept = (step_valid & jnp.isfinite(new_cost)
+                      & (rel_dec > min_rel_decrease))
+
+            grow = s["radius"] / jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3)
+            radius_acc = jnp.minimum(grow, max_radius)
+            radius_rej = s["radius"] / s["decrease_factor"]
+            radius = jnp.where(accept, radius_acc, radius_rej)
+            decrease_factor = jnp.where(accept, 2.0,
+                                        2.0 * s["decrease_factor"])
+
+            invalid = jnp.where(step_valid, 0, s["invalid"] + 1)
+            it = s["iter"] + 1
+            candidate_ok = step_valid & jnp.isfinite(new_cost)
+            had_success = (s["ok_steps"] > 0) | accept
+
+            code = jnp.asarray(0, jnp.int32)
+            code = jnp.where((code == 0) & (grad_max <= gtol), 1, code)
+            code = jnp.where(
+                (code == 0) & candidate_ok
+                & (jnp.abs(cost - new_cost) <= ftol * cost)
+                & (accept | (jnp.abs(mcc) <= ftol * cost)), 2, code)
+            code = jnp.where(
+                (code == 0) & ~step_valid & jnp.isfinite(mcc)
+                & (jnp.abs(mcc) <= ftol * cost), 2, code)
+            code = jnp.where(
+                (code == 0) & candidate_ok & had_success
+                & (step_norm <= ptol * (jnp.linalg.norm(s["x"]) + ptol)),
+                3, code)
+            code = jnp.where((code == 0) & (radius < min_radius), 4, code)
+            code = jnp.where((code == 0) & (it >= max_iters), 5, code)
+            code = jnp.where((code == 0) & (invalid >= max_invalid), 6,
+                             code)
+
+            take = accept | ((code == 2) & candidate_ok
+                             & (new_cost < cost))
+            x_out = jnp.where(take, x_new, s["x"])
+            cost_out = jnp.where(take, new_cost, cost)
+            return {
+                "x": x_out, "cost": cost_out, "radius": radius,
+                "decrease_factor": decrease_factor, "iter": it,
+                "invalid": invalid, "code": code,
+                "ok_steps": s["ok_steps"] + jnp.where(accept, 1, 0),
+                "bad_steps": s["bad_steps"] + jnp.where(accept, 0, 1),
+                "grad_max": grad_max,
+                "lin_iters": s["lin_iters"]
+                + out["lin_iters"].astype(jnp.int32),
+            }
+
+        init = {
+            "x": x0,
+            "cost": cost0,
+            "radius": jnp.asarray(options.initial_trust_region_radius,
+                                  dtype=dtype),
+            "decrease_factor": jnp.asarray(2.0, dtype=dtype),
+            "iter": jnp.asarray(0, jnp.int32),
+            "invalid": jnp.asarray(0, jnp.int32),
+            "code": jnp.asarray(
+                0 if options.max_num_iterations > 0 else 5, jnp.int32),
+            "ok_steps": jnp.asarray(0, jnp.int32),
+            "bad_steps": jnp.asarray(0, jnp.int32),
+            "grad_max": jnp.asarray(jnp.inf, dtype=dtype),
+            "lin_iters": jnp.asarray(0, jnp.int32),
+        }
+        s = jax.lax.while_loop(cond, body, init)
+        return ShardedFusedResult(
+            x=s["x"], cost=s["cost"], initial_cost=cost0,
+            iterations=s["iter"], successful_steps=s["ok_steps"],
+            unsuccessful_steps=s["bad_steps"], termination_code=s["code"],
+            gradient_max_norm=s["grad_max"],
+            total_linear_iterations=s["lin_iters"])
+
+    from jax.experimental.shard_map import shard_map
+
+    shard_spec = []
+    for entry in shards_np:
+        spec = {}
+        for k, v in entry.items():
+            if k == "kind":
+                continue
+            spec[k] = jax.tree_util.tree_map(lambda _: P(axis), v)
+        shard_spec.append(spec)
+
+    def strip_kinds(shards):
+        return [{k: v for k, v in e.items() if k != "kind"}
+                for e in shards]
+
+    kinds = [e["kind"] for e in shards_np]
+
+    def rebind(shards_nokind):
+        return [dict(kind=k, **e) for k, e in zip(kinds, shards_nokind)]
+
+    def wrapped(x0, shards_nokind):
+        return solve(x0, rebind(shards_nokind))
+
+    solve_sharded = shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(P(), shard_spec),
+        out_specs=P(),
+        check_rep=False)
+    solve_jit = jax.jit(solve_sharded)
+
+    def place(shards=None):
+        data = strip_kinds(shards_np if shards is None else shards)
+        return jax.tree_util.tree_map(
+            lambda a, sp: jax.device_put(jnp.asarray(a),
+                                         NamedSharding(mesh, sp)),
+            data, shard_spec)
+
+    def run(x0, placed_shards):
+        return solve_jit(x0, placed_shards)
+
+    return run, place

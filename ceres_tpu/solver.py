@@ -103,6 +103,22 @@ def make_step_fn(program, options):
 
 def make_step_impl(program, options):
     """Raw (unjitted) step closure — also the body of the fused solve."""
+    import os as _os
+    if (options.trust_region_strategy_type
+            == TrustRegionStrategyType.LEVENBERG_MARQUARDT
+            and options.linear_solver_type in (
+                LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR,
+                LinearSolverType.ITERATIVE_SCHUR)
+            and not (options.use_mixed_precision_solves
+                     and options.max_num_refinement_iterations > 0)
+            and not _os.environ.get("CERES_TPU_NO_FUSED_SCHUR")):
+        from .solvers.schur import detect_schur_structure
+        from .solvers.schur_fused import (fused_schur_supported,
+                                          make_fused_schur_lm_step)
+        meta = detect_schur_structure(program, options)
+        if meta is not None and fused_schur_supported(program, options,
+                                                      meta):
+            return make_fused_schur_lm_step(program, options, meta)
     linear_solve = _make_linear_solver(program, options)
     dtype = program.dtype
     use_jacobi_scaling = options.jacobi_scaling
@@ -389,6 +405,20 @@ def solve(options: SolverOptions, problem,
                      and not options.minimizer_progress_to_stdout
                      and not options.use_inner_iterations
                      and not options.trust_region_problem_dump_directory)
+        if options.mesh is not None:
+            # Multi-chip solve over options.mesh (SURVEY.md section 5.8):
+            # rows shard by e-block, the whole LM loop runs inside one
+            # shard_map'd program (parallel/sharded_fused.py). Falls back
+            # to the single-device path when the problem has no usable
+            # Schur structure for the sharded eliminator.
+            from .parallel.solve_sharded import try_solve_sharded
+            x = try_solve_sharded(program, options, summary)
+            if x is not None:
+                t0 = time.time()
+                program.write_back(x)
+                summary.postprocessor_time_in_seconds = time.time() - t0
+                summary.total_time_in_seconds = time.time() - t_start
+                return summary
         if use_fused:
             from .minimizers.fused import run_fused
             x = run_fused(program, options, summary)

@@ -1,0 +1,437 @@
+"""Fused Schur elimination LM step: one pass over the Jacobian.
+
+The generic step path (solver.py make_step_impl + solvers/schur.py SchurOps)
+is assembled from reusable pieces, each of which re-reads the bucket
+Jacobian from HBM and re-scatters into global vectors: cast, gradient
+(J^T r), squared column norms, scale_columns (a full J rebuild), column
+norms again, the chunk-layout gather, E^T E, the explicit-S products, and
+back-substitution. Profiled on a v5e at BAL-16-22106 scale that pipeline
+costs ~39 ms per LM iteration, dominated not by FLOPs (~1 GFLOP) but by
+redundant HBM passes, [n, 3]-indexed scatters, and tiny-shape host-style
+linalg (a [144,144] cho_factor alone measured 3.5 ms).
+
+This module replaces the WHOLE LM step for Schur-structured problems with
+a single fused pipeline (the reference's SchurEliminator role,
+internal/ceres/schur_eliminator_impl.h, re-architected rather than
+translated):
+
+  1. linearize each bucket (vmapped jacfwd), corrector applied;
+  2. gather rows into the chunk layout ONCE ([ne, k, r, t] per e-block);
+  3. compute all Gram/cross/gradient reductions as dense einsums + one-hot
+     matmuls over the chunk tensors: EtE [ne,te,te], cross A [ne,te,nf],
+     block-diagonal FtF [kf,t,t], gradient e/f parts, column norms (which
+     are just the Gram diagonals — no extra pass);
+  4. apply Jacobi scaling and LM damping analytically to the SMALL tensors
+     (scale is a rank-1 congruence: no scale_columns pass over J);
+  5. eliminate: S = blockdiag(FtF) - A^T (EtE)^-1 A with a closed-form
+     batched SPD inverse for te <= 3; solve the [nf, nf] reduced system
+     (Pallas in-VMEM Cholesky on TPU, LAPACK-style fallback elsewhere);
+  6. back-substitute and assemble the step, model cost change, step/grad
+     norms from the e/f parts.
+
+The big tensors are touched exactly twice (linearize write + chunk-gather
+read); everything downstream lives in [ne, te, *] / [kf, t, t] tensors.
+
+Supported when: single f size-group, every e-bucket chunk-grouped with one
+f slot, one-hots available (same condition as SchurOps' grouped explicit-S
+path). The generic path remains for everything else.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+# TPU f32 matmuls default to bf16 passes (~1e-3 relative error) — enough to
+# push the damped Schur complement indefinite at typical LM damping levels.
+# Every contraction here runs at HIGHEST (true f32): the FLOP volume is
+# ~1 GFLOP/iteration, noise at MXU rates.
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+from ..types import LinearSolverType, PreconditionerType
+
+__all__ = ["fused_schur_supported", "make_fused_schur_lm_step"]
+
+
+def _slab_of(cols: np.ndarray) -> Optional[int]:
+    """If cols.reshape(-1) == arange(s, s + size), return s (slab start)."""
+    flat = cols.reshape(-1)
+    if flat.size == 0:
+        return None
+    s = int(flat[0])
+    if np.array_equal(flat, np.arange(s, s + flat.size, dtype=flat.dtype)):
+        return s
+    return None
+
+
+def fused_schur_supported(program, options, meta) -> bool:
+    """Structural conditions for the fused eliminator."""
+    if meta is None or len(meta.f_groups) != 1:
+        return False
+    grp = meta.f_groups[0]
+    for bi, bs in enumerate(meta.buckets):
+        if bs.e_slot is not None:
+            if bs.chunk_rows is None or bs.f_cols is None:
+                return False
+            slots_here = [s for s in grp["slots"] if s[0] == bi]
+            if len(slots_here) != 1:
+                return False
+            if meta._build_onehot(0, bi, slots_here[0][1], slots_here[0][2],
+                                  grp["kf"]) is None:
+                return False
+        elif bs.f_cols is not None:
+            slots_here = [s for s in grp["slots"] if s[0] == bi]
+            if len(slots_here) != 1:
+                return False
+            if meta._build_onehot(0, bi, slots_here[0][1], slots_here[0][2],
+                                  grp["kf"]) is None:
+                return False
+    if options.linear_solver_type in (LinearSolverType.DENSE_SCHUR,
+                                      LinearSolverType.SPARSE_SCHUR):
+        return True
+    if options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR:
+        # Fused path uses the explicit-S operator; require it to be viable
+        # (and the materialized cross tensor A to fit comfortably), and a
+        # preconditioner the fused assembly provides exactly.
+        if options.preconditioner_type not in (
+                PreconditionerType.IDENTITY, PreconditionerType.JACOBI,
+                PreconditionerType.SCHUR_JACOBI):
+            return False
+        if options.use_spse_initialization:
+            return False
+        return (meta.nf <= 2048 and meta.ne * meta.te * meta.nf <= 1.5e8)
+    return False
+
+
+# ----------------------------------------------------------------------
+# small SPD inverses (closed form, batched) — replaces batched Cholesky +
+# two triangular solves for the (E^T E + D^2) blocks.
+
+def _spd_inv_small(M):
+    """[k, t, t] SPD -> inverse, closed form for t in {1, 2, 3}; Cholesky
+    fallback otherwise. Damped BA e-blocks are well-conditioned at f32."""
+    t = M.shape[-1]
+    if t == 1:
+        return 1.0 / M
+    if t == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        d = M[..., 1, 1]
+        det = a * d - b * b
+        inv_det = 1.0 / det
+        row0 = jnp.stack([d, -b], axis=-1)
+        row1 = jnp.stack([-b, a], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+    if t == 3:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 0, 2]
+        d = M[..., 1, 1]
+        e = M[..., 1, 2]
+        f = M[..., 2, 2]
+        co00 = d * f - e * e
+        co01 = c * e - b * f
+        co02 = b * e - c * d
+        co11 = a * f - c * c
+        co12 = b * c - a * e
+        co22 = a * d - b * b
+        det = a * co00 + b * co01 + c * co02
+        inv_det = 1.0 / det
+        row0 = jnp.stack([co00, co01, co02], axis=-1)
+        row1 = jnp.stack([co01, co11, co12], axis=-1)
+        row2 = jnp.stack([co02, co12, co22], axis=-1)
+        return jnp.stack([row0, row1, row2],
+                         axis=-2) * inv_det[..., None, None]
+    chol = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(t, dtype=M.dtype), M.shape)
+    y = jsl.solve_triangular(chol, eye, lower=True)
+    return jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y, lower=False)
+
+
+def _spd_solve_dense(S, rhs):
+    """Solve S y = rhs for one dense SPD [m, m] system. Pallas in-VMEM
+    Cholesky on TPU (a [144,144] lax cho_factor costs ~3.5 ms there — the
+    blocked LAPACK-style lowering is built for matrices 100x larger);
+    cho_factor elsewhere. NaN on indefinite S, as the caller's invalid-step
+    retry expects."""
+    m = S.shape[0]
+    if (S.dtype == jnp.float32 and m <= 1024
+            and jax.default_backend() != "cpu"
+            and not os.environ.get("CERES_TPU_NO_PALLAS")):
+        from ..ops.pallas_kernels import chol_solve_small
+        return chol_solve_small(S, rhs)
+    c, lower = jsl.cho_factor(S)
+    return jsl.cho_solve((c, lower), rhs)
+
+
+def make_fused_schur_lm_step(program, options, meta):
+    """Returns lm_step(x, radius) -> out dict (same contract as
+    solver.make_step_impl's lm_step)."""
+    from ..loss import correct_residuals_and_jacobian
+    from .schur import bk_slot_keys
+
+    dtype = program.dtype
+    mixed = options.use_mixed_precision_solves
+    work_dtype = jnp.float32 if mixed else dtype
+    use_jacobi_scaling = options.jacobi_scaling
+    min_diag = options.min_lm_diagonal
+    max_diag = options.max_lm_diagonal
+    ne, te, nf = meta.ne, meta.te, meta.nf
+    grp = meta.f_groups[0]
+    kf, tf = grp["kf"], grp["t"]
+    iterative = (options.linear_solver_type
+                 == LinearSolverType.ITERATIVE_SCHUR)
+
+    # ---- static structure (host, once) ----
+    e_slab = _slab_of(meta.e_cols)                  # e cols contiguous?
+    # global tangent columns of the f blocks, in block-layout order
+    fpos_np = meta.f_global_cols[grp["cols"]].reshape(-1)    # [kf*tf]
+    f_slab = _slab_of(fpos_np.reshape(kf, tf))
+    program.register_const("schur.fused.fpos", fpos_np.astype(np.int32))
+
+    bucket_plan = []
+    for bi, (bk, bs) in enumerate(zip(program.buckets, meta.buckets)):
+        slots_here = [s for s in grp["slots"] if s[0] == bi]
+        (_, f_si, local) = slots_here[0] if slots_here else (None, None,
+                                                            None)
+        vslots = [i for i, sl in enumerate(bk.slots) if sl.variable]
+        # offsets of each variable slot inside the bucket J tensor
+        offs, off = [], 0
+        for i, sl in enumerate(bk.slots):
+            if sl.variable:
+                offs.append((i, off, sl.tangent_size))
+                off += sl.tangent_size
+        slot_off = {vsi: (o, t) for vsi, (i, o, t) in
+                    zip(range(len(offs)), offs)}
+        bucket_plan.append(dict(bk=bk, bs=bs, bi=bi, f_si=f_si,
+                                local=local, slot_off=slot_off))
+
+    def lm_step(x, radius):
+        total_cost = jnp.asarray(program.fixed_cost, dtype=dtype)
+
+        EtE = jnp.zeros((ne, te, te), dtype=work_dtype)
+        g_e = jnp.zeros((ne, te), dtype=work_dtype)
+        FtF = jnp.zeros((kf, tf, tf), dtype=work_dtype)
+        g_f = jnp.zeros((kf, tf), dtype=work_dtype)
+        A = jnp.zeros((ne, te, kf * tf), dtype=work_dtype)
+        chunk_store = []                 # per e-bucket tensors for back-sub
+
+        for plan in bucket_plan:
+            bk, bs, bi = plan["bk"], plan["bs"], plan["bi"]
+            r, J = program._bucket_linearize(bk, x)
+            cost, rc, Jc = correct_residuals_and_jacobian(
+                program._bucket_loss(bk), r, J)
+            total_cost = total_cost + jnp.sum(cost)
+            rc = rc.astype(work_dtype)
+            Jc = Jc.astype(work_dtype)
+
+            if bs.e_slot is not None:
+                # ---- chunk-grouped e-bucket ----
+                rows = meta.c(f"b{bi}.chunk_rows", bs.chunk_rows)
+                mask = meta.c(f"b{bi}.chunk_mask",
+                              bs.chunk_mask).astype(work_dtype)
+                Jg = Jc[rows] * mask[..., None, None]   # [ne, k, rr, tt]
+                rg = rc[rows] * mask[..., None]          # [ne, k, rr]
+                eo, _ = plan["slot_off"][bs.e_slot]
+                fo, ftw = plan["slot_off"][plan["f_si"]]
+                Je = Jg[..., eo:eo + te]                 # [ne,k,rr,te]
+                Jf = Jg[..., fo:fo + ftw]                # [ne,k,rr,tf]
+                _, oh = meta.grouped_fslot(0, bi, plan["f_si"],
+                                           plan["local"])
+                oh = oh.astype(work_dtype)               # [ne,k,kf]
+
+                EtE = EtE + _einsum("nkrt,nkru->ntu", Je, Je)
+                g_e = g_e + _einsum("nkrt,nkr->nt", Je, rg)
+                Gf = _einsum("nkrt,nkru->nktu", Jf, Jf)
+                FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
+                g_f = g_f + _einsum(
+                    "nkc,nkt->ct", oh, _einsum("nkrt,nkr->nkt", Jf, rg))
+                Ge = _einsum("nkru,nkrt->nkut", Je, Jf)  # [ne,k,te,tf]
+                A = A + _einsum("nkc,nkut->nuct", oh,
+                                   Ge).reshape(ne, te, kf * tf)
+                chunk_store.append(("e", Je, Jf, oh))
+            elif bs.f_cols is not None:
+                # ---- f-only bucket: block-diagonal + gradient ----
+                fo, ftw = plan["slot_off"][plan["f_si"]]
+                Jf = Jc[..., fo:fo + ftw]                # [n, rr, tf]
+                oh = meta.onehot(0, bi, plan["f_si"], plan["local"],
+                                 kf).astype(work_dtype)
+                G = _einsum("nrt,nru->ntu", Jf, Jf)
+                FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
+                g_f = g_f + _einsum(
+                    "nc,nt->ct", oh, _einsum("nrt,nr->nt", Jf, rc))
+                chunk_store.append(("f", Jf, None, oh))
+
+        # ---- column norms ARE the Gram diagonals ----
+        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)     # [ne, te]
+        cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)     # [kf, tf]
+        if use_jacobi_scaling:
+            s_e = 1.0 / (1.0 + jnp.sqrt(cn_e))
+            s_f = 1.0 / (1.0 + jnp.sqrt(cn_f))
+        else:
+            s_e = jnp.ones_like(cn_e)
+            s_f = jnp.ones_like(cn_f)
+
+        # ---- scale + damp the small tensors ----
+        # scaled Gram = diag(s) G diag(s); scaled col norm = s^2 cn.
+        diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
+        diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
+        rad = radius.astype(work_dtype)
+        D2_e = diag_e / rad                              # D^2, [ne, te]
+        D2_f = diag_f / rad                              # [kf, tf]
+
+        EtE_d = EtE * (s_e[:, :, None] * s_e[:, None, :]) \
+            + D2_e[..., None] * jnp.eye(te, dtype=work_dtype)
+        FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
+        sA = s_f.reshape(kf * tf)
+        A_s = A * s_e[:, :, None] * sA[None, None, :]
+        g_se = g_e * s_e
+        g_sf = (g_f * s_f).reshape(kf * tf)
+
+        inv_ete = _spd_inv_small(EtE_d)                  # [ne, te, te]
+
+        # ---- eliminate: S and reduced rhs (block layout) ----
+        b_e = -g_se                                      # [ne, te]
+        b_f = -g_sf                                      # [kf*tf]
+        z = _einsum("nij,nj->ni", inv_ete, b_e)       # (EtE)^-1 b_e
+        rhs = b_f - _einsum("nuf,nu->f", A_s, z)
+
+        Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
+        S_corr = _einsum("nuf,nug->fg", A_s, Y)
+        ii = jnp.arange(kf)
+        S = (-S_corr).reshape(kf, tf, kf, tf).at[ii, :, ii, :].add(
+            FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype)
+        ).reshape(kf * tf, kf * tf)
+
+        # ---- reduced solve ----
+        if not iterative:
+            y = _spd_solve_dense(S, rhs)
+            lin_iters = jnp.asarray(1, dtype=jnp.int32)
+        else:
+            from .cg import conjugate_gradients
+            precond = _block_precond(
+                FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype),
+                S, kf, tf, options.preconditioner_type, S_corr)
+            result = conjugate_gradients(
+                lambda v: S @ v, rhs, jnp.zeros_like(rhs),
+                apply_preconditioner=precond,
+                max_iterations=options.max_linear_solver_iterations,
+                q_tolerance=options.eta,
+                min_iterations=options.min_linear_solver_iterations)
+            y = result.x
+            lin_iters = result.num_iterations
+
+        # ---- back-substitute: d_e = (EtE)^-1 (b_e - A y) ----
+        d_e = _einsum("nij,nj->ni", inv_ete,
+                         b_e - _einsum("nuf,f->nu", A_s, y))
+
+        # ---- step, norms, model cost change (all from parts) ----
+        d_dot_g = jnp.vdot(d_e, g_se) + jnp.vdot(y, g_sf)
+        if mixed and not iterative:
+            # Exact direct solve: ||J_s d||^2 = d.b - ||D d||^2; the f32
+            # step already bounds tail accuracy, the saved matvec is
+            # material (solver.py's exact_solver rationale).
+            Dd_sq = jnp.sum(D2_e * d_e * d_e) + jnp.sum(
+                D2_f.reshape(kf * tf) * y * y)
+            Jd_sq = -d_dot_g - Dd_sq
+        else:
+            # Exact ||J_s d||^2 via the stored chunk tensors: required for
+            # f64 tail digits (the identity cancels catastrophically near
+            # convergence) and for inexact CG solves (identity invalid).
+            dw_e = s_e * d_e                          # [ne, te] work dtype
+            dw_fb = (sA * y).reshape(kf, tf)          # [kf, tf]
+            Jd_sq = jnp.asarray(0.0, dtype=work_dtype)
+            for kind, Ja, Jb, oh in chunk_store:
+                if kind == "e":
+                    dfb = _einsum("nkc,ct->nkt", oh, dw_fb)
+                    Jd = _einsum("nkrt,nt->nkr", Ja, dw_e) \
+                        + _einsum("nkrt,nkt->nkr", Jb, dfb)
+                else:
+                    dfb = _einsum("nc,ct->nt", oh, dw_fb)
+                    Jd = _einsum("nrt,nt->nr", Ja, dfb)
+                Jd_sq = Jd_sq + jnp.vdot(Jd, Jd)
+        mcc = -(d_dot_g + 0.5 * Jd_sq)
+
+        delta_e = (s_e * d_e).astype(dtype)              # [ne, te]
+        delta_f = (sA * y).astype(dtype)                 # [kf*tf] block order
+        delta = jnp.zeros((program.num_effective,), dtype=dtype)
+        if e_slab is not None:
+            delta = jax.lax.dynamic_update_slice(
+                delta, delta_e.reshape(-1), (e_slab,))
+        else:
+            delta = delta.at[meta.c("e_cols", meta.e_cols)].set(delta_e)
+        if f_slab is not None:
+            delta = jax.lax.dynamic_update_slice(delta, delta_f, (f_slab,))
+        else:
+            delta = delta.at[program.const("schur.fused.fpos")].set(delta_f)
+
+        g_f_flat = g_f.reshape(kf * tf)
+        grad_max = jnp.maximum(jnp.max(jnp.abs(g_e)),
+                               jnp.max(jnp.abs(g_f_flat))).astype(dtype)
+        grad_norm = jnp.sqrt(jnp.vdot(g_e, g_e)
+                             + jnp.vdot(g_f_flat, g_f_flat)).astype(dtype)
+
+        out = {
+            "cost": total_cost,
+            "gradient_max_norm": grad_max,
+            "gradient_norm": grad_norm,
+            "delta": delta,
+            "model_cost_change": mcc.astype(dtype),
+            "step_norm": jnp.linalg.norm(delta),
+            "lin_iters": lin_iters,
+        }
+        if program.has_bounds:
+            grad = jnp.zeros((program.num_effective,), dtype=work_dtype)
+            if e_slab is not None:
+                grad = jax.lax.dynamic_update_slice(
+                    grad, g_e.reshape(-1), (e_slab,))
+            else:
+                grad = grad.at[meta.c("e_cols", meta.e_cols)].set(g_e)
+            if f_slab is not None:
+                grad = jax.lax.dynamic_update_slice(grad, g_f_flat,
+                                                    (f_slab,))
+            else:
+                grad = grad.at[program.const("schur.fused.fpos")
+                               ].set(g_f_flat)
+            out["gradient_full"] = grad.astype(dtype)
+        return out
+
+    return lm_step
+
+
+def _block_precond(P_blocks, S, kf, tf, kind, S_corr):
+    """Preconditioner for the fused ITERATIVE_SCHUR CG (block layout).
+
+    JACOBI: block diagonal of F^T F (+damping); SCHUR_JACOBI: block
+    diagonal of S itself (diagonal blocks of the assembled S — exact, since
+    S is materialized here)."""
+    if kind == PreconditionerType.IDENTITY:
+        return None
+    if kind == PreconditionerType.SCHUR_JACOBI:
+        blocks = S.reshape(kf, tf, kf, tf)[jnp.arange(kf), :,
+                                           jnp.arange(kf), :]
+    else:
+        blocks = P_blocks
+    inv = _spd_inv_small(blocks) if tf <= 3 else None
+    if inv is not None:
+        def apply(v):
+            return _einsum("kij,kj->ki", inv,
+                              v.reshape(kf, tf)).reshape(kf * tf)
+        return apply
+    chol = jnp.linalg.cholesky(blocks)
+
+    def apply(v):
+        vb = v.reshape(kf, tf, 1)
+        y = jsl.solve_triangular(chol, vb, lower=True)
+        z = jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y,
+                                 lower=False)
+        return z.reshape(kf * tf)
+
+    return apply

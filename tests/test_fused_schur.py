@@ -1,0 +1,133 @@
+"""Fused Schur elimination step (solvers/schur_fused.py): equivalence with
+the generic SchurOps path, the Pallas in-VMEM Cholesky solve, and the
+sharded fused whole-solve (parallel/sharded_fused.py).
+
+Reference parity anchors: schur_eliminator_impl.h (elimination),
+schur_complement_solver.cc:181 (dense reduced solve),
+iterative_schur_complement_solver.cc:63 (PCG on S).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+from ceres_tpu import solver as solver_mod
+from ceres_tpu.io.bal import build_bal_ceres_problem, synthetic_bal_problem
+from ceres_tpu.program import CompiledProgram
+
+
+def small_bal():
+    bal = synthetic_bal_problem(num_cameras=6, num_points=300,
+                                num_observations=1500, seed=3,
+                                pixel_noise=1.0)
+    bal.perturb(rotation_sigma=0.02, translation_sigma=0.1,
+                point_sigma=0.05, seed=4)
+    return bal
+
+
+@pytest.fixture(scope="module")
+def bal():
+    return small_bal()
+
+
+@pytest.mark.parametrize("solver_name", ["DENSE_SCHUR", "ITERATIVE_SCHUR"])
+def test_fused_step_matches_generic_f64(bal, solver_name):
+    problem, _, _ = build_bal_ceres_problem(bal)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType[solver_name],
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI)
+    program = CompiledProgram.get_cached(problem, options)
+    x0 = program.initial_state()
+    radius = jnp.asarray(1e4, program.dtype)
+    ex = (program.example_x(), program.example_scalar())
+
+    step_new = program.jit_with_consts(
+        solver_mod.make_step_impl(program, options), ex)
+    a = step_new(x0, radius)
+    os.environ["CERES_TPU_NO_FUSED_SCHUR"] = "1"
+    try:
+        step_old = program.jit_with_consts(
+            solver_mod.make_step_impl(program, options), ex)
+        b = step_old(x0, radius)
+    finally:
+        del os.environ["CERES_TPU_NO_FUSED_SCHUR"]
+
+    for k in ["cost", "gradient_max_norm", "delta", "model_cost_change",
+              "step_norm"]:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        rel = np.max(np.abs(va - vb)) / (np.max(np.abs(vb)) + 1e-300)
+        assert rel < 1e-9, (k, rel)
+
+
+def test_fused_solve_mixed_matches_f64_cost(bal):
+    problem, _, _ = build_bal_ceres_problem(bal)
+    base = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                max_num_iterations=50, function_tolerance=1e-9)
+    s64 = ct.solve(ct.SolverOptions(**base), problem)
+    problem2, _, _ = build_bal_ceres_problem(bal)
+    s32 = ct.solve(ct.SolverOptions(use_mixed_precision_solves=True,
+                                    **base), problem2)
+    assert s64.termination_type == ct.TerminationType.CONVERGENCE
+    assert s32.termination_type == ct.TerminationType.CONVERGENCE
+    assert abs(s32.final_cost - s64.final_cost) / s64.final_cost < 1e-5
+
+
+def test_chol_solve_small_interpret():
+    from ceres_tpu.ops.pallas_kernels import chol_solve_small
+    rng = np.random.default_rng(0)
+    for m in [3, 24, 144]:
+        A = rng.standard_normal((m, m + 4)).astype(np.float32)
+        S = A @ A.T + m * np.eye(m, dtype=np.float32)
+        b = rng.standard_normal(m).astype(np.float32)
+        y = np.asarray(chol_solve_small(jnp.asarray(S), jnp.asarray(b)))
+        ref = np.linalg.solve(S.astype(np.float64), b)
+        rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-4, (m, rel)
+
+
+def test_chol_solve_small_indefinite_gives_nan():
+    from ceres_tpu.ops.pallas_kernels import chol_solve_small
+    S = jnp.asarray(np.diag([1.0, -1.0, 2.0]).astype(np.float32))
+    b = jnp.asarray(np.ones(3, dtype=np.float32))
+    y = np.asarray(chol_solve_small(S, b))
+    assert np.isnan(y).any()
+
+
+@pytest.mark.parametrize("solver_name,mixed", [
+    ("DENSE_SCHUR", False),
+    ("DENSE_SCHUR", True),
+    ("ITERATIVE_SCHUR", False),
+])
+def test_sharded_fused_solve_matches_single_device(bal, solver_name,
+                                                   mixed):
+    from jax.sharding import Mesh
+    problem, _, _ = build_bal_ceres_problem(bal)
+    base = dict(linear_solver_type=ct.LinearSolverType[solver_name],
+                preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+                max_num_iterations=50, function_tolerance=1e-9)
+    s1 = ct.solve(ct.SolverOptions(**base), problem)
+
+    problem2, _, _ = build_bal_ceres_problem(bal)
+    ndev = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("data",))
+    s2 = ct.solve(ct.SolverOptions(mesh=mesh,
+                                   use_mixed_precision_solves=mixed,
+                                   **base), problem2)
+    assert "sharded fused" in s2.message
+    assert s2.termination_type == ct.TerminationType.CONVERGENCE
+    rel = abs(s2.final_cost - s1.final_cost) / s1.final_cost
+    assert rel < (1e-5 if mixed else 1e-6), rel
+
+
+def test_sharded_mesh_int_option(bal):
+    """options.mesh accepts a device count."""
+    problem, _, _ = build_bal_ceres_problem(bal)
+    s = ct.solve(ct.SolverOptions(
+        mesh=min(4, len(jax.devices())),
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=30, function_tolerance=1e-9), problem)
+    assert s.termination_type == ct.TerminationType.CONVERGENCE
