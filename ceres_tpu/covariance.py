@@ -51,6 +51,7 @@ class Covariance:
     def __init__(self, options: Optional[CovarianceOptions] = None):
         self.options = options or CovarianceOptions()
         self._tangent_cov = None
+        self._block_cov = None
         self._program = None
         self._message = ""
 
@@ -60,21 +61,35 @@ class Covariance:
 
     def compute(self, covariance_blocks: List[Tuple], problem) -> bool:
         """covariance_impl.cc:101. covariance_blocks: list of (block_a,
-        block_b) numpy-array pairs (only used for validation here — the
-        full tangent covariance is materialized; fine at the sizes where
-        dense factorization is the algorithm)."""
+        block_b) numpy-array pairs.
+
+        Algorithm selection: DENSE_SVD materializes the dense Jacobian and
+        the full tangent covariance (exact, supports the rank-deficiency
+        policy — covariance_impl.cc:704). SPARSE_QR on a large problem
+        routes to the scalable path: only the REQUESTED block-pair
+        covariances are computed, as batched back-solves against the
+        factored undamped normal equations — Schur-eliminated when the
+        problem has BA structure (the reference's sparse path role,
+        covariance_impl.cc:360 sparsity + :535 sparse factorization,
+        re-architected: dense J is never formed; memory is
+        O(nnz + n * requested_cols))."""
         prog = CompiledProgram(problem,
                                apply_loss=self.options.apply_loss_function)
         self._program = prog
+        self._block_cov = None
         for a, b in covariance_blocks:
             problem._get(a)
             problem._get(b)
 
+        n = prog.num_effective
+        opts = self.options
+        if (opts.algorithm_type == CovarianceAlgorithmType.SPARSE_QR
+                and n > 2000):
+            return self._compute_sparse(covariance_blocks, prog)
+
         x = prog.initial_state()
         _, _, jac, _ = jax.jit(prog.linearize_fn)(x)
         J = jac.to_dense()
-        n = prog.num_effective
-        opts = self.options
 
         if opts.algorithm_type == CovarianceAlgorithmType.DENSE_SVD:
             # SVD of J: J = U S V'; inv(J'J) = V S^-2 V'
@@ -115,6 +130,112 @@ class Covariance:
             self._tangent_cov = Rinv @ Rinv.T
         return True
 
+    def _compute_sparse(self, covariance_blocks, prog) -> bool:
+        """Requested-blocks-only covariance at scale: factor the undamped
+        normal equations once (Schur-eliminated for BA structure; native
+        LDL^T otherwise), then batched unit-vector back-solves for the
+        union of requested SECOND blocks. Cov(a, b) = rows a of
+        inverse(J'J) columns b; symmetry gives the block from either
+        factor. Never materializes dense J or the full covariance."""
+        import jax.scipy.linalg as jsl
+        from .solvers.schur import SchurOps, detect_schur_structure
+
+        x = prog.initial_state()
+        n = prog.num_effective
+
+        # distinct second blocks -> their tangent column ranges
+        b_blocks = {}
+        for a, b in covariance_blocks:
+            key = id(b)
+            if key not in b_blocks:
+                off, tb, _ = self._tangent_slice_for(prog, b)
+                b_blocks[key] = (off, tb)
+
+        cols = np.concatenate([np.arange(off, off + tb)
+                               for off, tb in b_blocks.values()])
+        col_of_block = {}
+        pos = 0
+        for key, (off, tb) in b_blocks.items():
+            col_of_block[key] = (pos, tb)
+            pos += tb
+
+        meta = detect_schur_structure(prog, None)
+        X = None
+        if meta is not None:
+            _, _, jac, _ = jax.jit(prog.linearize_fn)(x)
+            D = jnp.zeros((n,), dtype=prog.dtype)
+            ops = SchurOps(meta, jac, D)
+            S = ops.explicit_S()
+            c, lower = jsl.cho_factor(S)
+            if bool(jnp.any(jnp.isnan(c))):
+                self._message = ("Rank deficient normal equations in the "
+                                 "Schur covariance path (gauge freedom?); "
+                                 "hold a gauge or use DENSE_SVD.")
+                return False
+            e_cols = meta.c("e_cols", meta.e_cols)
+            f_global = meta.c("f_global", meta.f_global_cols)
+
+            def solve_one(col):
+                b_vec = jnp.zeros((n,), dtype=prog.dtype).at[col].set(1.0)
+                b_e = b_vec[e_cols]
+                b_f = b_vec[f_global]
+                rhs = ops.rhs(b_e, b_f)
+                y = jsl.cho_solve((c, lower), rhs)
+                d_e = ops.back_substitute(b_e, y)
+                out = jnp.zeros((n,), dtype=prog.dtype)
+                out = out.at[f_global].set(y)
+                out = out.at[e_cols].set(d_e)
+                return out
+
+            parts = []
+            cols_j = jnp.asarray(cols)
+            batch = 256
+            solve_batch = jax.jit(jax.vmap(solve_one))
+            for s0 in range(0, len(cols), batch):
+                parts.append(np.asarray(solve_batch(
+                    cols_j[s0:s0 + batch])))
+            X = np.concatenate(parts, axis=0)        # [m, n]
+        else:
+            from . import native as _native
+            if not _native.available():
+                self._message = ("No scalable covariance backend: no Schur "
+                                 "structure and native library unavailable.")
+                return False
+            from .solvers.sparse_direct import SparseNormalCholeskyContext
+            ctx = SparseNormalCholeskyContext(prog)
+            _, _, jac, _ = jax.jit(prog.linearize_fn)(x)
+            grams = [np.asarray(jnp.einsum("nrt,nru->ntu", b.J, b.J),
+                                dtype=np.float64) for b in jac.buckets]
+            status = ctx.host_factor(np.zeros(n), *grams)
+            if int(status) != 0:
+                self._message = ("Rank deficient normal equations in the "
+                                 "sparse covariance path.")
+                return False
+            X = np.zeros((len(cols), n))
+            for i, colv in enumerate(cols):
+                e = np.zeros(n)
+                e[colv] = 1.0
+                X[i] = ctx.host_apply(e)
+        if not np.all(np.isfinite(X)):
+            self._message = "Non-finite covariance back-solve."
+            return False
+
+        # extract requested pairs
+        self._block_cov = {}
+        for a, b in covariance_blocks:
+            oa, ta, _ = self._tangent_slice_for(prog, a)
+            p0, tb = col_of_block[id(b)]
+            Cab = X[p0:p0 + tb][:, oa:oa + ta].T     # [ta, tb]
+            self._block_cov[(id(a), id(b))] = Cab
+        return True
+
+    def _tangent_slice_for(self, prog, values):
+        key = id(values)
+        if key not in prog.tan_offset:
+            raise KeyError("block is constant or not in problem")
+        blk = prog.problem._blocks[key]
+        return prog.tan_offset[key], blk.tangent_size, blk
+
     def _tangent_slice(self, values):
         prog = self._program
         key = id(values)
@@ -125,6 +246,17 @@ class Covariance:
         return off, blk.tangent_size, blk
 
     def get_covariance_block_in_tangent_space(self, a, b) -> np.ndarray:
+        if self._block_cov is not None:
+            C = self._block_cov.get((id(a), id(b)))
+            if C is None:
+                Ct = self._block_cov.get((id(b), id(a)))
+                if Ct is None:
+                    raise KeyError(
+                        "block pair was not requested in compute() "
+                        "(sparse covariance computes requested pairs only, "
+                        "covariance.h GetCovarianceBlock contract)")
+                C = Ct.T
+            return C
         oa, ta, _ = self._tangent_slice(a)
         ob, tb, _ = self._tangent_slice(b)
         return self._tangent_cov[oa:oa + ta, ob:ob + tb]
@@ -133,7 +265,7 @@ class Covariance:
         """Ambient-space block: J_plus(a) C J_plus(b)^T."""
         oa, ta, blk_a = self._tangent_slice(a)
         ob, tb, blk_b = self._tangent_slice(b)
-        C = self._tangent_cov[oa:oa + ta, ob:ob + tb]
+        C = self.get_covariance_block_in_tangent_space(a, b)
         Ja = (np.asarray(blk_a.manifold.plus_jacobian(jnp.asarray(a)))
               if blk_a.manifold else np.eye(ta))
         Jb = (np.asarray(blk_b.manifold.plus_jacobian(jnp.asarray(b)))

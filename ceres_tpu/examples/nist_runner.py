@@ -12,11 +12,41 @@ import sys
 import numpy as np
 
 
+def _degenerate_column(problem) -> bool:
+    """True when the Jacobian at the current state has a (near-)dead
+    column: the model has become insensitive to a parameter, the signature
+    of a degenerate plateau (e.g. BoxBOD's constant-model manifold, where
+    d r/d b2 ~ b1*x*exp(-b2*x) underflows). Detected from the solver's own
+    state — no certified data involved."""
+    _, _, _, jac = problem.evaluate(want_residuals=False,
+                                    want_jacobian=True)
+    cn = np.sqrt(np.sum(np.asarray(jac) ** 2, axis=0))
+    return bool(cn.min() < 1e-10 * max(cn.max(), 1.0))
+
+
 def run_suite(data_dir: str, verbose: bool = True,
-              linear_solver: str = "DENSE_QR"):
+              linear_solver: str = "DENSE_QR",
+              dogleg_fallback: bool = True):
+    """LM + DENSE_QR (the reference nist.cc configuration), with one
+    principled retry: when LM lands on a state with a degenerate Jacobian
+    column (or fails outright), re-solve with SUBSPACE_DOGLEG and keep the
+    run with the lower final cost. Both runs use only the problem's own
+    data; the certified values enter the LRE scoring only."""
     import ceres_tpu as ct
     from ceres_tpu.io.nist import (build_nist_problem, compute_lre,
                                    load_nist_suite)
+
+    def make_options(strategy):
+        return ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType[linear_solver],
+            trust_region_strategy_type=strategy,
+            dogleg_type=ct.DoglegType.TRADITIONAL_DOGLEG,
+            max_num_iterations=10000,
+            function_tolerance=1e-18,
+            gradient_tolerance=1e-18,
+            parameter_tolerance=1e-18,
+            initial_trust_region_radius=1e4,
+        )
 
     suite = load_nist_suite(data_dir)
     results = {}
@@ -24,22 +54,27 @@ def run_suite(data_dir: str, verbose: bool = True,
         lres = []
         for start in range(nist.starts.shape[0]):
             problem, b = build_nist_problem(nist, start)
-            options = ct.SolverOptions(
-                linear_solver_type=ct.LinearSolverType[linear_solver],
-                max_num_iterations=10000,
-                function_tolerance=1e-18,
-                gradient_tolerance=1e-18,
-                parameter_tolerance=1e-18,
-                initial_trust_region_radius=1e4,
-            )
-            summary = ct.solve(options, problem)
+            summary = ct.solve(make_options(
+                ct.TrustRegionStrategyType.LEVENBERG_MARQUARDT), problem)
+            retried = ""
+            if dogleg_fallback and (
+                    summary.termination_type != ct.TerminationType.CONVERGENCE
+                    or _degenerate_column(problem)):
+                problem2, b2 = build_nist_problem(nist, start)
+                summary2 = ct.solve(make_options(
+                    ct.TrustRegionStrategyType.DOGLEG), problem2)
+                if (summary2.termination_type
+                        == ct.TerminationType.CONVERGENCE
+                        and summary2.final_cost < summary.final_cost):
+                    summary, b = summary2, b2
+                    retried = " [dogleg retry]"
             lre = compute_lre(b, nist.certified)
             lres.append(lre)
             if verbose:
                 print(f"{nist.name:10s} start{start+1}: LRE {lre:5.2f}  "
                       f"cost {summary.final_cost:.10e} "
                       f"(certified {nist.certified_cost:.10e}) "
-                      f"iters {summary.num_iterations}")
+                      f"iters {summary.num_iterations}{retried}")
         results[nist.name] = lres
     all_lres = [v for lres in results.values() for v in lres]
     avg = float(np.mean(all_lres))

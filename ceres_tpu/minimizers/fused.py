@@ -51,9 +51,10 @@ class FusedResult(NamedTuple):
 
 def make_fused_tr_solve(program, options):
     """Returns a raw (unjitted) fused solve: x0 -> FusedResult."""
-    from ..solver import make_step_impl
+    from ..solver import make_scale_impl, make_step_impl
 
     step_impl = make_step_impl(program, options)
+    scale_impl = make_scale_impl(program, options)
     dtype = program.dtype
     gtol = options.gradient_tolerance
     ftol = options.function_tolerance
@@ -69,12 +70,15 @@ def make_fused_tr_solve(program, options):
 
     def solve(x0):
         cost0 = program.cost_fn(x0)
+        # Jacobi scaling fixed at iteration 0 for the whole solve
+        # (trust_region_minimizer.cc:261-277 jacobian_scaling_).
+        scale0 = scale_impl(x0)
 
         def cond(s):
             return s["code"] == 0
 
         def body(s):
-            out = step_impl(s["x"], s["radius"])
+            out = step_impl(s["x"], s["radius"], scale0)
             cost = out["cost"]
             grad_max = out["gradient_max_norm"]
             mcc = out["model_cost_change"]
@@ -203,6 +207,8 @@ def run_fused(program, options, summary):
     summary.num_successful_steps = int(result.successful_steps)
     summary.num_unsuccessful_steps = int(result.unsuccessful_steps)
     summary.num_linear_solves = int(result.iterations)
+    summary.num_linear_solver_iterations = int(
+        result.total_linear_iterations)
     summary.num_iterations_fused = int(result.iterations)
     code = int(result.termination_code)
     term, msg = TERMINATION_BY_CODE.get(

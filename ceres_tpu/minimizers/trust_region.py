@@ -249,6 +249,11 @@ def minimize_trust_region(program, options, step_fn: Callable,
     total_jacobian_time = 0.0
     total_solver_time = 0.0
 
+    # Jacobi scaling fixed at iteration 0 for the whole solve
+    # (trust_region_minimizer.cc:261-277 jacobian_scaling_).
+    from ..solver import make_scale_fn
+    scale0 = make_scale_fn(program, options)(x)
+
     # Iteration 0: pure evaluation (trust_region_minimizer IterationZero).
     t0 = time.time()
     cost = float(cost_eval(x))
@@ -327,7 +332,8 @@ def minimize_trust_region(program, options, step_fn: Callable,
             # point (x changed iff the last step was accepted).
             options.evaluation_callback.prepare_for_evaluation(
                 evaluate_jacobians=True, new_evaluation_point=True)
-        step_out = step_fn(x, jnp.asarray(strategy.radius, dtype=dtype))
+        step_out = step_fn(x, jnp.asarray(strategy.radius, dtype=dtype),
+                           scale0)
         pulls = {k: step_out[k] for k in
                  ("cost", "model_cost_change", "step_norm",
                   "gradient_norm", "lin_iters")}

@@ -56,6 +56,8 @@ def _load():
 
         lib.ct_rcm_order.argtypes = [i32, p_i64, p_i32, p_i32]
         lib.ct_rcm_order.restype = i32
+        lib.ct_amd_order.argtypes = [i32, p_i64, p_i32, p_i32]
+        lib.ct_amd_order.restype = i32
         lib.ct_chol_create.argtypes = [i32, p_i64, p_i32, i32]
         lib.ct_chol_create.restype = ctypes.c_void_p
         lib.ct_chol_nnz.argtypes = [ctypes.c_void_p]
@@ -87,13 +89,29 @@ def rcm_order(Ap: np.ndarray, Ai: np.ndarray, n: int) -> np.ndarray:
     return perm
 
 
+def amd_order(Ap: np.ndarray, Ai: np.ndarray, n: int) -> np.ndarray:
+    """Quotient-graph minimum-degree permutation (perm[new] = old) — the
+    fill-reducing role of SuiteSparse CAMD (reorder_program.cc:95)."""
+    lib = _load()
+    perm = np.empty(n, dtype=np.int32)
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    lib.ct_amd_order(n, np.ascontiguousarray(Ap, np.int64),
+                     np.ascontiguousarray(Ai, np.int32), perm)
+    return perm
+
+
 class SparseCholesky:
     """Simplicial LDL^T over a fixed symmetric pattern: analyze once,
     refactor each iteration (the reference's SparseCholesky contract,
     sparse_cholesky.h:72: Factorize(pattern-constant) + Solve)."""
 
+    ORDER_NATURAL, ORDER_RCM, ORDER_AMD, ORDER_AUTO = 0, 1, 2, 3
+
     def __init__(self, n: int, Ap: np.ndarray, Ai: np.ndarray,
-                 use_rcm: bool = True):
+                 use_rcm: bool = True, ordering: int = None):
+        """ordering: 0 natural, 1 RCM, 2 AMD, 3 auto (min symbolic fill).
+        Default: auto when use_rcm (legacy flag) is True, else natural."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -101,8 +119,10 @@ class SparseCholesky:
         self.n = int(n)
         self._Ap = np.ascontiguousarray(Ap, dtype=np.int64)
         self._Ai = np.ascontiguousarray(Ai, dtype=np.int32)
+        if ordering is None:
+            ordering = self.ORDER_AUTO if use_rcm else self.ORDER_NATURAL
         self._h = lib.ct_chol_create(self.n, self._Ap, self._Ai,
-                                     1 if use_rcm else 0)
+                                     int(ordering))
         if not self._h:
             raise RuntimeError("ct_chol_create failed")
 

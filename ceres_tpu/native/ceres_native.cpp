@@ -19,10 +19,12 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libceres_native.so
 //        ceres_native.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <queue>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -77,6 +79,117 @@ int ct_rcm_order(int32_t n, const int64_t* Ap, const int32_t* Ai,
 }
 
 // ---------------------------------------------------------------------------
+// Minimum-degree ordering on the quotient graph (the fill-reducing role of
+// SuiteSparse CAMD / Eigen AMD in the reference, reorder_program.cc:95 +
+// suitesparse.cc). Classic Amestoy/Davis/Duff scheme implemented from the
+// literature: eliminate the node of (approximate) minimum external degree,
+// replace it and its adjacent elements by one new element, update degrees
+// lazily through a binary heap. Supervariable detection is omitted — the
+// orderings are near-AMD quality at O(nnz log n)-ish cost, plenty for the
+// pose-graph / grid problems the host path serves.
+int ct_amd_order(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                 int32_t* perm) {
+  // Node adjacency (nodes + elements), stored as vectors.
+  std::vector<std::vector<int32_t>> nadj(n);   // adjacent uneliminated nodes
+  std::vector<std::vector<int32_t>> eadj(n);   // adjacent elements (ids)
+  std::vector<std::vector<int32_t>> emembers;  // element -> member nodes
+  std::vector<char> dead_elem;
+  std::vector<char> eliminated(n, 0);
+  std::vector<int64_t> degree(n, 0);
+  for (int32_t j = 0; j < n; ++j) {
+    nadj[j].reserve(Ap[j + 1] - Ap[j]);
+    for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+      int32_t i = Ai[p];
+      if (i != j && i >= 0 && i < n) nadj[j].push_back(i);
+    }
+    degree[j] = int64_t(nadj[j].size());
+  }
+
+  // Binary heap of (degree, node) with lazy deletion.
+  using Entry = std::pair<int64_t, int32_t>;
+  std::vector<Entry> heap;
+  heap.reserve(2 * size_t(n));
+  auto heap_less = [](const Entry& a, const Entry& b) { return a > b; };
+  for (int32_t i = 0; i < n; ++i) heap.push_back({degree[i], i});
+  std::make_heap(heap.begin(), heap.end(), heap_less);
+
+  std::vector<int32_t> mark(n, -1);
+  std::vector<int32_t> stamp_elem;  // per-element visit stamps
+  int32_t order_pos = 0;
+
+  while (order_pos < n) {
+    // Pop the live node whose recorded degree is current.
+    int32_t p = -1;
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end(), heap_less);
+      Entry e = heap.back();
+      heap.pop_back();
+      if (!eliminated[e.second] && e.first == degree[e.second]) {
+        p = e.second;
+        break;
+      }
+    }
+    if (p < 0) {  // all remaining entries stale: pick any live node
+      for (int32_t i = 0; i < n; ++i)
+        if (!eliminated[i]) { p = i; break; }
+      if (p < 0) break;
+    }
+
+    // Form the new element: union of live node-neighbors and members of
+    // adjacent elements.
+    std::vector<int32_t> Lp;
+    const int32_t tag = p;
+    mark[p] = tag;
+    for (int32_t v : nadj[p]) {
+      if (!eliminated[v] && mark[v] != tag) {
+        mark[v] = tag;
+        Lp.push_back(v);
+      }
+    }
+    for (int32_t e : eadj[p]) {
+      if (dead_elem[size_t(e)]) continue;
+      for (int32_t v : emembers[size_t(e)]) {
+        if (!eliminated[v] && v != p && mark[v] != tag) {
+          mark[v] = tag;
+          Lp.push_back(v);
+        }
+      }
+      dead_elem[size_t(e)] = 1;  // absorbed into the new element
+    }
+    eliminated[p] = 1;
+    perm[order_pos++] = p;
+
+    const int32_t enew = int32_t(emembers.size());
+    emembers.push_back(Lp);
+    dead_elem.push_back(0);
+
+    // Update each member: drop dead elements, add the new one, recompute
+    // the approximate external degree = |live node adj \ Lp| + sum of
+    // live adjacent element sizes (upper bound; duplicates uncounted).
+    for (int32_t v : Lp) {
+      // compact node adjacency (drop eliminated)
+      auto& na = nadj[v];
+      size_t w = 0;
+      for (size_t r = 0; r < na.size(); ++r)
+        if (!eliminated[na[r]]) na[w++] = na[r];
+      na.resize(w);
+      auto& ea = eadj[v];
+      w = 0;
+      for (size_t r = 0; r < ea.size(); ++r)
+        if (!dead_elem[size_t(ea[r])]) ea[w++] = ea[r];
+      ea.resize(w);
+      ea.push_back(enew);
+      int64_t d = int64_t(na.size());
+      for (int32_t e : ea) d += int64_t(emembers[size_t(e)].size()) - 1;
+      degree[v] = d;
+      heap.push_back({d, v});
+      std::push_heap(heap.begin(), heap.end(), heap_less);
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Simplicial LDL^T with cached symbolic analysis.
 
 struct CholHandle {
@@ -107,18 +220,77 @@ struct CholHandle {
   std::vector<double> w;        // solve workspace
 };
 
+// Symbolic fill (nnz of L, strictly lower) for a candidate permutation —
+// used to pick between RCM and AMD per problem.
+static int64_t symbolic_fill(int32_t n, const int64_t* Ap,
+                             const int32_t* Ai, const int32_t* perm) {
+  std::vector<int32_t> iperm(n);
+  for (int32_t k = 0; k < n; ++k) iperm[perm[k]] = k;
+  // permuted upper pattern, column-major (unsorted is fine for the etree)
+  std::vector<int64_t> Up(n + 1, 0);
+  const int64_t nnz = Ap[n];
+  for (int32_t jold = 0; jold < n; ++jold)
+    for (int64_t p = Ap[jold]; p < Ap[jold + 1]; ++p) {
+      int32_t inew = iperm[Ai[p]], jnew = iperm[jold];
+      if (inew <= jnew) Up[jnew + 1]++;
+    }
+  for (int32_t j = 0; j < n; ++j) Up[j + 1] += Up[j];
+  std::vector<int32_t> Ui(Up[n]);
+  std::vector<int64_t> fill(n, 0);
+  for (int32_t jold = 0; jold < n; ++jold)
+    for (int64_t p = Ap[jold]; p < Ap[jold + 1]; ++p) {
+      int32_t inew = iperm[Ai[p]], jnew = iperm[jold];
+      if (inew <= jnew) Ui[Up[jnew] + fill[jnew]++] = inew;
+    }
+  std::vector<int32_t> parent(n, -1), ancestor(n, -1), flag(n, -1);
+  for (int32_t k = 0; k < n; ++k)
+    for (int64_t p = Up[k]; p < Up[k + 1]; ++p) {
+      int32_t i = Ui[p];
+      while (i != -1 && i < k) {
+        int32_t next = ancestor[i];
+        ancestor[i] = k;
+        if (next == -1) parent[i] = k;
+        i = next;
+      }
+    }
+  int64_t total = 0;
+  for (int32_t k = 0; k < n; ++k) {
+    flag[k] = k;
+    for (int64_t p = Up[k]; p < Up[k + 1]; ++p) {
+      int32_t i = Ui[p];
+      while (i != k && flag[i] != k) {
+        total++;
+        flag[i] = k;
+        i = parent[i];
+      }
+    }
+  }
+  (void)nnz;
+  return total;
+}
+
 // Analyze: permute the pattern, build the upper-triangular permuted
 // pattern + value map, compute the etree and column counts.
+// ordering: 0 = natural, 1 = RCM, 2 = AMD, 3 = auto (min symbolic fill).
 void* ct_chol_create(int32_t n, const int64_t* Ap, const int32_t* Ai,
-                     int32_t use_rcm) {
+                     int32_t ordering) {
   auto* h = new CholHandle;
   h->n = n;
   h->Ap.assign(Ap, Ap + n + 1);
   h->Ai.assign(Ai, Ai + Ap[n]);
   h->perm.resize(n);
   h->iperm.resize(n);
-  if (use_rcm) {
+  if (ordering == 1) {
     ct_rcm_order(n, Ap, Ai, h->perm.data());
+  } else if (ordering == 2) {
+    ct_amd_order(n, Ap, Ai, h->perm.data());
+  } else if (ordering == 3) {
+    std::vector<int32_t> rcm(n), amd(n);
+    ct_rcm_order(n, Ap, Ai, rcm.data());
+    ct_amd_order(n, Ap, Ai, amd.data());
+    const int64_t f_rcm = symbolic_fill(n, Ap, Ai, rcm.data());
+    const int64_t f_amd = symbolic_fill(n, Ap, Ai, amd.data());
+    h->perm = (f_amd <= f_rcm) ? amd : rcm;
   } else {
     for (int32_t i = 0; i < n; ++i) h->perm[i] = i;
   }

@@ -267,15 +267,16 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 Jf = Jg[..., fo:fo + tf]
                 oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
                 oh = oh * sh["mask"][..., None].astype(work_dtype)
-                EtE = EtE + _einsum("nkrt,nkru->ntu", Je, Je)
-                g_e = g_e + _einsum("nkrt,nkr->nt", Je, rg)
-                Gf = _einsum("nkrt,nkru->nktu", Jf, Jf)
+                from ..solvers.schur_fused import _outer_rt, _rvec_rt
+                EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
+                g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
+                Gf = _outer_rt(Jf, Jf)
                 FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
-                g_f = g_f + _einsum(
-                    "nkc,nkt->ct", oh, _einsum("nkrt,nkr->nkt", Jf, rg))
-                Ge = _einsum("nkru,nkrt->nkut", Je, Jf)
-                A = A + _einsum("nkc,nkut->nuct", oh,
-                                Ge).reshape(nloc, te, kf * tf)
+                g_f = g_f + _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf, rg))
+                Ge = _outer_rt(Je, Jf)
+                A = A + jnp.sum(oh[:, :, None, :, None]
+                                * Ge[:, :, :, None, :],
+                                axis=1).reshape(nloc, te, kf * tf)
                 store.append(("e", Je, Jf, oh))
             else:
                 r, J = program._bucket_linearize(
@@ -290,14 +291,27 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 Jf = Jc[..., fo:fo + tf]
                 oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
                 oh = oh * sh["mask"][:, None].astype(work_dtype)
-                G = _einsum("nrt,nru->ntu", Jf, Jf)
+                from ..solvers.schur_fused import _outer_rt, _rvec_rt
+                G = _outer_rt(Jf, Jf)
                 FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
-                g_f = g_f + _einsum(
-                    "nc,nt->ct", oh, _einsum("nrt,nr->nt", Jf, rc))
+                g_f = g_f + _einsum("nc,nt->ct", oh, _rvec_rt(Jf, rc))
                 store.append(("f", Jf, None, oh))
         return cost_loc, EtE, g_e, FtF, g_f, A, store
 
-    def solve_body(x, radius, shards):
+    def initial_scale(x, shards):
+        """Fixed iteration-0 Jacobi scaling
+        (trust_region_minimizer.cc:261-277): s_e shard-local [nloc, te],
+        s_f replicated [kf, tf]."""
+        (_, EtE, _, FtF_loc, _, _, _) = lm_pieces(x, shards)
+        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
+        cn_f = jax.lax.psum(
+            jnp.diagonal(FtF_loc, axis1=-2, axis2=-1), axis)
+        if use_jacobi_scaling:
+            return (1.0 / (1.0 + jnp.sqrt(cn_e)),
+                    1.0 / (1.0 + jnp.sqrt(cn_f)))
+        return jnp.ones_like(cn_e), jnp.ones_like(cn_f)
+
+    def solve_body(x, radius, shards, s_e, s_f):
         """One LM linearize+step; all-replicated outputs except delta_e."""
         (cost_loc, EtE, g_e, FtF_loc, g_f_loc, A, store) = lm_pieces(
             x, shards)
@@ -312,12 +326,6 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
 
         cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
         cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)
-        if use_jacobi_scaling:
-            s_e = 1.0 / (1.0 + jnp.sqrt(cn_e))
-            s_f = 1.0 / (1.0 + jnp.sqrt(cn_f))
-        else:
-            s_e = jnp.ones_like(cn_e)
-            s_f = jnp.ones_like(cn_f)
         diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
         diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
         rad = radius.astype(work_dtype)
@@ -412,12 +420,13 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
     def solve(x0, shards):
         cost0 = jax.lax.psum(local_cost(x0, shards), axis) \
             + program.fixed_cost
+        s_e0, s_f0 = initial_scale(x0, shards)
 
         def cond(s):
             return s["code"] == 0
 
         def body(s):
-            out = solve_body(s["x"], s["radius"], shards)
+            out = solve_body(s["x"], s["radius"], shards, s_e0, s_f0)
             cost = out["cost"]
             mcc = out["mcc"]
             step_norm = out["step_norm"]

@@ -86,6 +86,8 @@ def _fill(summary, result):
     summary.num_successful_steps = int(result.successful_steps)
     summary.num_unsuccessful_steps = int(result.unsuccessful_steps)
     summary.num_linear_solves = int(result.iterations)
+    summary.num_linear_solver_iterations = int(
+        result.total_linear_iterations)
     summary.num_iterations_fused = int(result.iterations)
     code = int(result.termination_code)
     term, msg = TERMINATION_BY_CODE.get(

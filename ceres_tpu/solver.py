@@ -90,15 +90,51 @@ def _make_linear_solver(program, options):
     raise ValueError(f"unsupported linear solver {t}")
 
 
-def make_step_fn(program, options):
-    """Build the jitted (x, radius) -> step dict function (cached on the
-    program so repeated solves reuse the XLA executable; structural index
-    arrays are passed as device arguments, not HLO literals)."""
+def make_scale_impl(program, options):
+    """Raw scale(x) -> [num_effective] Jacobi column scaling, computed from
+    the Jacobian at x. The reference computes this ONCE at iteration 0 and
+    reuses the same vector for the whole solve
+    (trust_region_minimizer.cc:261-277 jacobian_scaling_); the minimizers
+    call this with the initial state and pass the result to every step."""
+    if not options.jacobi_scaling:
+        def ones(x):
+            return jnp.ones((program.num_effective,), dtype=program.dtype)
+        return ones
+
+    def scale(x):
+        _, _, jac, _ = program.linearize_fn(x)
+        return 1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
+
+    return scale
+
+
+def make_scale_fn(program, options):
     return program.cached_jit(
+        ("scale", options.jacobi_scaling),
+        lambda: program.jit_with_consts(
+            make_scale_impl(program, options), (program.example_x(),)))
+
+
+def make_step_fn(program, options):
+    """Build the jitted (x, radius[, scale]) -> step dict function (cached
+    on the program so repeated solves reuse the XLA executable; structural
+    index arrays are passed as device arguments, not HLO literals).
+    When scale is omitted it is computed from the Jacobian at x (identical
+    to the fixed iteration-0 scaling for a first step from x)."""
+    jitted = program.cached_jit(
         ("step", options.cache_key()),
         lambda: program.jit_with_consts(
             make_step_impl(program, options),
-            (program.example_x(), program.example_scalar())))
+            (program.example_x(), program.example_scalar(),
+             program.example_delta())))
+    scale_fn = make_scale_fn(program, options)
+
+    def call(x, radius, scale=None):
+        if scale is None:
+            scale = scale_fn(x)
+        return jitted(x, radius, scale)
+
+    return call
 
 
 def make_step_impl(program, options):
@@ -141,7 +177,7 @@ def make_step_impl(program, options):
         LinearSolverType.SPARSE_NORMAL_CHOLESKY,
         LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR)
 
-    def lm_step(x, radius):
+    def lm_step(x, radius, scale):
         cost, grad64, jac, res = program.linearize_fn(x)
         jac64, res64 = jac, res
         if mixed:
@@ -158,12 +194,9 @@ def make_step_impl(program, options):
                 jac.num_rows, jac.num_cols)
             res = RVec([p.astype(jnp.float32) for p in res.parts])
             grad = jac.rmatvec(res)
+            scale = scale.astype(jnp.float32)
         else:
             grad = grad64
-        if use_jacobi_scaling:
-            scale = 1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
-        else:
-            scale = jnp.ones_like(grad)
         jac_s = jac.scale_columns(scale)
         grad_s = grad * scale
         # LM diagonal (levenberg_marquardt_strategy.cc:80-92).
@@ -264,15 +297,11 @@ def make_step_impl(program, options):
         # segment handled by the caller via NaN-free select.
         return d_sub, degenerate
 
-    def dogleg_step(x, radius):
+    def dogleg_step(x, radius, scale):
         """TRADITIONAL_DOGLEG + SUBSPACE_DOGLEG
         (dogleg_strategy.cc:130-265), in the Jacobi-scaled space like the
-        reference."""
+        reference (fixed iteration-0 scaling passed in by the minimizer)."""
         cost, grad, jac, res = program.linearize_fn(x)
-        if use_jacobi_scaling:
-            scale = 1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
-        else:
-            scale = jnp.ones_like(grad)
         jac_s = jac.scale_columns(scale)
         g = grad * scale
         # Cauchy point: alpha = |g|^2 / |J g|^2.

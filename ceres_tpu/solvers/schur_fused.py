@@ -51,9 +51,22 @@ import numpy as np
 
 # TPU f32 matmuls default to bf16 passes (~1e-3 relative error) — enough to
 # push the damped Schur complement indefinite at typical LM damping levels.
-# Every contraction here runs at HIGHEST (true f32): the FLOP volume is
-# ~1 GFLOP/iteration, noise at MXU rates.
+# Large contractions (one-hot reductions, the S correction) run as matmuls
+# at HIGHEST (true f32, 6 bf16 passes — cheap at matmul-friendly shapes).
+# The per-row outer products contract over r=2/k<=16 — matmul-hostile
+# shapes that the MXU pads to 128-tiles; those run as broadcast
+# multiply-reduce on the VPU instead (exact f32, no precision passes).
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+def _outer_rt(Ja, Jb):
+    """sum_r Ja[..., r, :] (x) Jb[..., r, :] -> [..., ta, tb] (VPU)."""
+    return jnp.sum(Ja[..., :, :, None] * Jb[..., :, None, :], axis=-3)
+
+
+def _rvec_rt(Ja, rg):
+    """sum_r Ja[..., r, :] * rg[..., r] -> [..., ta] (VPU)."""
+    return jnp.sum(Ja * rg[..., None], axis=-2)
 
 from ..types import LinearSolverType, PreconditionerType
 
@@ -213,7 +226,7 @@ def make_fused_schur_lm_step(program, options, meta):
         bucket_plan.append(dict(bk=bk, bs=bs, bi=bi, f_si=f_si,
                                 local=local, slot_off=slot_off))
 
-    def lm_step(x, radius):
+    def lm_step(x, radius, scale):
         total_cost = jnp.asarray(program.fixed_cost, dtype=dtype)
 
         EtE = jnp.zeros((ne, te, te), dtype=work_dtype)
@@ -247,15 +260,17 @@ def make_fused_schur_lm_step(program, options, meta):
                                            plan["local"])
                 oh = oh.astype(work_dtype)               # [ne,k,kf]
 
-                EtE = EtE + _einsum("nkrt,nkru->ntu", Je, Je)
-                g_e = g_e + _einsum("nkrt,nkr->nt", Je, rg)
-                Gf = _einsum("nkrt,nkru->nktu", Jf, Jf)
+                EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
+                g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
+                Gf = _outer_rt(Jf, Jf)                   # [ne,k,tf,tf]
                 FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
-                g_f = g_f + _einsum(
-                    "nkc,nkt->ct", oh, _einsum("nkrt,nkr->nkt", Jf, rg))
-                Ge = _einsum("nkru,nkrt->nkut", Je, Jf)  # [ne,k,te,tf]
-                A = A + _einsum("nkc,nkut->nuct", oh,
-                                   Ge).reshape(ne, te, kf * tf)
+                g_f = g_f + _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf, rg))
+                Ge = _outer_rt(Je, Jf)                   # [ne,k,te,tf]
+                # A: contraction over k (chunk width) — broadcast sum to
+                # [ne, te, kf, tf] then flatten block-major.
+                A = A + jnp.sum(oh[:, :, None, :, None]
+                                * Ge[:, :, :, None, :],
+                                axis=1).reshape(ne, te, kf * tf)
                 chunk_store.append(("e", Je, Jf, oh))
             elif bs.f_cols is not None:
                 # ---- f-only bucket: block-diagonal + gradient ----
@@ -263,21 +278,28 @@ def make_fused_schur_lm_step(program, options, meta):
                 Jf = Jc[..., fo:fo + ftw]                # [n, rr, tf]
                 oh = meta.onehot(0, bi, plan["f_si"], plan["local"],
                                  kf).astype(work_dtype)
-                G = _einsum("nrt,nru->ntu", Jf, Jf)
+                G = _outer_rt(Jf, Jf)                    # [n,tf,tf]
                 FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
-                g_f = g_f + _einsum(
-                    "nc,nt->ct", oh, _einsum("nrt,nr->nt", Jf, rc))
+                g_f = g_f + _einsum("nc,nt->ct", oh, _rvec_rt(Jf, rc))
                 chunk_store.append(("f", Jf, None, oh))
 
         # ---- column norms ARE the Gram diagonals ----
         cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)     # [ne, te]
         cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)     # [kf, tf]
-        if use_jacobi_scaling:
-            s_e = 1.0 / (1.0 + jnp.sqrt(cn_e))
-            s_f = 1.0 / (1.0 + jnp.sqrt(cn_f))
+        # Fixed iteration-0 Jacobi scaling, passed in by the minimizer
+        # (reference trust_region_minimizer.cc:261-277), split into the
+        # e/f block layouts.
+        scale_w = scale.astype(work_dtype)
+        if e_slab is not None:
+            s_e = jax.lax.dynamic_slice(scale_w, (e_slab,),
+                                        (ne * te,)).reshape(ne, te)
         else:
-            s_e = jnp.ones_like(cn_e)
-            s_f = jnp.ones_like(cn_f)
+            s_e = scale_w[meta.c("e_cols", meta.e_cols)]
+        if f_slab is not None:
+            s_f = jax.lax.dynamic_slice(scale_w, (f_slab,),
+                                        (kf * tf,)).reshape(kf, tf)
+        else:
+            s_f = scale_w[program.const("schur.fused.fpos")].reshape(kf, tf)
 
         # ---- scale + damp the small tensors ----
         # scaled Gram = diag(s) G diag(s); scaled col norm = s^2 cn.

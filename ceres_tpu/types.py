@@ -374,6 +374,9 @@ class SolverSummary:
     residual_evaluation_time_in_seconds: float = 0.0
     jacobian_evaluation_time_in_seconds: float = 0.0
     num_linear_solves: int = 0
+    # total inner (CG/PCG) iterations across the solve — the reference's
+    # Summary::linear_solver iteration counts rolled up
+    num_linear_solver_iterations: int = 0
 
     # set by the fused minimizer, which has no per-iteration records
     num_iterations_fused: int = 0

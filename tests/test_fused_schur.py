@@ -43,16 +43,18 @@ def test_fused_step_matches_generic_f64(bal, solver_name):
     program = CompiledProgram.get_cached(problem, options)
     x0 = program.initial_state()
     radius = jnp.asarray(1e4, program.dtype)
-    ex = (program.example_x(), program.example_scalar())
+    ex = (program.example_x(), program.example_scalar(),
+          program.example_delta())
+    scale = solver_mod.make_scale_fn(program, options)(x0)
 
     step_new = program.jit_with_consts(
         solver_mod.make_step_impl(program, options), ex)
-    a = step_new(x0, radius)
+    a = step_new(x0, radius, scale)
     os.environ["CERES_TPU_NO_FUSED_SCHUR"] = "1"
     try:
         step_old = program.jit_with_consts(
             solver_mod.make_step_impl(program, options), ex)
-        b = step_old(x0, radius)
+        b = step_old(x0, radius, scale)
     finally:
         del os.environ["CERES_TPU_NO_FUSED_SCHUR"]
 
@@ -131,3 +133,42 @@ def test_sharded_mesh_int_option(bal):
         linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
         max_num_iterations=30, function_tolerance=1e-9), problem)
     assert s.termination_type == ct.TerminationType.CONVERGENCE
+
+
+def test_sparse_covariance_matches_dense():
+    """Scalable covariance (Schur back-solve) vs DENSE_SVD ground truth
+    on a gauge-fixed BA problem (reference covariance_impl.cc:360,:535
+    sparse path role)."""
+    from ceres_tpu.covariance import Covariance, CovarianceOptions
+    from ceres_tpu.types import CovarianceAlgorithmType
+
+    bal = synthetic_bal_problem(num_cameras=6, num_points=800,
+                                num_observations=4000, seed=11,
+                                pixel_noise=0.5)
+    problem, cams, pts = build_bal_ceres_problem(bal)
+    # fix the gauge: one camera + one point held constant
+    problem.set_parameter_block_constant(cams[0])
+    problem.set_parameter_block_constant(pts[0])
+    assert 6 * 9 + 800 * 3 - 12 > 2000  # sparse path threshold
+
+    pairs = [(cams[1], cams[1]), (cams[1], cams[2]), (pts[5], pts[5]),
+             (cams[3], pts[7])]
+
+    cov_sparse = Covariance(CovarianceOptions(
+        algorithm_type=CovarianceAlgorithmType.SPARSE_QR))
+    assert cov_sparse.compute(pairs, problem), cov_sparse.message
+    assert cov_sparse._block_cov is not None  # scalable path taken
+
+    cov_dense = Covariance(CovarianceOptions(
+        algorithm_type=CovarianceAlgorithmType.DENSE_SVD))
+    assert cov_dense.compute(pairs, problem), cov_dense.message
+
+    for a, b in pairs:
+        Cs = cov_sparse.get_covariance_block_in_tangent_space(a, b)
+        Cd = cov_dense.get_covariance_block_in_tangent_space(a, b)
+        rel = np.max(np.abs(Cs - Cd)) / (np.max(np.abs(Cd)) + 1e-300)
+        assert rel < 1e-6, rel
+    # symmetry access: (b, a) of a requested (a, b)
+    Cba = cov_sparse.get_covariance_block_in_tangent_space(cams[2], cams[1])
+    Cab = cov_sparse.get_covariance_block_in_tangent_space(cams[1], cams[2])
+    np.testing.assert_allclose(Cba, Cab.T)
