@@ -539,7 +539,20 @@ class CompiledProgram:
             pi = len(self.plus_groups)
             self.register_const(f"plus{pi}.amb", amb)
             self.register_const(f"plus{pi}.tan", tan)
-            self.plus_groups.append((blks[0].manifold, amb, tan))
+            # Slab fast path: when the group's ambient/tangent indices are
+            # one contiguous run, plus() uses slice+reshape instead of the
+            # TPU-hostile flat gather/scatter (x[idx[k, s]] measured ~10 ms
+            # at 22k x 3 vs ~free for slices).
+            def _slab(ix):
+                flat = ix.reshape(-1)
+                s = int(flat[0]) if flat.size else 0
+                if np.array_equal(flat,
+                                  np.arange(s, s + flat.size,
+                                            dtype=flat.dtype)):
+                    return (s, ix.shape[0], ix.shape[1])
+                return None
+            self.plus_groups.append((blks[0].manifold, amb, tan,
+                                     _slab(amb), _slab(tan)))
         if self.has_bounds:
             self.register_const("bounds.lo", self._lo)
             self.register_const("bounds.hi", self._hi)
@@ -574,16 +587,28 @@ class CompiledProgram:
         """x' = Plus(x, delta), batched per manifold group, then projected
         onto the bound box (parameter_block.h Plus semantics)."""
         out = x
-        for pi, (manifold, _, _) in enumerate(self.plus_groups):
-            amb_idx = self.const(f"plus{pi}.amb")
-            tan_idx = self.const(f"plus{pi}.tan")
-            xs = x[amb_idx]            # [k, amb]
-            ds = delta[tan_idx]        # [k, t]
+        for pi, (manifold, _, _, amb_slab, tan_slab) in enumerate(
+                self.plus_groups):
+            if amb_slab is not None:
+                s, k, a = amb_slab
+                xs = jax.lax.dynamic_slice(x, (s,), (k * a,)).reshape(k, a)
+            else:
+                xs = x[self.const(f"plus{pi}.amb")]       # [k, amb]
+            if tan_slab is not None:
+                s2, k2, t2 = tan_slab
+                ds = jax.lax.dynamic_slice(delta, (s2,),
+                                           (k2 * t2,)).reshape(k2, t2)
+            else:
+                ds = delta[self.const(f"plus{pi}.tan")]   # [k, t]
             if manifold is None:
                 new = xs + ds
             else:
                 new = jax.vmap(manifold.plus)(xs, ds)
-            out = out.at[amb_idx].set(new)
+            if amb_slab is not None:
+                out = jax.lax.dynamic_update_slice(out, new.reshape(-1),
+                                                   (amb_slab[0],))
+            else:
+                out = out.at[self.const(f"plus{pi}.amb")].set(new)
         if self.has_bounds:
             out = jnp.clip(out,
                            self.const("bounds.lo").astype(self.dtype),

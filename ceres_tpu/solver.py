@@ -488,6 +488,24 @@ def _maybe_downgrade_options(options, program, summary):
                 preconditioner_type=PreconditionerType.JACOBI)
             summary.message = (
                 f"No Schur structure detected; using {new_t}. ")
+        elif (t == LinearSolverType.SPARSE_SCHUR
+              and structure.nf > 4096):
+            # Dense S is the MXU-native reduced-system form; past a few
+            # thousand cameras its O(nf^2) memory/factorization loses to
+            # PCG on the (implicit) complement. The reference factorizes a
+            # sparse S there (schur_complement_solver.cc:291); the
+            # TPU-native analog of that regime is ITERATIVE_SCHUR.
+            options = dataclasses.replace(
+                options, linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+                preconditioner_type=(
+                    options.preconditioner_type
+                    if options.preconditioner_type
+                    != PreconditionerType.IDENTITY
+                    else PreconditionerType.SCHUR_JACOBI))
+            summary.message = (
+                f"SPARSE_SCHUR with {structure.nf} camera-space columns: "
+                f"routing the reduced solve to ITERATIVE_SCHUR "
+                f"(dense S uneconomical past ~4096 columns). ")
     return options
 
 
