@@ -261,6 +261,32 @@ class Covariance:
         ob, tb, _ = self._tangent_slice(b)
         return self._tangent_cov[oa:oa + ta, ob:ob + tb]
 
+    def get_covariance_matrix_in_tangent_space(self, blocks) -> np.ndarray:
+        """Dense covariance of the given blocks, tangent space
+        (covariance.h:458 GetCovarianceMatrixInTangentSpace). With the
+        sparse path, every (i, j) pair over `blocks` must have been
+        requested in compute()."""
+        sizes = [self._tangent_slice(b)[1] for b in blocks]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        out = np.zeros((offs[-1], offs[-1]))
+        for i, a in enumerate(blocks):
+            for j, b in enumerate(blocks):
+                out[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = \
+                    self.get_covariance_block_in_tangent_space(a, b)
+        return out
+
+    def get_covariance_matrix(self, blocks) -> np.ndarray:
+        """Dense covariance of the given blocks, ambient space
+        (covariance.h:441 GetCovarianceMatrix)."""
+        sizes = [self._tangent_slice(b)[2].size for b in blocks]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        out = np.zeros((offs[-1], offs[-1]))
+        for i, a in enumerate(blocks):
+            for j, b in enumerate(blocks):
+                out[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = \
+                    self.get_covariance_block(a, b)
+        return out
+
     def get_covariance_block(self, a, b) -> np.ndarray:
         """Ambient-space block: J_plus(a) C J_plus(b)^T."""
         oa, ta, blk_a = self._tangent_slice(a)

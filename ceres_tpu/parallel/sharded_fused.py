@@ -143,15 +143,23 @@ class ShardedFusedResult(NamedTuple):
 
 
 def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
-                             axis: str = "data"):
+                             axis=None):
     """Returns (solve, place): solve(x0, shards) -> ShardedFusedResult runs
     the entire LM loop sharded; place(shards_np) device_puts the row data
-    with the right shardings. shards_np from build_chunk_shards."""
+    with the right shardings. shards_np from build_chunk_shards.
+
+    axis: mesh axis name (or tuple of names) to shard rows over. Default:
+    ALL mesh axes — a multi-host {host, chip} mesh flattens into one
+    e-block data axis, collectives reducing over both (ICI within a host,
+    DCN across; XLA picks the hierarchical reduction)."""
     from ..solvers.schur_fused import (_spd_inv_small, _spd_solve_dense,
                                        _slab_of, _block_precond)
 
-    num_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names
-                              if a == axis]))
+    if axis is None:
+        axis = tuple(mesh.axis_names)
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    axis = axes if len(axes) > 1 else axes[0]
+    num_shards = int(np.prod([mesh.shape[a] for a in axes]))
     shards_np, ne_pad = build_chunk_shards(program, meta, num_shards)
 
     dtype = program.dtype

@@ -61,8 +61,10 @@ def try_solve_sharded(program, options, summary):
             key = ("sharded_fused", options.cache_key(), id(mesh))
             cached = program._jit_cache.get(key)
             if cached is None:
+                # shard over ALL mesh axes (multi-host {host, chip} meshes
+                # flatten into one e-block data axis)
                 run, place = make_sharded_fused_solve(program, options,
-                                                      meta, mesh, axis)
+                                                      meta, mesh)
                 placed = place()
                 program._jit_cache[key] = (run, placed)
             else:

@@ -226,24 +226,33 @@ def make_fused_schur_lm_step(program, options, meta):
         bucket_plan.append(dict(bk=bk, bs=bs, bi=bi, f_si=f_si,
                                 local=local, slot_off=slot_off))
 
+    # Mixed mode rhs accuracy: f32 J·r products carry the f32 input
+    # rounding, which costs ~1-2 extra LM iterations at BAL scale vs f64.
+    # CERES_TPU_F64_RHS=1 computes the e/f gradients from the f64 Jacobian
+    # before the cast. Measured on the v5e bench: 9 -> 8 iterations but
+    # +6 ms/iteration (f64 chunk gather + emulated-f64 reductions) — a net
+    # wall-time loss, so OFF by default; the knob exists for problems
+    # where trajectory fidelity matters more than wall time.
+    f64_rhs = mixed and bool(os.environ.get("CERES_TPU_F64_RHS"))
+
     def lm_step(x, radius, scale):
         total_cost = jnp.asarray(program.fixed_cost, dtype=dtype)
 
         EtE = jnp.zeros((ne, te, te), dtype=work_dtype)
-        g_e = jnp.zeros((ne, te), dtype=work_dtype)
+        g_e = jnp.zeros((ne, te), dtype=dtype if f64_rhs else work_dtype)
         FtF = jnp.zeros((kf, tf, tf), dtype=work_dtype)
-        g_f = jnp.zeros((kf, tf), dtype=work_dtype)
+        g_f = jnp.zeros((kf, tf), dtype=dtype if f64_rhs else work_dtype)
         A = jnp.zeros((ne, te, kf * tf), dtype=work_dtype)
         chunk_store = []                 # per e-bucket tensors for back-sub
 
         for plan in bucket_plan:
             bk, bs, bi = plan["bk"], plan["bs"], plan["bi"]
             r, J = program._bucket_linearize(bk, x)
-            cost, rc, Jc = correct_residuals_and_jacobian(
+            cost, rc64, Jc64 = correct_residuals_and_jacobian(
                 program._bucket_loss(bk), r, J)
             total_cost = total_cost + jnp.sum(cost)
-            rc = rc.astype(work_dtype)
-            Jc = Jc.astype(work_dtype)
+            rc = rc64.astype(work_dtype)
+            Jc = Jc64.astype(work_dtype)
 
             if bs.e_slot is not None:
                 # ---- chunk-grouped e-bucket ----
@@ -261,16 +270,27 @@ def make_fused_schur_lm_step(program, options, meta):
                 oh = oh.astype(work_dtype)               # [ne,k,kf]
 
                 EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
-                g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
                 Gf = _outer_rt(Jf, Jf)                   # [ne,k,tf,tf]
                 FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
-                g_f = g_f + _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf, rg))
                 Ge = _outer_rt(Je, Jf)                   # [ne,k,te,tf]
                 # A: contraction over k (chunk width) — broadcast sum to
                 # [ne, te, kf, tf] then flatten block-major.
                 A = A + jnp.sum(oh[:, :, None, :, None]
                                 * Ge[:, :, :, None, :],
                                 axis=1).reshape(ne, te, kf * tf)
+                if f64_rhs:
+                    mask64 = mask.astype(dtype)
+                    Jg64 = Jc64[rows] * mask64[..., None, None]
+                    rg64 = rc64[rows] * mask64[..., None]
+                    g_e = g_e + jnp.sum(
+                        _rvec_rt(Jg64[..., eo:eo + te], rg64), axis=1)
+                    g_f = g_f + _einsum(
+                        "nkc,nkt->ct", oh.astype(dtype),
+                        _rvec_rt(Jg64[..., fo:fo + ftw], rg64))
+                else:
+                    g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
+                    g_f = g_f + _einsum("nkc,nkt->ct", oh,
+                                        _rvec_rt(Jf, rg))
                 chunk_store.append(("e", Je, Jf, oh))
             elif bs.f_cols is not None:
                 # ---- f-only bucket: block-diagonal + gradient ----
@@ -280,7 +300,12 @@ def make_fused_schur_lm_step(program, options, meta):
                                  kf).astype(work_dtype)
                 G = _outer_rt(Jf, Jf)                    # [n,tf,tf]
                 FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
-                g_f = g_f + _einsum("nc,nt->ct", oh, _rvec_rt(Jf, rc))
+                if f64_rhs:
+                    g_f = g_f + _einsum(
+                        "nc,nt->ct", oh.astype(dtype),
+                        _rvec_rt(Jc64[..., fo:fo + ftw], rc64))
+                else:
+                    g_f = g_f + _einsum("nc,nt->ct", oh, _rvec_rt(Jf, rc))
                 chunk_store.append(("f", Jf, None, oh))
 
         # ---- column norms ARE the Gram diagonals ----
@@ -314,8 +339,12 @@ def make_fused_schur_lm_step(program, options, meta):
         FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
         sA = s_f.reshape(kf * tf)
         A_s = A * s_e[:, :, None] * sA[None, None, :]
-        g_se = g_e * s_e
-        g_sf = (g_f * s_f).reshape(kf * tf)
+        # scale in the gradient's (possibly f64) dtype, then cast the rhs
+        # to the working precision — the ACCUMULATION accuracy is what
+        # matters, not the storage of the final vector.
+        g_se = (g_e * s_e.astype(g_e.dtype)).astype(work_dtype)
+        g_sf = (g_f * s_f.astype(g_f.dtype)
+                ).reshape(kf * tf).astype(work_dtype)
 
         inv_ete = _spd_inv_small(EtE_d)                  # [ne, te, te]
 
@@ -410,7 +439,7 @@ def make_fused_schur_lm_step(program, options, meta):
             "lin_iters": lin_iters,
         }
         if program.has_bounds:
-            grad = jnp.zeros((program.num_effective,), dtype=work_dtype)
+            grad = jnp.zeros((program.num_effective,), dtype=g_e.dtype)
             if e_slab is not None:
                 grad = jax.lax.dynamic_update_slice(
                     grad, g_e.reshape(-1), (e_slab,))

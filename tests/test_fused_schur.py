@@ -172,3 +172,54 @@ def test_sparse_covariance_matches_dense():
     Cba = cov_sparse.get_covariance_block_in_tangent_space(cams[2], cams[1])
     Cab = cov_sparse.get_covariance_block_in_tangent_space(cams[1], cams[2])
     np.testing.assert_allclose(Cba, Cab.T)
+
+
+def test_covariance_matrix_batch_api():
+    """GetCovarianceMatrix / GetCovarianceMatrixInTangentSpace
+    (covariance.h:441,:458)."""
+    from ceres_tpu.covariance import Covariance, CovarianceOptions
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(2)
+    b = rng.standard_normal(3)
+    problem = ct.Problem()
+
+    class R:
+        def __call__(self, a, b):
+            return jnp.concatenate([
+                a * 2.0 - b[:2], (b * 1.5)]) + 0.1 * jnp.concatenate(
+                    [a, b]) ** 2
+
+    problem.add_residual_block(
+        ct.AutoDiffCostFunction(R(), 5, [2, 3]), None, a, b)
+    cov = Covariance(CovarianceOptions())
+    assert cov.compute([(a, a), (a, b), (b, b)], problem), cov.message
+    M = cov.get_covariance_matrix_in_tangent_space([a, b])
+    assert M.shape == (5, 5)
+    np.testing.assert_allclose(
+        M[:2, :2], cov.get_covariance_block_in_tangent_space(a, a))
+    np.testing.assert_allclose(
+        M[:2, 2:], cov.get_covariance_block_in_tangent_space(a, b))
+    np.testing.assert_allclose(M, M.T, atol=1e-12)
+    Ma = cov.get_covariance_matrix([a, b])
+    assert Ma.shape == (5, 5)
+
+
+def test_sharded_fused_multihost_mesh(bal):
+    """2-D {host, chip} mesh: rows shard over the flattened product of
+    both axes; collectives reduce over both (the multi-host story on the
+    virtual CPU mesh, SURVEY.md section 5.8)."""
+    from jax.sharding import Mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    problem, _, _ = build_bal_ceres_problem(bal)
+    base = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                max_num_iterations=50, function_tolerance=1e-9)
+    s1 = ct.solve(ct.SolverOptions(**base), problem)
+    problem2, _, _ = build_bal_ceres_problem(bal)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("host", "chip"))
+    s2 = ct.solve(ct.SolverOptions(mesh=mesh, **base), problem2)
+    assert "sharded fused" in s2.message
+    rel = abs(s2.final_cost - s1.final_cost) / s1.final_cost
+    assert rel < 1e-6, rel
