@@ -28,6 +28,8 @@ def _enum(ct, cls, name):
 
 def build_options(ct, args):
     options = ct.SolverOptions(
+        mesh=(args.num_devices if getattr(args, "num_devices", 1) > 1
+              else None),
         max_num_iterations=args.num_iterations,
         minimizer_type=(ct.MinimizerType.LINE_SEARCH if args.line_search
                         else ct.MinimizerType.TRUST_REGION),
@@ -96,6 +98,10 @@ def main(argv=None):
     ap.add_argument("--nonmonotonic_steps", action="store_true")
     ap.add_argument("--line_search", action="store_true")
     ap.add_argument("--mixed_precision_solves", action="store_true")
+    ap.add_argument("--num_devices", type=int, default=1,
+                    help="shard the solve over this many devices "
+                         "(SolverOptions.mesh; the reference's "
+                         "--num_threads analog)")
     ap.add_argument("--max_num_refinement_iterations", type=int, default=0)
     ap.add_argument("--rotation_sigma", type=float, default=0.0)
     ap.add_argument("--translation_sigma", type=float, default=0.0)

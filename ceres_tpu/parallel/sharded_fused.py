@@ -259,12 +259,27 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                     sh["data"])
                 amb = tuple(a.reshape((nloc * k,) + a.shape[2:])
                             for a in sh["amb"])
-                r, J = program._bucket_linearize(bk, x,
-                                                 row_arrays=(data, amb))
-                cost, rc, Jc = correct_residuals_and_jacobian(
-                    bucket_loss(bk, sh),
-                    r * sh["mask"].reshape(-1)[:, None],
-                    J * sh["mask"].reshape(-1)[:, None, None])
+                loss = bucket_loss(bk, sh)
+                rmask = sh["mask"].reshape(-1)
+                if mixed:
+                    # f32-native jacfwd; f64 residual-only pass for cost
+                    # (see solvers/schur_fused.py).
+                    r64 = program._bucket_residuals(
+                        bk, x, row_arrays=(data, amb)) * rmask[:, None]
+                    cost, _, _ = correct_residuals_and_jacobian(
+                        loss, r64, None)
+                    _, J32 = program._bucket_linearize(
+                        bk, x, row_arrays=(data, amb),
+                        cast_dtype=jnp.float32)
+                    _, rc, Jc = correct_residuals_and_jacobian(
+                        loss, r64.astype(work_dtype),
+                        J32 * rmask.astype(jnp.float32)[:, None, None])
+                else:
+                    r, J = program._bucket_linearize(
+                        bk, x, row_arrays=(data, amb))
+                    cost, rc, Jc = correct_residuals_and_jacobian(
+                        loss, r * rmask[:, None],
+                        J * rmask[:, None, None])
                 cost_loc = cost_loc + jnp.sum(cost)
                 rr = Jc.shape[1]
                 Jg = Jc.reshape(nloc, k, rr, -1).astype(work_dtype)

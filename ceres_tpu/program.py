@@ -676,17 +676,29 @@ class CompiledProgram:
 
         return jax.vmap(per_block)(data, *params)
 
-    def _bucket_linearize(self, bk, x, row_arrays=None):
+    def _bucket_linearize(self, bk, x, row_arrays=None, cast_dtype=None):
         """(residuals [n,r], J [n,r,t_total]) tangent-space, uncorrected.
 
         row_arrays: optional (data, [amb_idx per slot]) override — used by
-        the sharded path (parallel/sharded.py) to evaluate a row shard."""
+        the sharded path (parallel/sharded.py) to evaluate a row shard.
+        cast_dtype: evaluate the functor (and its jacfwd tangents) in this
+        dtype — mixed precision runs the Jacobian pass natively in f32
+        (f64 jvp chains are software-emulated on TPU and dominate the
+        fused-step profile); the caller keeps cost/residuals from a
+        separate f64 residual-only pass."""
         if row_arrays is not None:
             data, amb_idxs = row_arrays
             params = [x[ai] for ai in amb_idxs]
         else:
             data = self.const(bk.data_name)
             params = self._bucket_params(bk, x)
+        if cast_dtype is not None:
+            data = jax.tree_util.tree_map(
+                lambda a: a.astype(cast_dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else a, data)
+            params = [p.astype(cast_dtype) for p in params]
+            x = x.astype(cast_dtype)
         fn = bk.residual_fn
         var_slots = [(i, sl) for i, sl in enumerate(bk.slots) if sl.variable]
 

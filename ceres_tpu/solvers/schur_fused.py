@@ -247,12 +247,31 @@ def make_fused_schur_lm_step(program, options, meta):
 
         for plan in bucket_plan:
             bk, bs, bi = plan["bk"], plan["bs"], plan["bi"]
-            r, J = program._bucket_linearize(bk, x)
-            cost, rc64, Jc64 = correct_residuals_and_jacobian(
-                program._bucket_loss(bk), r, J)
-            total_cost = total_cost + jnp.sum(cost)
-            rc = rc64.astype(work_dtype)
-            Jc = Jc64.astype(work_dtype)
+            loss = program._bucket_loss(bk)
+            if mixed and not f64_rhs:
+                # Mixed precision: the jacfwd tangent chains run NATIVELY
+                # in f32 (f64 jvp is software-emulated on TPU and
+                # dominated the step profile); cost comes from a cheap
+                # f64 residual-only pass so trust-region tolerances keep
+                # their f64 meaning.
+                r64 = program._bucket_residuals(bk, x)
+                cost, _, _ = correct_residuals_and_jacobian(loss, r64,
+                                                            None)
+                total_cost = total_cost + jnp.sum(cost)
+                _, J32 = program._bucket_linearize(
+                    bk, x, cast_dtype=jnp.float32)
+                _, rc, Jc = correct_residuals_and_jacobian(
+                    loss, r64.astype(work_dtype), J32)
+                rc = rc.astype(work_dtype)
+                Jc = Jc.astype(work_dtype)
+                rc64, Jc64 = rc, Jc    # f64_rhs is off on this path
+            else:
+                r, J = program._bucket_linearize(bk, x)
+                cost, rc64, Jc64 = correct_residuals_and_jacobian(
+                    loss, r, J)
+                total_cost = total_cost + jnp.sum(cost)
+                rc = rc64.astype(work_dtype)
+                Jc = Jc64.astype(work_dtype)
 
             if bs.e_slot is not None:
                 # ---- chunk-grouped e-bucket ----
