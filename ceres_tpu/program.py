@@ -788,39 +788,69 @@ class CompiledProgram:
             r, J = self._bucket_linearize(bk, x)
             cost, rc, Jc = correct_residuals_and_jacobian(self._bucket_loss(bk), r, J)
             total = total + jnp.sum(cost)
-            vslots = [sl for sl in bk.slots if sl.variable]
-            cols = tuple(self.const(sl.cols_name) for sl in vslots)
-            onehots = tuple(self.const(sl.oh_name)
-                            if sl.oh_name is not None else None
-                            for sl in vslots)
-            gcols = tuple(self.const(f"grp{sl.group_id}.tan_cols")
-                          if sl.oh_name is not None else None
-                          for sl in vslots)
-            sorted_vslot = -1
-            if getattr(bk, "sorted_abs_slot", None) is not None:
-                vcount = -1
-                for si, sl in enumerate(bk.slots):
-                    if sl.variable:
-                        vcount += 1
-                    if si == bk.sorted_abs_slot:
-                        sorted_vslot = vcount if sl.variable else -1
-                        break
-            tlocals = tuple(self.const(sl.local_name) for sl in vslots)
-            tslabs = tuple(
-                (int(self.groups[sl.group_id].tan_cols[0, 0]),
-                 self.groups[sl.group_id].num_blocks,
-                 self.groups[sl.group_id].tangent_size)
-                for sl in vslots)
-            jac_buckets.append(BucketJacobian(Jc, cols, bk.row_offset,
-                                              onehots, gcols,
-                                              sorted_slot=sorted_vslot,
-                                              tlocals=tlocals,
-                                              tslabs=tslabs))
+            jac_buckets.append(self._make_bucket_jacobian(bk, Jc))
             res_parts.append(rc)
         jac = BlockJacobian(jac_buckets, self.num_rows, self.num_effective)
         res = RVec(res_parts)
         grad = jac.rmatvec(res)
         return total, grad, jac, res
+
+    def linearize_fn_mixed(self, x):
+        """Mixed-precision linearize: (cost f64, gradient f32, jac f32,
+        res f32). The Jacobian pass (jacfwd tangent chains) runs natively
+        in f32 — f64 jvp is software-emulated on TPU and dominates the
+        profile; cost keeps f64 meaning via a tangent-free f64 residual
+        pass. Same contract as linearize_fn otherwise."""
+        total = jnp.asarray(self.fixed_cost, dtype=self.dtype)
+        jac_buckets = []
+        res_parts = []
+        for bk in self.buckets:
+            loss = self._bucket_loss(bk)
+            r64 = self._bucket_residuals(bk, x)
+            cost, _, _ = correct_residuals_and_jacobian(loss, r64, None)
+            total = total + jnp.sum(cost)
+            _, J32 = self._bucket_linearize(bk, x,
+                                            cast_dtype=jnp.float32)
+            _, rc, Jc = correct_residuals_and_jacobian(
+                loss, r64.astype(jnp.float32), J32)
+            rc = rc.astype(jnp.float32)
+            Jc = Jc.astype(jnp.float32)
+            jac_buckets.append(self._make_bucket_jacobian(bk, Jc))
+            res_parts.append(rc)
+        jac = BlockJacobian(jac_buckets, self.num_rows, self.num_effective)
+        res = RVec(res_parts)
+        grad = jac.rmatvec(res)
+        return total, grad, jac, res
+
+    def _make_bucket_jacobian(self, bk, Jc):
+        """BucketJacobian wrapper for a corrected per-bucket J tensor
+        (shared by linearize_fn / linearize_fn_mixed)."""
+        vslots = [sl for sl in bk.slots if sl.variable]
+        cols = tuple(self.const(sl.cols_name) for sl in vslots)
+        onehots = tuple(self.const(sl.oh_name)
+                        if sl.oh_name is not None else None
+                        for sl in vslots)
+        gcols = tuple(self.const(f"grp{sl.group_id}.tan_cols")
+                      if sl.oh_name is not None else None
+                      for sl in vslots)
+        sorted_vslot = -1
+        if getattr(bk, "sorted_abs_slot", None) is not None:
+            vcount = -1
+            for si, sl in enumerate(bk.slots):
+                if sl.variable:
+                    vcount += 1
+                if si == bk.sorted_abs_slot:
+                    sorted_vslot = vcount if sl.variable else -1
+                    break
+        tlocals = tuple(self.const(sl.local_name) for sl in vslots)
+        tslabs = tuple(
+            (int(self.groups[sl.group_id].tan_cols[0, 0]),
+             self.groups[sl.group_id].num_blocks,
+             self.groups[sl.group_id].tangent_size)
+            for sl in vslots)
+        return BucketJacobian(Jc, cols, bk.row_offset, onehots, gcols,
+                              sorted_slot=sorted_vslot, tlocals=tlocals,
+                              tslabs=tslabs)
 
     # ------------------------------------------------------------------
 

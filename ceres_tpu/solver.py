@@ -101,6 +101,16 @@ def make_scale_impl(program, options):
             return jnp.ones((program.num_effective,), dtype=program.dtype)
         return ones
 
+    if options.use_mixed_precision_solves:
+        def scale(x):
+            # one-time per solve; the f32 Jacobian pass is ~12x cheaper
+            # than emulated-f64 and f32 column norms are plenty for a
+            # conditioning heuristic
+            _, _, jac, _ = program.linearize_fn_mixed(x)
+            return (1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
+                    ).astype(program.dtype)
+        return scale
+
     def scale(x):
         _, _, jac, _ = program.linearize_fn(x)
         return 1.0 / (1.0 + jnp.sqrt(jac.squared_column_norms()))
@@ -178,13 +188,19 @@ def make_step_impl(program, options):
         LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR)
 
     def lm_step(x, radius, scale):
-        cost, grad64, jac, res = program.linearize_fn(x)
-        jac64, res64 = jac, res
-        if mixed:
-            # Mixed precision: everything J-wide runs in f32 (f64 on TPU
-            # is software-emulated; the f64 J^T-side reductions alone cost
-            # ~100 ms/iteration at BAL scale). Cost stays f64; the f64
-            # gradient is dead code and XLA drops it.
+        if mixed and refine_iters == 0:
+            # Mixed precision: the jacfwd tangent chains run natively in
+            # f32 (f64 jvp is software-emulated on TPU and dominates the
+            # profile); cost keeps f64 meaning via a residual-only f64
+            # pass inside linearize_fn_mixed.
+            cost, grad, jac, res = program.linearize_fn_mixed(x)
+            jac64 = res64 = None
+            scale = scale.astype(jnp.float32)
+        elif mixed:
+            # Refinement needs the f64 Jacobian: linearize in f64, run
+            # the J-wide pipeline in f32.
+            cost, grad64, jac, res = program.linearize_fn(x)
+            jac64, res64 = jac, res
             from .ops.bsr import BlockJacobian, BucketJacobian, RVec
             jac = BlockJacobian(
                 [BucketJacobian(b.J.astype(jnp.float32), b.cols,
@@ -196,7 +212,8 @@ def make_step_impl(program, options):
             grad = jac.rmatvec(res)
             scale = scale.astype(jnp.float32)
         else:
-            grad = grad64
+            cost, grad, jac, res = program.linearize_fn(x)
+            jac64, res64 = jac, res
         jac_s = jac.scale_columns(scale)
         grad_s = grad * scale
         # LM diagonal (levenberg_marquardt_strategy.cc:80-92).
