@@ -108,19 +108,25 @@ def fused_schur_supported(program, options, meta) -> bool:
                 return False
     if options.linear_solver_type in (LinearSolverType.DENSE_SCHUR,
                                       LinearSolverType.SPARSE_SCHUR):
-        return True
+        # direct reduced solve: dense S + the cross tensor A must fit
+        return _explicit_viable(meta)
     if options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR:
-        # Fused path uses the explicit-S operator; require it to be viable
-        # (and the materialized cross tensor A to fit comfortably), and a
-        # preconditioner the fused assembly provides exactly.
+        # explicit-S operator when viable; matrix-free (implicit) apply
+        # over the chunk tensors otherwise — either way the fused path
+        # needs a preconditioner it can assemble exactly.
         if options.preconditioner_type not in (
                 PreconditionerType.IDENTITY, PreconditionerType.JACOBI,
                 PreconditionerType.SCHUR_JACOBI):
             return False
         if options.use_spse_initialization:
             return False
-        return (meta.nf <= 2048 and meta.ne * meta.te * meta.nf <= 1.5e8)
+        return True
     return False
+
+
+def _explicit_viable(meta) -> bool:
+    """Dense S + materialized A = E^T F affordable?"""
+    return meta.nf <= 2048 and meta.ne * meta.te * meta.nf <= 1.5e8
 
 
 # ----------------------------------------------------------------------
@@ -201,6 +207,13 @@ def make_fused_schur_lm_step(program, options, meta):
     kf, tf = grp["kf"], grp["t"]
     iterative = (options.linear_solver_type
                  == LinearSolverType.ITERATIVE_SCHUR)
+    # explicit: materialize A [ne, te, nf] + dense S (direct solve or
+    # CG-on-explicit-S); implicit: matrix-free CG over the chunk tensors
+    # (the large-camera-count regime). CERES_TPU_FORCE_IMPLICIT exercises
+    # the implicit path at small sizes (tests).
+    explicit = (not iterative) or (
+        _explicit_viable(meta)
+        and not os.environ.get("CERES_TPU_FORCE_IMPLICIT"))
 
     # ---- static structure (host, once) ----
     e_slab = _slab_of(meta.e_cols)                  # e cols contiguous?
@@ -242,7 +255,8 @@ def make_fused_schur_lm_step(program, options, meta):
         g_e = jnp.zeros((ne, te), dtype=dtype if f64_rhs else work_dtype)
         FtF = jnp.zeros((kf, tf, tf), dtype=work_dtype)
         g_f = jnp.zeros((kf, tf), dtype=dtype if f64_rhs else work_dtype)
-        A = jnp.zeros((ne, te, kf * tf), dtype=work_dtype)
+        A = (jnp.zeros((ne, te, kf * tf), dtype=work_dtype) if explicit
+             else None)
         chunk_store = []                 # per e-bucket tensors for back-sub
 
         for plan in bucket_plan:
@@ -291,12 +305,13 @@ def make_fused_schur_lm_step(program, options, meta):
                 EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
                 Gf = _outer_rt(Jf, Jf)                   # [ne,k,tf,tf]
                 FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
-                Ge = _outer_rt(Je, Jf)                   # [ne,k,te,tf]
-                # A: contraction over k (chunk width) — broadcast sum to
-                # [ne, te, kf, tf] then flatten block-major.
-                A = A + jnp.sum(oh[:, :, None, :, None]
-                                * Ge[:, :, :, None, :],
-                                axis=1).reshape(ne, te, kf * tf)
+                if explicit:
+                    Ge = _outer_rt(Je, Jf)               # [ne,k,te,tf]
+                    # A: contraction over k (chunk width) — broadcast sum
+                    # to [ne, te, kf, tf] then flatten block-major.
+                    A = A + jnp.sum(oh[:, :, None, :, None]
+                                    * Ge[:, :, :, None, :],
+                                    axis=1).reshape(ne, te, kf * tf)
                 if f64_rhs:
                     mask64 = mask.astype(dtype)
                     Jg64 = Jc64[rows] * mask64[..., None, None]
@@ -357,7 +372,8 @@ def make_fused_schur_lm_step(program, options, meta):
             + D2_e[..., None] * jnp.eye(te, dtype=work_dtype)
         FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
         sA = s_f.reshape(kf * tf)
-        A_s = A * s_e[:, :, None] * sA[None, None, :]
+        A_s = (A * s_e[:, :, None] * sA[None, None, :]) if explicit \
+            else None
         # scale in the gradient's (possibly f64) dtype, then cast the rhs
         # to the working precision — the ACCUMULATION accuracy is what
         # matters, not the storage of the final vector.
@@ -367,30 +383,118 @@ def make_fused_schur_lm_step(program, options, meta):
 
         inv_ete = _spd_inv_small(EtE_d)                  # [ne, te, te]
 
-        # ---- eliminate: S and reduced rhs (block layout) ----
+        # ---- eliminate + reduced solve (block layout) ----
         b_e = -g_se                                      # [ne, te]
         b_f = -g_sf                                      # [kf*tf]
-        z = _einsum("nij,nj->ni", inv_ete, b_e)       # (EtE)^-1 b_e
-        rhs = b_f - _einsum("nuf,nu->f", A_s, z)
+        z = _einsum("nij,nj->ni", inv_ete, b_e)          # (EtE)^-1 b_e
 
-        Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
-        S_corr = _einsum("nuf,nug->fg", A_s, Y)
-        ii = jnp.arange(kf)
-        S = (-S_corr).reshape(kf, tf, kf, tf).at[ii, :, ii, :].add(
-            FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype)
-        ).reshape(kf * tf, kf * tf)
+        if explicit:
+            rhs = b_f - _einsum("nuf,nu->f", A_s, z)
+            Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
+            S_corr = _einsum("nuf,nug->fg", A_s, Y)
+            ii = jnp.arange(kf)
+            S = (-S_corr).reshape(kf, tf, kf, tf).at[ii, :, ii, :].add(
+                FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype)
+            ).reshape(kf * tf, kf * tf)
 
-        # ---- reduced solve ----
-        if not iterative:
-            y = _spd_solve_dense(S, rhs)
-            lin_iters = jnp.asarray(1, dtype=jnp.int32)
+            if not iterative:
+                y = _spd_solve_dense(S, rhs)
+                lin_iters = jnp.asarray(1, dtype=jnp.int32)
+            else:
+                from .cg import conjugate_gradients
+                precond = _block_precond(
+                    FtF_s + D2_f[..., None] * jnp.eye(tf,
+                                                      dtype=work_dtype),
+                    S, kf, tf, options.preconditioner_type, S_corr)
+                result = conjugate_gradients(
+                    lambda v: S @ v, rhs, jnp.zeros_like(rhs),
+                    apply_preconditioner=precond,
+                    max_iterations=options.max_linear_solver_iterations,
+                    q_tolerance=options.eta,
+                    min_iterations=options.min_linear_solver_iterations)
+                y = result.x
+                lin_iters = result.num_iterations
+
+            # back-substitute: d_e = (EtE)^-1 (b_e - A y)
+            d_e = _einsum("nij,nj->ni", inv_ete,
+                          b_e - _einsum("nuf,f->nu", A_s, y))
         else:
+            # ---- implicit (matrix-free) ITERATIVE_SCHUR over the chunk
+            # tensors — the large-camera-count regime where A [ne,te,nf]
+            # and dense S are unaffordable (implicit_schur_complement.h
+            # role in the fused layout). Scaled chunk tensors are built
+            # once; each CG application is a handful of VPU broadcast
+            # products + two one-hot matmuls.
+            sstore = []
+            for kind, Je, Jf, oh in chunk_store:
+                if kind == "e":
+                    Je_s = Je * s_e[:, None, None, :]
+                    sfrow = _einsum("nkc,ct->nkt", oh, s_f)
+                    Jf_s = Jf * sfrow[:, :, None, :]
+                else:
+                    Je_s = None
+                    sfrow = _einsum("nc,ct->nt", oh, s_f)
+                    Jf_s = Jf * sfrow[:, None, :]
+                sstore.append((kind, Je_s, Jf_s, oh))
+
+            def mv(J, v):      # [..., r, t] x [..., t] -> [..., r]
+                return jnp.sum(J * v[..., None, :], axis=-1)
+
+            def apply_S(v):
+                vb = v.reshape(kf, tf)
+                out = jnp.zeros((kf, tf), dtype=work_dtype)
+                u = jnp.zeros((ne, te), dtype=work_dtype)
+                ws = []
+                for kind, Je_s, Jf_s, oh in sstore:
+                    if kind == "e":
+                        vrow = _einsum("nkc,ct->nkt", oh, vb)
+                        w = mv(Jf_s, vrow)               # [ne,k,r]
+                        u = u + jnp.sum(_rvec_rt(Je_s, w), axis=1)
+                        ws.append(w)
+                    else:
+                        vrow = _einsum("nc,ct->nt", oh, vb)
+                        ws.append(mv(Jf_s, vrow))        # [n,r]
+                zz = jnp.sum(inv_ete * u[:, None, :], axis=-1)
+                for (kind, Je_s, Jf_s, oh), w in zip(sstore, ws):
+                    if kind == "e":
+                        w2 = w - mv(Je_s, zz[:, None, :])
+                        out = out + _einsum("nkc,nkt->ct", oh,
+                                            _rvec_rt(Jf_s, w2))
+                    else:
+                        out = out + _einsum("nc,nt->ct", oh,
+                                            _rvec_rt(Jf_s, w))
+                return (out + D2_f * vb).reshape(kf * tf)
+
+            # reduced rhs: b_f - F_s^T E_s z
+            acc = jnp.zeros((kf, tf), dtype=work_dtype)
+            for kind, Je_s, Jf_s, oh in sstore:
+                if kind != "e":
+                    continue
+                w = mv(Je_s, z[:, None, :])
+                acc = acc + _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf_s, w))
+            rhs = b_f - acc.reshape(kf * tf)
+
+            # preconditioner blocks: exact block diagonal of S for
+            # SCHUR_JACOBI; of F_s^T F_s for JACOBI
+            pk = options.preconditioner_type
+            precond = None
+            if pk != PreconditionerType.IDENTITY:
+                blocks = FtF_s + D2_f[..., None] * jnp.eye(
+                    tf, dtype=work_dtype)
+                if pk == PreconditionerType.SCHUR_JACOBI:
+                    for kind, Je_s, Jf_s, oh in sstore:
+                        if kind != "e":
+                            continue
+                        Ge_s = _outer_rt(Je_s, Jf_s)     # [ne,k,te,tf]
+                        M = _einsum("nij,nkjt->nkit", inv_ete, Ge_s)
+                        contrib = _einsum("nkut,nkuv->nktv", Ge_s, M)
+                        blocks = blocks - _einsum("nkc,nktv->ctv", oh,
+                                                  contrib)
+                precond = _precond_from_blocks(blocks, kf, tf)
+
             from .cg import conjugate_gradients
-            precond = _block_precond(
-                FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype),
-                S, kf, tf, options.preconditioner_type, S_corr)
             result = conjugate_gradients(
-                lambda v: S @ v, rhs, jnp.zeros_like(rhs),
+                apply_S, rhs, jnp.zeros_like(rhs),
                 apply_preconditioner=precond,
                 max_iterations=options.max_linear_solver_iterations,
                 q_tolerance=options.eta,
@@ -398,9 +502,15 @@ def make_fused_schur_lm_step(program, options, meta):
             y = result.x
             lin_iters = result.num_iterations
 
-        # ---- back-substitute: d_e = (EtE)^-1 (b_e - A y) ----
-        d_e = _einsum("nij,nj->ni", inv_ete,
-                         b_e - _einsum("nuf,f->nu", A_s, y))
+            # back-substitute: d_e = (EtE)^-1 (b_e - E_s^T F_s y)
+            yb = y.reshape(kf, tf)
+            u2 = jnp.zeros((ne, te), dtype=work_dtype)
+            for kind, Je_s, Jf_s, oh in sstore:
+                if kind != "e":
+                    continue
+                yrow = _einsum("nkc,ct->nkt", oh, yb)
+                u2 = u2 + jnp.sum(_rvec_rt(Je_s, mv(Jf_s, yrow)), axis=1)
+            d_e = jnp.sum(inv_ete * (b_e - u2)[:, None, :], axis=-1)
 
         # ---- step, norms, model cost change (all from parts) ----
         d_dot_g = jnp.vdot(d_e, g_se) + jnp.vdot(y, g_sf)
@@ -474,6 +584,27 @@ def make_fused_schur_lm_step(program, options, meta):
         return out
 
     return lm_step
+
+
+def _precond_from_blocks(blocks, kf, tf):
+    """Block-diagonal preconditioner apply from [kf, tf, tf] SPD blocks."""
+    if tf <= 3:
+        inv = _spd_inv_small(blocks)
+
+        def apply(v):
+            return jnp.sum(inv * v.reshape(kf, 1, tf),
+                           axis=-1).reshape(kf * tf)
+        return apply
+    chol = jnp.linalg.cholesky(blocks)
+
+    def apply(v):
+        vb = v.reshape(kf, tf, 1)
+        y = jsl.solve_triangular(chol, vb, lower=True)
+        zz = jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y,
+                                  lower=False)
+        return zz.reshape(kf * tf)
+
+    return apply
 
 
 def _block_precond(P_blocks, S, kf, tf, kind, S_corr):

@@ -223,3 +223,28 @@ def test_sharded_fused_multihost_mesh(bal):
     assert "sharded fused" in s2.message
     rel = abs(s2.final_cost - s1.final_cost) / s1.final_cost
     assert rel < 1e-6, rel
+
+
+def test_fused_implicit_iterative_matches_generic(bal):
+    """Matrix-free fused ITERATIVE_SCHUR (the large-camera regime where
+    A/dense-S are unaffordable; implicit_schur_complement.h role) —
+    forced at small size, compared against the generic SchurOps step and
+    an end-to-end solve."""
+    problem, _, _ = build_bal_ceres_problem(bal)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        max_num_iterations=50, function_tolerance=1e-9)
+    s_ref = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=50, function_tolerance=1e-9), problem)
+
+    os.environ["CERES_TPU_FORCE_IMPLICIT"] = "1"
+    try:
+        problem2, _, _ = build_bal_ceres_problem(bal)
+        s_imp = ct.solve(options, problem2)
+    finally:
+        del os.environ["CERES_TPU_FORCE_IMPLICIT"]
+    assert s_imp.termination_type == ct.TerminationType.CONVERGENCE
+    rel = abs(s_imp.final_cost - s_ref.final_cost) / s_ref.final_cost
+    assert rel < 1e-6, rel
