@@ -48,8 +48,17 @@ def sharded_fused_supported(program, options, meta) -> bool:
     from ..solvers.schur_fused import fused_schur_supported
     if not fused_schur_supported(program, options, meta):
         return False
-    # every e-bucket must carry the chunk layout (fused_schur_supported
-    # already guarantees it) — nothing extra needed.
+    # the sharded row layout keys every e-bucket by its f-block ids;
+    # e-only buckets (constant f side) take the single-device path.
+    for bs in meta.buckets:
+        if bs.e_slot is not None and bs.f_cols is None:
+            return False
+    # the sharded path materializes A shard-local (explicit mode only)
+    from ..solvers.schur_fused import _explicit_viable
+    if not _explicit_viable(meta):
+        num = len(jax.devices())
+        if meta.ne * meta.te * meta.nf > 1.5e8 * max(num, 1):
+            return False
     return True
 
 

@@ -91,8 +91,11 @@ def fused_schur_supported(program, options, meta) -> bool:
     grp = meta.f_groups[0]
     for bi, bs in enumerate(meta.buckets):
         if bs.e_slot is not None:
-            if bs.chunk_rows is None or bs.f_cols is None:
+            if bs.chunk_rows is None:
                 return False
+            if bs.f_cols is None:
+                continue          # e-only bucket (e.g. constant-camera
+                                  # observations): EtE/g_e contributions
             slots_here = [s for s in grp["slots"] if s[0] == bi]
             if len(slots_here) != 1:
                 return False
@@ -287,7 +290,26 @@ def make_fused_schur_lm_step(program, options, meta):
                 rc = rc64.astype(work_dtype)
                 Jc = Jc64.astype(work_dtype)
 
-            if bs.e_slot is not None:
+            if bs.e_slot is not None and bs.f_cols is None:
+                # ---- e-only bucket (constant f-side parameters) ----
+                rows = meta.c(f"b{bi}.chunk_rows", bs.chunk_rows)
+                mask = meta.c(f"b{bi}.chunk_mask",
+                              bs.chunk_mask).astype(work_dtype)
+                Jg = Jc[rows] * mask[..., None, None]
+                rg = rc[rows] * mask[..., None]
+                eo, _ = plan["slot_off"][bs.e_slot]
+                Je = Jg[..., eo:eo + te]
+                EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
+                if f64_rhs:
+                    mask64 = mask.astype(dtype)
+                    Jg64 = Jc64[rows] * mask64[..., None, None]
+                    rg64 = rc64[rows] * mask64[..., None]
+                    g_e = g_e + jnp.sum(
+                        _rvec_rt(Jg64[..., eo:eo + te], rg64), axis=1)
+                else:
+                    g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
+                chunk_store.append(("e0", Je, None, None))
+            elif bs.e_slot is not None:
                 # ---- chunk-grouped e-bucket ----
                 rows = meta.c(f"b{bi}.chunk_rows", bs.chunk_rows)
                 mask = meta.c(f"b{bi}.chunk_mask",
@@ -427,6 +449,8 @@ def make_fused_schur_lm_step(program, options, meta):
             # products + two one-hot matmuls.
             sstore = []
             for kind, Je, Jf, oh in chunk_store:
+                if kind == "e0":
+                    continue      # no F part: enters only through EtE
                 if kind == "e":
                     Je_s = Je * s_e[:, None, None, :]
                     sfrow = _einsum("nkc,ct->nkt", oh, s_f)
@@ -533,6 +557,8 @@ def make_fused_schur_lm_step(program, options, meta):
                     dfb = _einsum("nkc,ct->nkt", oh, dw_fb)
                     Jd = _einsum("nkrt,nt->nkr", Ja, dw_e) \
                         + _einsum("nkrt,nkt->nkr", Jb, dfb)
+                elif kind == "e0":
+                    Jd = _einsum("nkrt,nt->nkr", Ja, dw_e)
                 else:
                     dfb = _einsum("nc,ct->nt", oh, dw_fb)
                     Jd = _einsum("nrt,nt->nr", Ja, dfb)

@@ -248,3 +248,52 @@ def test_fused_implicit_iterative_matches_generic(bal):
     assert s_imp.termination_type == ct.TerminationType.CONVERGENCE
     rel = abs(s_imp.final_cost - s_ref.final_cost) / s_ref.final_cost
     assert rel < 1e-6, rel
+
+
+def test_single_f_block_two_view():
+    """SchurEliminatorForOneFBlock (schur_eliminator.h:365) role: two-view
+    BA with one free camera reduces to a single f block (kf=1); the fused
+    eliminator handles it through the same batched path (XLA specializes
+    on the shapes), no dedicated specialization needed. Structural check:
+    the fused step equals the generic SchurOps step exactly, and a short
+    solve strictly decreases the cost."""
+    bal = synthetic_bal_problem(num_cameras=2, num_points=120,
+                                num_observations=240, seed=9,
+                                pixel_noise=0.2)
+    bal.perturb(rotation_sigma=0.002, translation_sigma=0.01,
+                point_sigma=0.005, seed=10)
+    problem, cams, pts = build_bal_ceres_problem(bal)
+    problem.set_parameter_block_constant(cams[0])
+    problem.set_parameter_block_constant(pts[0])
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR)
+    program = CompiledProgram.get_cached(problem, options)
+    from ceres_tpu.solvers.schur import detect_schur_structure
+    from ceres_tpu.solvers.schur_fused import fused_schur_supported
+    meta = detect_schur_structure(program, options)
+    assert meta is not None and meta.f_groups[0]["kf"] == 1
+    assert fused_schur_supported(program, options, meta)
+
+    x0 = program.initial_state()
+    radius = jnp.asarray(1e4, program.dtype)
+    ex = (program.example_x(), program.example_scalar(),
+          program.example_delta())
+    scale = solver_mod.make_scale_fn(program, options)(x0)
+    a = program.jit_with_consts(
+        solver_mod.make_step_impl(program, options), ex)(x0, radius, scale)
+    os.environ["CERES_TPU_NO_FUSED_SCHUR"] = "1"
+    try:
+        b = program.jit_with_consts(
+            solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                             scale)
+    finally:
+        del os.environ["CERES_TPU_NO_FUSED_SCHUR"]
+    for k in ["cost", "delta", "model_cost_change"]:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        rel = np.max(np.abs(va - vb)) / (np.max(np.abs(vb)) + 1e-300)
+        assert rel < 1e-9, (k, rel)
+
+    s = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=10), problem)
+    assert s.final_cost < s.initial_cost
