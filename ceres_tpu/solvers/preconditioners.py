@@ -34,17 +34,22 @@ def make_block_jacobi_preconditioner(jac: BlockJacobian, D, groups):
         d = D[cols]                                 # [k, t]
         M = M + jnp.einsum("kt,tu->ktu", d * d,
                            jnp.eye(g.tangent_size, dtype=M.dtype))
+        # invert ONCE (Cholesky against the identity); the per-CG apply is
+        # then a broadcast multiply-reduce — batched tiny triangular
+        # solves inside the CG body cost milliseconds per application.
         chol = jnp.linalg.cholesky(M)
-        factors.append((cols, chol))
+        eye = jnp.broadcast_to(jnp.eye(g.tangent_size, dtype=M.dtype),
+                               M.shape)
+        y = jsl.solve_triangular(chol, eye, lower=True)
+        inv = jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y,
+                                   lower=False)
+        factors.append((cols, inv))
 
     def apply(v):
         out = jnp.zeros_like(v)
-        for cols, chol in factors:
-            vb = v[cols][..., None]                 # [k, t, 1]
-            y = jsl.solve_triangular(chol, vb, lower=True)
-            z = jsl.solve_triangular(
-                jnp.swapaxes(chol, -1, -2), y, lower=False)
-            out = out.at[cols].set(z[..., 0])
+        for cols, inv in factors:
+            z = jnp.sum(inv * v[cols][:, None, :], axis=-1)   # [k, t]
+            out = out.at[cols].set(z)
         return out
 
     return apply

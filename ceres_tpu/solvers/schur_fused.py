@@ -218,6 +218,7 @@ def make_fused_schur_lm_step(program, options, meta):
         _explicit_viable(meta)
         and not os.environ.get("CERES_TPU_FORCE_IMPLICIT"))
 
+
     # ---- static structure (host, once) ----
     e_slab = _slab_of(meta.e_cols)                  # e cols contiguous?
     # global tangent columns of the f blocks, in block-layout order
@@ -241,6 +242,23 @@ def make_fused_schur_lm_step(program, options, meta):
                     zip(range(len(offs)), offs)}
         bucket_plan.append(dict(bk=bk, bs=bs, bi=bi, f_si=f_si,
                                 local=local, slot_off=slot_off))
+
+    if not explicit:
+        # camera-chunk layouts for the matrix-free apply (host, once)
+        for plan in bucket_plan:
+            bs2 = plan["bs"]
+            if bs2.f_cols is None:
+                continue
+            if bs2.e_slot is not None:
+                _build_cam_chunks(program, plan["local"], bs2.chunk_rows,
+                                  bs2.chunk_mask,
+                                  f"schur.fused.cam{plan['bi']}", kf)
+            else:
+                _build_cam_chunks(program, plan["local"], None, None,
+                                  f"schur.fused.cam{plan['bi']}", kf)
+                program.register_const(
+                    f"schur.fused.fids{plan['bi']}",
+                    plan["local"].astype(np.int32))
 
     # Mixed mode rhs accuracy: f32 J·r products carry the f32 input
     # rounding, which costs ~1-2 extra LM iterations at BAL scale vs f64.
@@ -308,7 +326,7 @@ def make_fused_schur_lm_step(program, options, meta):
                         _rvec_rt(Jg64[..., eo:eo + te], rg64), axis=1)
                 else:
                     g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
-                chunk_store.append(("e0", Je, None, None))
+                chunk_store.append(("e0", Je, None, None, plan))
             elif bs.e_slot is not None:
                 # ---- chunk-grouped e-bucket ----
                 rows = meta.c(f"b{bi}.chunk_rows", bs.chunk_rows)
@@ -347,7 +365,7 @@ def make_fused_schur_lm_step(program, options, meta):
                     g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
                     g_f = g_f + _einsum("nkc,nkt->ct", oh,
                                         _rvec_rt(Jf, rg))
-                chunk_store.append(("e", Je, Jf, oh))
+                chunk_store.append(("e", Je, Jf, oh, plan))
             elif bs.f_cols is not None:
                 # ---- f-only bucket: block-diagonal + gradient ----
                 fo, ftw = plan["slot_off"][plan["f_si"]]
@@ -362,7 +380,7 @@ def make_fused_schur_lm_step(program, options, meta):
                         _rvec_rt(Jc64[..., fo:fo + ftw], rc64))
                 else:
                     g_f = g_f + _einsum("nc,nt->ct", oh, _rvec_rt(Jf, rc))
-                chunk_store.append(("f", Jf, None, oh))
+                chunk_store.append(("f", Jf, None, oh, plan))
 
         # ---- column norms ARE the Gram diagonals ----
         cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)     # [ne, te]
@@ -447,55 +465,67 @@ def make_fused_schur_lm_step(program, options, meta):
             # role in the fused layout). Scaled chunk tensors are built
             # once; each CG application is a handful of VPU broadcast
             # products + two one-hot matmuls.
+            # gather/camera-chunk forms: the one-hot [rows, kf] matrix
+            # is ~0.4 GB at 256 cameras and would be re-read every CG
+            # application; instead f values are row-taken by camera id
+            # and F^T reductions run as camera-chunk gather + dense sum.
             sstore = []
-            for kind, Je, Jf, oh in chunk_store:
+            for kind, Je, Jf, oh, plan in chunk_store:
                 if kind == "e0":
                     continue      # no F part: enters only through EtE
+                bi2 = plan["bi"]
+                camr = program.const(f"schur.fused.cam{bi2}.rows")
+                camm = program.const(f"schur.fused.cam{bi2}.mask"
+                                     ).astype(work_dtype)
                 if kind == "e":
                     Je_s = Je * s_e[:, None, None, :]
-                    sfrow = _einsum("nkc,ct->nkt", oh, s_f)
+                    fids = meta.grouped_loc(0, bi2, plan["f_si"],
+                                            plan["local"])
+                    sfrow = s_f[fids]                    # [ne,k,tf]
                     Jf_s = Jf * sfrow[:, :, None, :]
                 else:
                     Je_s = None
-                    sfrow = _einsum("nc,ct->nt", oh, s_f)
+                    fids = program.const(f"schur.fused.fids{bi2}")
+                    sfrow = s_f[fids]                    # [n,tf]
                     Jf_s = Jf * sfrow[:, None, :]
-                sstore.append((kind, Je_s, Jf_s, oh))
+                sstore.append((kind, Je_s, Jf_s, fids, camr, camm))
 
             def mv(J, v):      # [..., r, t] x [..., t] -> [..., r]
                 return jnp.sum(J * v[..., None, :], axis=-1)
+
+            def cam_reduce(contrib, camr, camm):
+                """[rows..., tf] -> [kf, tf] by camera-chunk gather+sum."""
+                flat = contrib.reshape((-1,) + contrib.shape[-1:])
+                return jnp.sum(flat[camr] * camm[..., None], axis=1)
 
             def apply_S(v):
                 vb = v.reshape(kf, tf)
                 out = jnp.zeros((kf, tf), dtype=work_dtype)
                 u = jnp.zeros((ne, te), dtype=work_dtype)
                 ws = []
-                for kind, Je_s, Jf_s, oh in sstore:
+                for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                    vrow = vb[fids]
+                    w = mv(Jf_s, vrow)
                     if kind == "e":
-                        vrow = _einsum("nkc,ct->nkt", oh, vb)
-                        w = mv(Jf_s, vrow)               # [ne,k,r]
                         u = u + jnp.sum(_rvec_rt(Je_s, w), axis=1)
-                        ws.append(w)
-                    else:
-                        vrow = _einsum("nc,ct->nt", oh, vb)
-                        ws.append(mv(Jf_s, vrow))        # [n,r]
+                    ws.append(w)
                 zz = jnp.sum(inv_ete * u[:, None, :], axis=-1)
-                for (kind, Je_s, Jf_s, oh), w in zip(sstore, ws):
+                for (kind, Je_s, Jf_s, fids, camr, camm), w in zip(sstore,
+                                                                   ws):
                     if kind == "e":
                         w2 = w - mv(Je_s, zz[:, None, :])
-                        out = out + _einsum("nkc,nkt->ct", oh,
-                                            _rvec_rt(Jf_s, w2))
                     else:
-                        out = out + _einsum("nc,nt->ct", oh,
-                                            _rvec_rt(Jf_s, w))
+                        w2 = w
+                    out = out + cam_reduce(_rvec_rt(Jf_s, w2), camr, camm)
                 return (out + D2_f * vb).reshape(kf * tf)
 
             # reduced rhs: b_f - F_s^T E_s z
             acc = jnp.zeros((kf, tf), dtype=work_dtype)
-            for kind, Je_s, Jf_s, oh in sstore:
+            for kind, Je_s, Jf_s, fids, camr, camm in sstore:
                 if kind != "e":
                     continue
                 w = mv(Je_s, z[:, None, :])
-                acc = acc + _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf_s, w))
+                acc = acc + cam_reduce(_rvec_rt(Jf_s, w), camr, camm)
             rhs = b_f - acc.reshape(kf * tf)
 
             # preconditioner blocks: exact block diagonal of S for
@@ -506,14 +536,15 @@ def make_fused_schur_lm_step(program, options, meta):
                 blocks = FtF_s + D2_f[..., None] * jnp.eye(
                     tf, dtype=work_dtype)
                 if pk == PreconditionerType.SCHUR_JACOBI:
-                    for kind, Je_s, Jf_s, oh in sstore:
+                    for kind, Je_s, Jf_s, fids, camr, camm in sstore:
                         if kind != "e":
                             continue
                         Ge_s = _outer_rt(Je_s, Jf_s)     # [ne,k,te,tf]
                         M = _einsum("nij,nkjt->nkit", inv_ete, Ge_s)
                         contrib = _einsum("nkut,nkuv->nktv", Ge_s, M)
-                        blocks = blocks - _einsum("nkc,nktv->ctv", oh,
-                                                  contrib)
+                        flat = contrib.reshape(-1, tf, tf)
+                        blocks = blocks - jnp.sum(
+                            flat[camr] * camm[..., None, None], axis=1)
                 precond = _precond_from_blocks(blocks, kf, tf)
 
             from .cg import conjugate_gradients
@@ -529,10 +560,10 @@ def make_fused_schur_lm_step(program, options, meta):
             # back-substitute: d_e = (EtE)^-1 (b_e - E_s^T F_s y)
             yb = y.reshape(kf, tf)
             u2 = jnp.zeros((ne, te), dtype=work_dtype)
-            for kind, Je_s, Jf_s, oh in sstore:
+            for kind, Je_s, Jf_s, fids, camr, camm in sstore:
                 if kind != "e":
                     continue
-                yrow = _einsum("nkc,ct->nkt", oh, yb)
+                yrow = yb[fids]
                 u2 = u2 + jnp.sum(_rvec_rt(Je_s, mv(Jf_s, yrow)), axis=1)
             d_e = jnp.sum(inv_ete * (b_e - u2)[:, None, :], axis=-1)
 
@@ -552,7 +583,7 @@ def make_fused_schur_lm_step(program, options, meta):
             dw_e = s_e * d_e                          # [ne, te] work dtype
             dw_fb = (sA * y).reshape(kf, tf)          # [kf, tf]
             Jd_sq = jnp.asarray(0.0, dtype=work_dtype)
-            for kind, Ja, Jb, oh in chunk_store:
+            for kind, Ja, Jb, oh, _plan in chunk_store:
                 if kind == "e":
                     dfb = _einsum("nkc,ct->nkt", oh, dw_fb)
                     Jd = _einsum("nkrt,nt->nkr", Ja, dw_e) \
@@ -612,23 +643,52 @@ def make_fused_schur_lm_step(program, options, meta):
     return lm_step
 
 
-def _precond_from_blocks(blocks, kf, tf):
-    """Block-diagonal preconditioner apply from [kf, tf, tf] SPD blocks."""
-    if tf <= 3:
-        inv = _spd_inv_small(blocks)
+def _build_cam_chunks(program, local, chunk_rows, chunk_mask, name, kf):
+    """Camera-chunk layout for the implicit apply: rows regrouped BY
+    F-BLOCK so the F^T reductions become gather + dense sum instead of a
+    one-hot matmul (the [n, kf] one-hot is ~0.4 GB at 256 cameras and is
+    read twice per CG application). Returns (rows [kf, kc], mask) program
+    consts: flat positions into the POINT-chunk layout (or observation
+    order when chunk_rows is None); padded lanes are masked AND point at
+    position 0 (whose contribution is zeroed by the chunk mask anyway)."""
+    n = local.shape[0]
+    kf_local = kf
+    if chunk_rows is not None:
+        # position of each original row inside the flattened point-chunk
+        # layout (pad lanes carry row id 0 but mask 0 — exclude via mask)
+        flat_rows = chunk_rows.reshape(-1)
+        flat_valid = chunk_mask.reshape(-1) > 0
+        pos_of_row = np.zeros(n, dtype=np.int64)
+        pos_of_row[flat_rows[flat_valid]] = np.nonzero(flat_valid)[0]
+    else:
+        pos_of_row = np.arange(n, dtype=np.int64)
+    counts = np.bincount(local, minlength=kf_local)
+    kc = max(1, int(counts.max()))
+    order = np.argsort(local, kind="stable")
+    starts = np.zeros(kf_local, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    rank = np.arange(n, dtype=np.int64) - starts[local[order]]
+    rows = np.zeros((kf_local, kc), dtype=np.int32)
+    mask = np.zeros((kf_local, kc), dtype=np.float32)
+    rows[local[order], rank] = pos_of_row[order].astype(np.int32)
+    mask[local[order], rank] = 1.0
+    program.register_const(f"{name}.rows", rows)
+    program.register_const(f"{name}.mask", mask)
+    return name
 
-        def apply(v):
-            return jnp.sum(inv * v.reshape(kf, 1, tf),
-                           axis=-1).reshape(kf * tf)
-        return apply
-    chol = jnp.linalg.cholesky(blocks)
+
+def _precond_from_blocks(blocks, kf, tf):
+    """Block-diagonal preconditioner apply from [kf, tf, tf] SPD blocks.
+
+    The inverse is materialized ONCE (closed form for tf <= 3, Cholesky
+    against the identity otherwise) so every CG application is a single
+    broadcast multiply-reduce — batched tiny triangular solves inside the
+    CG body cost milliseconds per application on TPU."""
+    inv = _spd_inv_small(blocks)
 
     def apply(v):
-        vb = v.reshape(kf, tf, 1)
-        y = jsl.solve_triangular(chol, vb, lower=True)
-        zz = jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y,
-                                  lower=False)
-        return zz.reshape(kf * tf)
+        return jnp.sum(inv * v.reshape(kf, 1, tf),
+                       axis=-1).reshape(kf * tf)
 
     return apply
 
@@ -646,19 +706,4 @@ def _block_precond(P_blocks, S, kf, tf, kind, S_corr):
                                            jnp.arange(kf), :]
     else:
         blocks = P_blocks
-    inv = _spd_inv_small(blocks) if tf <= 3 else None
-    if inv is not None:
-        def apply(v):
-            return _einsum("kij,kj->ki", inv,
-                              v.reshape(kf, tf)).reshape(kf * tf)
-        return apply
-    chol = jnp.linalg.cholesky(blocks)
-
-    def apply(v):
-        vb = v.reshape(kf, tf, 1)
-        y = jsl.solve_triangular(chol, vb, lower=True)
-        z = jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y,
-                                 lower=False)
-        return z.reshape(kf * tf)
-
-    return apply
+    return _precond_from_blocks(blocks, kf, tf)
