@@ -128,8 +128,12 @@ def fused_schur_supported(program, options, meta) -> bool:
 
 
 def _explicit_viable(meta) -> bool:
-    """Dense S + materialized A = E^T F affordable?"""
-    return meta.nf <= 2048 and meta.ne * meta.te * meta.nf <= 1.5e8
+    """Dense S + materialized A = E^T F affordable? The caps keep peak
+    HBM for A + inv(EtE)A + S around ~4 GB on a 16 GB chip; past them the
+    matrix-free implicit apply takes over. Explicit wins whenever it fits:
+    the CG operator becomes one [nf, nf] matvec (~us) instead of a walk
+    over the chunk tensors (~ms)."""
+    return meta.nf <= 4096 and meta.ne * meta.te * meta.nf <= 4.2e8
 
 
 # ----------------------------------------------------------------------
