@@ -267,6 +267,12 @@ def make_sharded_schur_step(program, options, mesh: Mesh,
     SchurEliminator (schur_eliminator_impl.h:228: per-thread buffers +
     reduction; here per-chip partials + psum, SURVEY.md section 5.7).
 
+    NOTE: this is the step-level reference implementation (simple layout,
+    replicated A) kept for the driver dry run and mesh tests. The
+    PRODUCTION multi-chip path is parallel/sharded_fused.py — the whole
+    LM loop in one shard_map'd program, rows sharded by e-block, A
+    shard-local, chunk-layout Grams — reached via ct.solve(mesh=...).
+
     Returns (step_fn, shards_np, place) like make_sharded_lm_step.
     """
     from ..solvers.schur import detect_schur_structure

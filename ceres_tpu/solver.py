@@ -450,7 +450,11 @@ def solve(options: SolverOptions, problem,
                      and not options.use_nonmonotonic_steps
                      and not options.minimizer_progress_to_stdout
                      and not options.use_inner_iterations
-                     and not options.trust_region_problem_dump_directory)
+                     and not options.trust_region_problem_dump_directory
+                     # bounds need the projected gradient convergence test
+                     # and the projected line search
+                     # (trust_region_minimizer.cc:101,:288) — host loop
+                     and not program.has_bounds)
         if options.mesh is not None:
             # Multi-chip solve over options.mesh (SURVEY.md section 5.8):
             # rows shard by e-block, the whole LM loop runs inside one
