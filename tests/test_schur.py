@@ -252,3 +252,39 @@ def test_user_elimination_ordering():
     summary = ct.solve(options, problem)
     assert summary.is_solution_usable()
     assert summary.final_cost < summary.initial_cost
+
+
+@pytest.mark.parametrize("solver_type,precond,mixed", [
+    (ct.LinearSolverType.SPARSE_SCHUR,
+     ct.PreconditionerType.SCHUR_JACOBI, False),
+    (ct.LinearSolverType.DENSE_NORMAL_CHOLESKY,
+     ct.PreconditionerType.SCHUR_JACOBI, False),
+    (ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+     ct.PreconditionerType.SCHUR_JACOBI, False),
+    (ct.LinearSolverType.DENSE_SCHUR,
+     ct.PreconditionerType.SCHUR_JACOBI, True),
+    (ct.LinearSolverType.ITERATIVE_SCHUR,
+     ct.PreconditionerType.JACOBI, False),
+    (ct.LinearSolverType.ITERATIVE_SCHUR,
+     ct.PreconditionerType.SCHUR_JACOBI, True),
+    (ct.LinearSolverType.ITERATIVE_SCHUR,
+     ct.PreconditionerType.SCHUR_POWER_SERIES_EXPANSION, False),
+    (ct.LinearSolverType.CGNR,
+     ct.PreconditionerType.JACOBI, True),
+], ids=lambda v: getattr(v, "name", str(v)))
+def test_ba_config_matrix_extended(solver_type, precond, mixed):
+    """Extended solver x preconditioner x precision matrix: every config
+    reaches the DENSE_QR reference residual vector to 1e-4 (the
+    generated_bundle_adjustment_tests role,
+    bundle_adjustment_test_util.h:245 — residuals, not parameters, since
+    parameter space is gauge-ambiguous)."""
+    ref_summary, ref_res = residuals_at_solution(
+        ct.LinearSolverType.DENSE_QR)
+    s, res = residuals_at_solution(solver_type, precond,
+                                   use_mixed_precision_solves=mixed)
+    np.testing.assert_allclose(
+        res, ref_res, atol=2e-4,
+        err_msg=f"{solver_type}/{precond}/mixed={mixed} residuals "
+                f"diverge from DENSE_QR")
+    np.testing.assert_allclose(s.final_cost, ref_summary.final_cost,
+                               rtol=1e-4)
