@@ -318,7 +318,11 @@ def make_step_impl(program, options):
         """TRADITIONAL_DOGLEG + SUBSPACE_DOGLEG
         (dogleg_strategy.cc:130-265), in the Jacobi-scaled space like the
         reference (fixed iteration-0 scaling passed in by the minimizer)."""
-        cost, grad, jac, res = program.linearize_fn(x)
+        if mixed:
+            cost, grad, jac, res = program.linearize_fn_mixed(x)
+            scale = scale.astype(jnp.float32)
+        else:
+            cost, grad, jac, res = program.linearize_fn(x)
         jac_s = jac.scale_columns(scale)
         g = grad * scale
         # Cauchy point: alpha = |g|^2 / |J g|^2.
@@ -328,7 +332,7 @@ def make_step_impl(program, options):
         # Gauss-Newton point: tiny fixed damping for rank safety (the
         # reference solves the undamped system with a rank-revealing
         # factorization; mu here is far below solver tolerances).
-        mu = jnp.sqrt(jnp.asarray(1e-28, dtype=dtype))
+        mu = jnp.sqrt(jnp.asarray(1e-28, dtype=g.dtype))
         D = jnp.full_like(g, mu)
         gn, lin_iters = linear_solve(jac_s, res, D)
         gn_norm = jnp.linalg.norm(gn)
@@ -361,18 +365,18 @@ def make_step_impl(program, options):
                           jnp.where(degenerate, d, d_sub))
         Jd = jac_s.matvec(d)
         mcc = -(jnp.vdot(d, g) + 0.5 * Jd.squared_norm())
-        delta = scale * d
+        delta = (scale * d).astype(dtype)
         out = {
             "cost": cost,
-            "gradient_max_norm": jnp.max(jnp.abs(grad)),
-            "gradient_norm": jnp.linalg.norm(grad),
+            "gradient_max_norm": jnp.max(jnp.abs(grad)).astype(dtype),
+            "gradient_norm": jnp.linalg.norm(grad).astype(dtype),
             "delta": delta,
-            "model_cost_change": mcc,
+            "model_cost_change": mcc.astype(dtype),
             "step_norm": jnp.linalg.norm(delta),
             "lin_iters": lin_iters,
         }
         if program.has_bounds:
-            out["gradient_full"] = grad
+            out["gradient_full"] = grad.astype(dtype)
         return out
 
     return (lm_step
