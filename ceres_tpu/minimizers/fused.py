@@ -68,17 +68,39 @@ def make_fused_tr_solve(program, options):
     lm_strategy = (options.trust_region_strategy_type
                    == TrustRegionStrategyType.LEVENBERG_MARQUARDT)
 
+    # Rejected-step fast path: when the step implementation exposes
+    # radius-independent linearization artifacts (schur_fused split
+    # phases), re-linearize only after ACCEPTED steps — rejections redo
+    # just the damped solve, matching the reference's Jacobian/diagonal
+    # reuse across rejections (levenberg_marquardt_strategy.cc
+    # reuse_diagonal_).
+    split = bool(getattr(step_impl, "split_ok", False))
+
     def solve(x0):
-        cost0 = program.cost_fn(x0)
         # Jacobi scaling fixed at iteration 0 for the whole solve
         # (trust_region_minimizer.cc:261-277 jacobian_scaling_).
         scale0 = scale_impl(x0)
+        if split:
+            art0 = step_impl.linearize(x0, scale0)
+            cost0 = art0["cost"]
+        else:
+            art0 = None
+            cost0 = program.cost_fn(x0)
 
         def cond(s):
             return s["code"] == 0
 
         def body(s):
-            out = step_impl(s["x"], s["radius"], scale0)
+            if split:
+                art = jax.lax.cond(
+                    s["relin"],
+                    lambda _: step_impl.linearize(s["x"], scale0),
+                    lambda _: s["art"],
+                    operand=None)
+                out = step_impl.solve_from(art, s["radius"])
+            else:
+                art = None
+                out = step_impl(s["x"], s["radius"], scale0)
             cost = out["cost"]
             grad_max = out["gradient_max_norm"]
             mcc = out["model_cost_change"]
@@ -146,7 +168,7 @@ def make_fused_tr_solve(program, options):
             x_out = jnp.where(take, x_new, s["x"])
             cost_out = jnp.where(take, new_cost, cost)
 
-            return {
+            nxt = {
                 "x": x_out,
                 "cost": cost_out,
                 "radius": radius,
@@ -160,6 +182,10 @@ def make_fused_tr_solve(program, options):
                 "lin_iters": s["lin_iters"]
                 + out["lin_iters"].astype(jnp.int64),
             }
+            if split:
+                nxt["art"] = art
+                nxt["relin"] = accept   # x changed -> re-linearize next
+            return nxt
 
         init = {
             "x": x0,
@@ -176,6 +202,9 @@ def make_fused_tr_solve(program, options):
             "grad_max": jnp.asarray(jnp.inf, dtype=dtype),
             "lin_iters": jnp.asarray(0, jnp.int64),
         }
+        if split:
+            init["art"] = art0
+            init["relin"] = jnp.asarray(False)
         s = jax.lax.while_loop(cond, body, init)
         return FusedResult(
             x=s["x"], cost=s["cost"], initial_cost=cost0,

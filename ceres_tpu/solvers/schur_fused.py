@@ -273,7 +273,15 @@ def make_fused_schur_lm_step(program, options, meta):
     # where trajectory fidelity matters more than wall time.
     f64_rhs = mixed and bool(os.environ.get("CERES_TPU_F64_RHS"))
 
-    def lm_step(x, radius, scale):
+    # Split-phase structure: _lin_phase is radius-INdependent
+    # (linearize + eliminate-ready scaled Grams); _solve_phase applies the
+    # LM damping for a given radius and solves. The fused while-loop skips
+    # _lin_phase on rejected steps (the reference reuses the Jacobian and
+    # diagonal across rejections, levenberg_marquardt_strategy.cc
+    # reuse_diagonal_), re-running only the damped solve.
+    keep_chunks = not (explicit and mixed and not iterative)
+
+    def _lin_phase(x, scale):
         total_cost = jnp.asarray(program.fixed_cost, dtype=dtype)
 
         EtE = jnp.zeros((ne, te, te), dtype=work_dtype)
@@ -404,16 +412,11 @@ def make_fused_schur_lm_step(program, options, meta):
         else:
             s_f = scale_w[program.const("schur.fused.fpos")].reshape(kf, tf)
 
-        # ---- scale + damp the small tensors ----
+        # ---- scale the small tensors (radius-independent) ----
         # scaled Gram = diag(s) G diag(s); scaled col norm = s^2 cn.
         diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
         diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
-        rad = radius.astype(work_dtype)
-        D2_e = diag_e / rad                              # D^2, [ne, te]
-        D2_f = diag_f / rad                              # [kf, tf]
-
-        EtE_d = EtE * (s_e[:, :, None] * s_e[:, None, :]) \
-            + D2_e[..., None] * jnp.eye(te, dtype=work_dtype)
+        EtE_s = EtE * (s_e[:, :, None] * s_e[:, None, :])
         FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
         sA = s_f.reshape(kf * tf)
         A_s = (A * s_e[:, :, None] * sA[None, None, :]) if explicit \
@@ -425,6 +428,45 @@ def make_fused_schur_lm_step(program, options, meta):
         g_sf = (g_f * s_f.astype(g_f.dtype)
                 ).reshape(kf * tf).astype(work_dtype)
 
+        g_f_flat = g_f.reshape(kf * tf)
+        grad_max = jnp.maximum(jnp.max(jnp.abs(g_e)),
+                               jnp.max(jnp.abs(g_f_flat))).astype(dtype)
+        grad_norm = jnp.sqrt(jnp.vdot(g_e, g_e)
+                             + jnp.vdot(g_f_flat, g_f_flat)).astype(dtype)
+
+        art = dict(cost=total_cost, EtE_s=EtE_s, FtF_s=FtF_s, A_s=A_s,
+                   g_se=g_se, g_sf=g_sf, s_e=s_e, s_f=s_f, sA=sA,
+                   diag_e=diag_e, diag_f=diag_f,
+                   grad_max=grad_max, grad_norm=grad_norm)
+        if keep_chunks:
+            art["chunks"] = chunk_store
+        if program.has_bounds:
+            grad = jnp.zeros((program.num_effective,), dtype=g_e.dtype)
+            if e_slab is not None:
+                grad = jax.lax.dynamic_update_slice(
+                    grad, g_e.reshape(-1), (e_slab,))
+            else:
+                grad = grad.at[meta.c("e_cols", meta.e_cols)].set(g_e)
+            if f_slab is not None:
+                grad = jax.lax.dynamic_update_slice(grad, g_f_flat,
+                                                    (f_slab,))
+            else:
+                grad = grad.at[program.const("schur.fused.fpos")
+                               ].set(g_f_flat)
+            art["grad_full"] = grad.astype(dtype)
+        return art
+
+    def _solve_phase(art, radius):
+        total_cost = art["cost"]
+        EtE_s, FtF_s, A_s = art["EtE_s"], art["FtF_s"], art["A_s"]
+        g_se, g_sf = art["g_se"], art["g_sf"]
+        s_e, s_f, sA = art["s_e"], art["s_f"], art["sA"]
+        chunk_store = art.get("chunks", [])
+
+        rad = radius.astype(work_dtype)
+        D2_e = art["diag_e"] / rad                       # D^2, [ne, te]
+        D2_f = art["diag_f"] / rad                       # [kf, tf]
+        EtE_d = EtE_s + D2_e[..., None] * jnp.eye(te, dtype=work_dtype)
         inv_ete = _spd_inv_small(EtE_d)                  # [ne, te, te]
 
         # ---- eliminate + reduced solve (block layout) ----
@@ -613,36 +655,29 @@ def make_fused_schur_lm_step(program, options, meta):
         else:
             delta = delta.at[program.const("schur.fused.fpos")].set(delta_f)
 
-        g_f_flat = g_f.reshape(kf * tf)
-        grad_max = jnp.maximum(jnp.max(jnp.abs(g_e)),
-                               jnp.max(jnp.abs(g_f_flat))).astype(dtype)
-        grad_norm = jnp.sqrt(jnp.vdot(g_e, g_e)
-                             + jnp.vdot(g_f_flat, g_f_flat)).astype(dtype)
-
         out = {
             "cost": total_cost,
-            "gradient_max_norm": grad_max,
-            "gradient_norm": grad_norm,
+            "gradient_max_norm": art["grad_max"],
+            "gradient_norm": art["grad_norm"],
             "delta": delta,
             "model_cost_change": mcc.astype(dtype),
             "step_norm": jnp.linalg.norm(delta),
             "lin_iters": lin_iters,
         }
         if program.has_bounds:
-            grad = jnp.zeros((program.num_effective,), dtype=g_e.dtype)
-            if e_slab is not None:
-                grad = jax.lax.dynamic_update_slice(
-                    grad, g_e.reshape(-1), (e_slab,))
-            else:
-                grad = grad.at[meta.c("e_cols", meta.e_cols)].set(g_e)
-            if f_slab is not None:
-                grad = jax.lax.dynamic_update_slice(grad, g_f_flat,
-                                                    (f_slab,))
-            else:
-                grad = grad.at[program.const("schur.fused.fpos")
-                               ].set(g_f_flat)
-            out["gradient_full"] = grad.astype(dtype)
+            out["gradient_full"] = art["grad_full"]
         return out
+
+    def lm_step(x, radius, scale):
+        return _solve_phase(_lin_phase(x, scale), radius)
+
+    # Rejected-step fast path (see minimizers/fused.py): valid when the
+    # solve phase needs nothing beyond the art pytree (identity-mcc
+    # explicit mixed mode — otherwise the chunk tensors would live in the
+    # while-loop carry).
+    lm_step.split_ok = explicit and mixed and not iterative
+    lm_step.linearize = _lin_phase
+    lm_step.solve_from = _solve_phase
 
     return lm_step
 

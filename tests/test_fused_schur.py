@@ -297,3 +297,23 @@ def test_single_f_block_two_view():
         linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
         max_num_iterations=10), problem)
     assert s.final_cost < s.initial_cost
+
+
+def test_fused_split_rejection_path(bal):
+    """The fused loop's rejected-step fast path (cached linearization,
+    re-solve with a smaller radius) must agree with the host loop. A huge
+    initial radius forces early rejections."""
+    base = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                use_mixed_precision_solves=True,
+                initial_trust_region_radius=1e8,
+                max_num_iterations=60, function_tolerance=1e-9)
+    problem, _, _ = build_bal_ceres_problem(bal)
+    s_fused = ct.solve(ct.SolverOptions(fused_iterations=True, **base),
+                       problem)
+    problem2, _, _ = build_bal_ceres_problem(bal)
+    s_host = ct.solve(ct.SolverOptions(fused_iterations=False, **base),
+                      problem2)
+    assert s_fused.termination_type == ct.TerminationType.CONVERGENCE
+    assert s_fused.num_unsuccessful_steps > 0  # rejections exercised
+    rel = abs(s_fused.final_cost - s_host.final_cost) / s_host.final_cost
+    assert rel < 1e-6, rel
