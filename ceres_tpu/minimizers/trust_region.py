@@ -351,6 +351,7 @@ def minimize_trust_region(program, options, step_fn: Callable,
         t_solve = time.time() - t0
         total_solver_time += t_solve
         summary.num_linear_solves += 1
+        summary.num_linear_solver_iterations += lin_iters
 
         it = IterationSummary(
             iteration=iteration, cost=cost,
