@@ -1,0 +1,71 @@
+"""Mesh scaling: the full BAL-16-22106 solve over 1/2/4/8-device meshes.
+
+The BASELINE targets ask for LM iterations/s at 1 chip / 1 host / N hosts;
+real multi-chip hardware is unavailable in this environment, so this runs
+the sharded fused solve (parallel/sharded_fused.py) on VIRTUAL CPU devices
+(xla_force_host_platform_device_count) — a correctness + communication-
+pattern proxy, not a hardware-speed measurement (the virtual devices share
+the same host cores).
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python -m benchmarks.mesh_scaling_benchmark
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    if "xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import Mesh
+    import ceres_tpu as ct
+    from ceres_tpu.io.bal import (build_bal_ceres_problem,
+                                  synthetic_bal_problem)
+
+    bal = synthetic_bal_problem(16, 22106, 83718, seed=7, pixel_noise=1.0)
+    bal.perturb(rotation_sigma=0.1, translation_sigma=1.0, point_sigma=0.5,
+                seed=8)
+
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(jax.devices()):
+            break
+        problem, cams, pts = build_bal_ceres_problem(bal)
+        mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("data",))
+        options = ct.SolverOptions(
+            mesh=mesh,
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            max_num_iterations=50, function_tolerance=1e-6)
+        cam0 = [c.copy() for c in cams]
+        pt0 = [p.copy() for p in pts]
+        s = ct.solve(options, problem)               # warmup/compile
+        for c, c0 in zip(cams, cam0):
+            c[:] = c0
+        for p, p0 in zip(pts, pt0):
+            p[:] = p0
+        t0 = time.time()
+        s = ct.solve(options, problem)
+        wall = time.time() - t0
+        print(json.dumps({
+            "devices": ndev,
+            "wall_to_convergence_s": round(wall, 3),
+            "iterations": s.num_iterations,
+            "lm_iterations_per_s": round(s.num_iterations / wall, 2),
+            "final_cost": s.final_cost,
+            "termination": str(s.termination_type),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
