@@ -46,8 +46,8 @@ def _make_linear_solver(program, options):
         # SuiteSparse role; see solvers/sparse_direct.py). Small problems:
         # the dense factorization IS the fast path — the MXU eats dense
         # Cholesky, and CHOLMOD-style supernodal sparsity does not map to
-        # TPU. dynamic_sparsity needs no re-analysis here: the bucketed
-        # pattern is static by construction.
+        # TPU. dynamic_sparsity=True re-analyzes the numerical pattern
+        # each factorization on the native path (sparse_direct.py).
         if t == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
             from . import native as _native
             if program.num_effective >= 200 and _native.available():

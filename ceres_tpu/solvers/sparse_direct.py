@@ -31,11 +31,24 @@ class SparseNormalCholeskyContext:
     positions, and the reusable native factorization handle."""
 
     def __init__(self, program, use_rcm: bool = True,
-                 lanes_per_bucket: Optional[List[np.ndarray]] = None):
+                 lanes_per_bucket: Optional[List[np.ndarray]] = None,
+                 dynamic: bool = False):
         """lanes_per_bucket: optional per-bucket arrays of residual-block
         lane indices restricting the pattern to a row subset (the
         SubsetPreconditioner case, subset_preconditioner.h:70); None uses
-        every block."""
+        every block.
+
+        dynamic: re-analyze the sparsity pattern every factorization from
+        the NUMERICAL nonzeros of this iteration's Gram (the
+        dynamic_sparsity option — the
+        DynamicSparseNormalCholeskySolver role,
+        dynamic_sparse_normal_cholesky_solver.cc: AnalyzePattern +
+        Factorize per call instead of cached symbolic analysis). The
+        bucketed structural pattern is the superset; entries whose
+        assembled value is exactly zero this iteration are dropped before
+        a fresh symbolic analysis + LDL^T. Worth it when the structural
+        pattern wildly overestimates the numerical one (e.g. costs whose
+        active support moves between iterations)."""
         n = program.num_effective
         self.n = n
         bucket_cols: List[np.ndarray] = []
@@ -76,6 +89,9 @@ class SparseNormalCholeskyContext:
             n, dtype=np.int64)
         self.diag_pos = np.searchsorted(uniq, diag_keys).astype(np.int64)
 
+        self.dynamic = bool(dynamic)
+        self._use_rcm = use_rcm
+        self._col_of = col_of  # per-superset-entry column, for re-analysis
         self.chol = native.SparseCholesky(n, self.Ap, self.Ai,
                                           use_rcm=use_rcm)
 
@@ -86,6 +102,19 @@ class SparseNormalCholeskyContext:
             native.scatter_add(values, idx,
                                np.asarray(flat, dtype=np.float64).reshape(-1))
         values[self.diag_pos] += np.asarray(D_sq, dtype=np.float64)
+        if self.dynamic:
+            keep = values != 0.0
+            keep[self.diag_pos] = True
+            if not keep.all():
+                counts = np.zeros(self.n + 1, dtype=np.int64)
+                np.add.at(counts, self._col_of[keep] + 1, 1)
+                self.chol = native.SparseCholesky(
+                    self.n, np.cumsum(counts), self.Ai[keep],
+                    use_rcm=self._use_rcm)
+                values = values[keep]
+            elif self.chol.n != self.n or self.chol._Ai.size != self.nnz:
+                self.chol = native.SparseCholesky(self.n, self.Ap, self.Ai,
+                                                  use_rcm=self._use_rcm)
         self._ok = (self.chol.factor(values) == 0)
         return np.int32(0 if self._ok else 1)
 
@@ -105,7 +134,8 @@ class SparseNormalCholeskyContext:
 
 def make_sparse_normal_cholesky_solver(program, options):
     """Returns solve(jac, res, D) -> (step, lin_iters), jit-safe."""
-    ctx = SparseNormalCholeskyContext(program)
+    ctx = SparseNormalCholeskyContext(
+        program, dynamic=bool(getattr(options, "dynamic_sparsity", False)))
     dtype = program.dtype
 
     def solve(jac: BlockJacobian, res: RVec, D):

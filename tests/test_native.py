@@ -144,3 +144,75 @@ def test_pose_graph_3d_sparse_at_scale():
     assert s.final_cost < 0.5 * s.initial_cost
     for q in quats.values():
         np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-9)
+
+
+def test_dynamic_sparsity_reanalyzes_numerical_pattern():
+    """dynamic_sparsity=True (DynamicSparseNormalCholeskySolver role,
+    dynamic_sparse_normal_cholesky_solver.cc): the host factorization
+    re-runs symbolic analysis from THIS iteration's numerical nonzeros.
+    Gram entries that are exactly zero this iteration must drop out of the
+    factored pattern, and the solve must still match the dense answer."""
+    import ceres_tpu as ct
+    from ceres_tpu.io.g2o import synthetic_pose_graph_2d
+    from ceres_tpu.examples.slam import build_pose_graph_2d_problem
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.solvers.sparse_direct import SparseNormalCholeskyContext
+
+    poses, constraints, gt = synthetic_pose_graph_2d(num_poses=80, seed=9)
+    pr, pos, yaws = build_pose_graph_2d_problem(poses, constraints)
+    program = CompiledProgram.get_cached(pr, ct.SolverOptions())
+    ctx = SparseNormalCholeskyContext(program, dynamic=True)
+    n = ctx.n
+
+    rng = np.random.default_rng(3)
+    # Gram blocks with HALF the buckets' blocks numerically zeroed:
+    # the structural superset stays, the numerical pattern shrinks.
+    gram_flats = []
+    for ac in ctx.bucket_cols:
+        nb, t = ac.shape
+        B = rng.normal(size=(nb, t, 2 * t))
+        G = np.einsum("ntr,nur->ntu", B, B)     # PSD blocks
+        G[::2] = 0.0                            # kill every other block
+        gram_flats.append(G)
+    D_sq = np.full(n, 1e-2)
+
+    status = ctx.host_factor(D_sq, *gram_flats)
+    assert int(status) == 0
+    assert ctx.chol._Ai.size < ctx.nnz          # pattern actually shrank
+
+    # Dense reference: assemble the same matrix densely.
+    A = np.zeros((n, n))
+    for G, ac in zip(gram_flats, ctx.bucket_cols):
+        for blk, cols in zip(G, ac):
+            A[np.ix_(cols, cols)] += blk
+    A[np.diag_indices(n)] += D_sq
+    b = rng.normal(size=n)
+    x = ctx.host_apply(b)
+    np.testing.assert_allclose(A @ x, b, atol=1e-8)
+
+    # Second call with a different zero set re-analyzes again.
+    gram_flats2 = [G.copy() for G in gram_flats]
+    for G in gram_flats2:
+        G[:] = rng.normal(size=G.shape)
+        G[:] = np.einsum("ntr,nur->ntu", G, G)[:]
+    assert int(ctx.host_factor(D_sq, *gram_flats2)) == 0
+    assert ctx.chol._Ai.size == ctx.nnz         # full pattern is back
+
+
+def test_dynamic_sparsity_end_to_end_matches_static():
+    """ct.solve with dynamic_sparsity=True converges to the static-path
+    answer (ellipse_approximation.cc workload semantics)."""
+    import ceres_tpu as ct
+    from ceres_tpu.io.g2o import synthetic_pose_graph_2d
+    from ceres_tpu.examples.slam import build_pose_graph_2d_problem
+
+    poses, constraints, gt = synthetic_pose_graph_2d(num_poses=120, seed=4)
+    finals = []
+    for dyn in (False, True):
+        pr, pos, yaws = build_pose_graph_2d_problem(poses, constraints)
+        s = ct.solve(ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+            dynamic_sparsity=dyn, max_num_iterations=50), pr)
+        assert s.is_solution_usable()
+        finals.append(s.final_cost)
+    np.testing.assert_allclose(finals[0], finals[1], rtol=1e-8)
