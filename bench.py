@@ -137,29 +137,37 @@ def main():
     }
 
     # ---- pipelined device throughput (tunnel fixed costs amortized) ----
-    try:
+    def device_rate(name):
+        """Per-solve device wall with 8 solves dispatched back-to-back
+        before one sync: each dispatch re-executes the FULL fused LM
+        solve; the tunnel's fixed per-call costs amortize away."""
         import jax as _jax
         from ceres_tpu.program import CompiledProgram
         from ceres_tpu.minimizers.fused import make_fused_tr_solve
-        opts = make_options()
-        if opts.fused_iterations:
-            program = CompiledProgram.get_cached(problem, opts)
-            solve = program.cached_jit(
-                ("fused", opts.cache_key()),
-                lambda: program.jit_with_consts(
-                    make_fused_tr_solve(program, opts),
-                    (program.example_x(),)))
-            for c, c0 in zip(cams, cam0):
-                c[:] = c0
-            for p, p0 in zip(pts, pt0):
-                p[:] = p0
-            x0 = program.initial_state()
-            _jax.block_until_ready(solve(x0))          # warm
-            reps = 8
-            t0 = time.time()
-            rs = [solve(x0) for _ in range(reps)]      # async dispatches
-            _jax.block_until_ready(rs)
-            dev = (time.time() - t0) / reps
+        opts = make_options(name)
+        if not opts.fused_iterations:
+            return None
+        program = CompiledProgram.get_cached(problem, opts)
+        solve = program.cached_jit(
+            ("fused", opts.cache_key()),
+            lambda: program.jit_with_consts(
+                make_fused_tr_solve(program, opts),
+                (program.example_x(),)))
+        for c, c0 in zip(cams, cam0):
+            c[:] = c0
+        for p, p0 in zip(pts, pt0):
+            p[:] = p0
+        x0 = program.initial_state()
+        _jax.block_until_ready(solve(x0))          # warm
+        reps = 8
+        t0 = time.time()
+        rs = [solve(x0) for _ in range(reps)]      # async dispatches
+        _jax.block_until_ready(rs)
+        return (time.time() - t0) / reps
+
+    try:
+        dev = device_rate(solver_name)
+        if dev:
             extras["device_solve_s"] = round(dev, 4)
             extras["device_solves_per_s"] = round(1.0 / dev, 2)
             log(f"  pipelined device solve: {dev:.4f}s/solve "
@@ -180,6 +188,13 @@ def main():
             extras["pcg_iters_per_s"] = round(
                 float(tot_cg) / max(it_summary.minimizer_time_in_seconds,
                                     1e-9), 1)
+            it_dev = device_rate("ITERATIVE_SCHUR")
+            if it_dev:
+                extras["iterative_device_solve_s"] = round(it_dev, 4)
+                extras["pcg_iters_per_s_device"] = round(
+                    float(tot_cg) / it_dev, 1)
+                log(f"  ITERATIVE_SCHUR device rate: {it_dev:.4f}s/solve, "
+                    f"{float(tot_cg)/it_dev:.0f} PCG iters/s")
         except Exception as e:
             log(f"ITERATIVE_SCHUR config failed: {e}")
 
