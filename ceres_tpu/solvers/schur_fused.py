@@ -64,6 +64,19 @@ def _outer_rt(Ja, Jb):
     return jnp.sum(Ja[..., :, :, None] * Jb[..., :, None, :], axis=-3)
 
 
+def _chunk_gather(T, rows, mask):
+    """T [n, ...] -> T[rows] * mask, rows [ne, k].
+
+    Gathers FLAT rows (trailing dims collapsed) then reshapes: XLA's TPU
+    gather on [n, r, t] arrays with tiny trailing dims runs row-by-row
+    (~0.8 ms at BAL-16 scale); the same gather over [n, r*t] runs at
+    ~0.2 ms (measured, N=64 chained)."""
+    trail = T.shape[1:]
+    flat = jnp.take(T.reshape(T.shape[0], -1), rows.reshape(-1), axis=0)
+    out = flat.reshape(rows.shape + trail)
+    return out * mask.reshape(mask.shape + (1,) * len(trail))
+
+
 def _rvec_rt(Ja, rg):
     """sum_r Ja[..., r, :] * rg[..., r] -> [..., ta] (VPU)."""
     return jnp.sum(Ja * rg[..., None], axis=-2)
@@ -325,15 +338,15 @@ def make_fused_schur_lm_step(program, options, meta):
                 rows = meta.c(f"b{bi}.chunk_rows", bs.chunk_rows)
                 mask = meta.c(f"b{bi}.chunk_mask",
                               bs.chunk_mask).astype(work_dtype)
-                Jg = Jc[rows] * mask[..., None, None]
-                rg = rc[rows] * mask[..., None]
+                Jg = _chunk_gather(Jc, rows, mask)
+                rg = _chunk_gather(rc, rows, mask)
                 eo, _ = plan["slot_off"][bs.e_slot]
                 Je = Jg[..., eo:eo + te]
                 EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
                 if f64_rhs:
                     mask64 = mask.astype(dtype)
-                    Jg64 = Jc64[rows] * mask64[..., None, None]
-                    rg64 = rc64[rows] * mask64[..., None]
+                    Jg64 = _chunk_gather(Jc64, rows, mask64)
+                    rg64 = _chunk_gather(rc64, rows, mask64)
                     g_e = g_e + jnp.sum(
                         _rvec_rt(Jg64[..., eo:eo + te], rg64), axis=1)
                 else:
@@ -344,8 +357,8 @@ def make_fused_schur_lm_step(program, options, meta):
                 rows = meta.c(f"b{bi}.chunk_rows", bs.chunk_rows)
                 mask = meta.c(f"b{bi}.chunk_mask",
                               bs.chunk_mask).astype(work_dtype)
-                Jg = Jc[rows] * mask[..., None, None]   # [ne, k, rr, tt]
-                rg = rc[rows] * mask[..., None]          # [ne, k, rr]
+                Jg = _chunk_gather(Jc, rows, mask)       # [ne, k, rr, tt]
+                rg = _chunk_gather(rc, rows, mask)       # [ne, k, rr]
                 eo, _ = plan["slot_off"][bs.e_slot]
                 fo, ftw = plan["slot_off"][plan["f_si"]]
                 Je = Jg[..., eo:eo + te]                 # [ne,k,rr,te]
@@ -366,8 +379,8 @@ def make_fused_schur_lm_step(program, options, meta):
                                     axis=1).reshape(ne, te, kf * tf)
                 if f64_rhs:
                     mask64 = mask.astype(dtype)
-                    Jg64 = Jc64[rows] * mask64[..., None, None]
-                    rg64 = rc64[rows] * mask64[..., None]
+                    Jg64 = _chunk_gather(Jc64, rows, mask64)
+                    rg64 = _chunk_gather(rc64, rows, mask64)
                     g_e = g_e + jnp.sum(
                         _rvec_rt(Jg64[..., eo:eo + te], rg64), axis=1)
                     g_f = g_f + _einsum(
