@@ -38,6 +38,11 @@ def main(argv=None):
             (64, 30000, 150000, "ITERATIVE_SCHUR"),
             (256, 50000, 300000, "ITERATIVE_SCHUR"),
         ]
+    if "--large" in sys.argv:
+        # nf = 9216 > the explicit-S cap: exercises the matrix-free
+        # implicit fused ITERATIVE_SCHUR at production scale (1M
+        # observations; J alone is ~100 MB f32, A/S would be ~2.2 GB).
+        cases = [(1024, 200000, 1000000, "ITERATIVE_SCHUR")]
 
     for (ncam, npts, nobs, solver) in cases:
         bal = synthetic_bal_problem(ncam, npts, nobs, seed=7,
@@ -49,7 +54,8 @@ def main(argv=None):
             linear_solver_type=ct.LinearSolverType[solver],
             preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
             use_mixed_precision_solves=True,
-            max_num_iterations=50, function_tolerance=1e-6,
+            max_num_iterations=150 if "--large" in sys.argv else 50,
+            function_tolerance=1e-6,
             max_linear_solver_iterations=100)
         cam0 = [c.copy() for c in cams]
         pt0 = [pp.copy() for pp in pts]
@@ -65,6 +71,8 @@ def main(argv=None):
             "name": f"ba_{ncam}x{npts}x{nobs}_{solver.lower()}",
             "wall_to_convergence_s": round(wall, 3),
             "iterations": s.num_iterations,
+            "s_per_lm_iteration": round(wall / max(s.num_iterations, 1), 4),
+            "pcg_iterations": int(s.num_linear_solver_iterations or 0),
             "final_cost": s.final_cost,
             "termination": str(s.termination_type),
         }), flush=True)

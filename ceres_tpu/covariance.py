@@ -148,7 +148,7 @@ class Covariance:
         for a, b in covariance_blocks:
             key = id(b)
             if key not in b_blocks:
-                off, tb, _ = self._tangent_slice_for(prog, b)
+                off, tb, _ = self._tangent_slice(b)
                 b_blocks[key] = (off, tb)
 
         cols = np.concatenate([np.arange(off, off + tb)
@@ -223,18 +223,11 @@ class Covariance:
         # extract requested pairs
         self._block_cov = {}
         for a, b in covariance_blocks:
-            oa, ta, _ = self._tangent_slice_for(prog, a)
+            oa, ta, _ = self._tangent_slice(a)
             p0, tb = col_of_block[id(b)]
             Cab = X[p0:p0 + tb][:, oa:oa + ta].T     # [ta, tb]
             self._block_cov[(id(a), id(b))] = Cab
         return True
-
-    def _tangent_slice_for(self, prog, values):
-        key = id(values)
-        if key not in prog.tan_offset:
-            raise KeyError("block is constant or not in problem")
-        blk = prog.problem._blocks[key]
-        return prog.tan_offset[key], blk.tangent_size, blk
 
     def _tangent_slice(self, values):
         prog = self._program
@@ -242,8 +235,7 @@ class Covariance:
         if key not in prog.tan_offset:
             raise KeyError("block is constant or not in problem")
         blk = prog.problem._blocks[key]
-        off = prog.tan_offset[key]
-        return off, blk.tangent_size, blk
+        return prog.tan_offset[key], blk.tangent_size, blk
 
     def get_covariance_block_in_tangent_space(self, a, b) -> np.ndarray:
         if self._block_cov is not None:

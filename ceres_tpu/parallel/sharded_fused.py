@@ -99,11 +99,12 @@ def build_chunk_shards(program, meta, num_shards: int):
             entry["mask"] = mask
             # local f-block id per lane (for the on-the-fly one-hot)
             grp = meta.f_groups[0]
-            (gi, f_si, local) = [s for s in grp["slots"] if s[0] == bi][0], \
-                None, None
-            for s in grp["slots"]:
-                if s[0] == bi:
-                    _, f_si, local = s
+            slots_here = [s for s in grp["slots"] if s[0] == bi]
+            if len(slots_here) != 1:
+                raise ValueError(
+                    f"sharded fused path: bucket {bi} must have exactly "
+                    f"one f slot (got {len(slots_here)})")
+            _, f_si, local = slots_here[0]
             entry["f_ids"] = chunked(local).astype(np.int32)   # [ne_pad, k]
             if getattr(bk, "loss_attrs", None):
                 entry["loss_attrs"] = {kk: chunked(v)
@@ -128,9 +129,12 @@ def build_chunk_shards(program, meta, num_shards: int):
             mask[:n] = 1.0
             entry["mask"] = mask
             grp = meta.f_groups[0]
-            for s in grp["slots"]:
-                if s[0] == bi:
-                    _, _, local = s
+            slots_here = [s for s in grp["slots"] if s[0] == bi]
+            if len(slots_here) != 1:
+                raise ValueError(
+                    f"sharded fused path: f-only bucket {bi} must have "
+                    f"exactly one f slot (got {len(slots_here)})")
+            _, _, local = slots_here[0]
             entry["f_ids"] = padded(local).astype(np.int32)    # [n_pad]
             if getattr(bk, "loss_attrs", None):
                 entry["loss_attrs"] = {kk: padded(v)
@@ -396,7 +400,8 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype),
                 S, kf, tf, options.preconditioner_type, S_corr)
             result = conjugate_gradients(
-                lambda v: S @ v, rhs, jnp.zeros_like(rhs),
+                lambda v: _einsum("fg,g->f", S, v), rhs,
+                jnp.zeros_like(rhs),
                 apply_preconditioner=precond,
                 max_iterations=options.max_linear_solver_iterations,
                 q_tolerance=options.eta,
@@ -409,13 +414,36 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
 
         # norms / model cost change (communicated pieces via psum)
         d_dot_g_loc = jnp.vdot(d_e, g_se)
-        Dd_sq_loc = jnp.sum(D2_e * d_e * d_e)
         de_sq_loc = jnp.vdot(s_e * d_e, s_e * d_e)
-        d_dot_g_e, Dd_sq_e, de_sq = jax.lax.psum(
-            (d_dot_g_loc, Dd_sq_loc, de_sq_loc), axis)
-        d_dot_g = d_dot_g_e + jnp.vdot(y, g_sf)
-        Dd_sq = Dd_sq_e + jnp.sum(D2_f.reshape(kf * tf) * y * y)
-        Jd_sq = -d_dot_g - Dd_sq
+        if mixed and not iterative:
+            # Exact direct solve: ||J_s d||^2 = d.b - ||D d||^2 (the f32
+            # step already bounds tail accuracy; solvers/schur_fused.py
+            # restricts the identity the same way).
+            Dd_sq_loc = jnp.sum(D2_e * d_e * d_e)
+            d_dot_g_e, Dd_sq_e, de_sq = jax.lax.psum(
+                (d_dot_g_loc, Dd_sq_loc, de_sq_loc), axis)
+            d_dot_g = d_dot_g_e + jnp.vdot(y, g_sf)
+            Dd_sq = Dd_sq_e + jnp.sum(D2_f.reshape(kf * tf) * y * y)
+            Jd_sq = -d_dot_g - Dd_sq
+        else:
+            # Exact ||J_s d||^2 from the shard-local chunk tensors:
+            # the identity is invalid for inexact CG solves and cancels
+            # catastrophically in f64 tails (schur_fused.py rationale).
+            dw_e = s_e * d_e                      # [nloc_e, te]
+            dw_fb = (sA * y).reshape(kf, tf)      # replicated
+            Jd_sq_loc = jnp.asarray(0.0, dtype=work_dtype)
+            for kind, Ja, Jb, oh_s in store:
+                if kind == "e":
+                    dfb = _einsum("nkc,ct->nkt", oh_s, dw_fb)
+                    Jd = _einsum("nkrt,nt->nkr", Ja, dw_e) \
+                        + _einsum("nkrt,nkt->nkr", Jb, dfb)
+                else:
+                    dfb = _einsum("nc,ct->nt", oh_s, dw_fb)
+                    Jd = _einsum("nrt,nt->nr", Ja, dfb)
+                Jd_sq_loc = Jd_sq_loc + jnp.vdot(Jd, Jd)
+            d_dot_g_e, Jd_sq, de_sq = jax.lax.psum(
+                (d_dot_g_loc, Jd_sq_loc, de_sq_loc), axis)
+            d_dot_g = d_dot_g_e + jnp.vdot(y, g_sf)
         mcc = -(d_dot_g + 0.5 * Jd_sq)
 
         # ---- assemble the global delta (all_gather of the e part) ----

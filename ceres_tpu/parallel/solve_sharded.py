@@ -58,7 +58,12 @@ def try_solve_sharded(program, options, summary):
         if meta is not None and sharded_fused_supported(program, options,
                                                         meta):
             t0 = time.time()
-            key = ("sharded_fused", options.cache_key(), id(mesh))
+            # key on the mesh's structure, not id(): CPython reuses ids
+            # of collected objects, so id(mesh) could alias a dead mesh's
+            # cached executable with shards placed for the wrong devices.
+            mesh_key = (mesh.axis_names,
+                        tuple(d.id for d in mesh.devices.flat))
+            key = ("sharded_fused", options.cache_key(), mesh_key)
             cached = program._jit_cache.get(key)
             if cached is None:
                 # shard over ALL mesh axes (multi-host {host, chip} meshes

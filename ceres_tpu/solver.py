@@ -120,7 +120,10 @@ def make_scale_impl(program, options):
 
 def make_scale_fn(program, options):
     return program.cached_jit(
-        ("scale", options.jacobi_scaling),
+        # mixed precision changes WHICH scale is computed (f32 vs f64
+        # Jacobian pass) — it must discriminate the cache entry.
+        ("scale", options.jacobi_scaling,
+         options.use_mixed_precision_solves),
         lambda: program.jit_with_consts(
             make_scale_impl(program, options), (program.example_x(),)))
 
@@ -449,22 +452,28 @@ def solve(options: SolverOptions, problem,
 
     # ---- minimize ----
     if options.minimizer_type == MinimizerType.TRUST_REGION:
-        use_fused = (options.fused_iterations
-                     and not options.callbacks
-                     and not options.use_nonmonotonic_steps
-                     and not options.minimizer_progress_to_stdout
-                     and not options.use_inner_iterations
-                     and not options.trust_region_problem_dump_directory
-                     # bounds need the projected gradient convergence test
-                     # and the projected line search
-                     # (trust_region_minimizer.cc:101,:288) — host loop
-                     and not program.has_bounds)
-        if options.mesh is not None:
+        # Configurations that REQUIRE the host loop: callbacks,
+        # nonmonotonic steps, per-iteration logging, inner iterations,
+        # problem dumping, and bounds (projected gradient convergence
+        # test + projected line search,
+        # trust_region_minimizer.cc:101,:288). Neither the single-device
+        # fused while-loop nor the sharded device loop can provide them.
+        device_loop_ok = (not options.callbacks
+                          and not options.use_nonmonotonic_steps
+                          and not options.minimizer_progress_to_stdout
+                          and not options.use_inner_iterations
+                          and not options.trust_region_problem_dump_directory
+                          and not program.has_bounds)
+        use_fused = options.fused_iterations and device_loop_ok
+        if options.mesh is not None and device_loop_ok:
             # Multi-chip solve over options.mesh (SURVEY.md section 5.8):
             # rows shard by e-block, the whole LM loop runs inside one
             # shard_map'd program (parallel/sharded_fused.py). Falls back
             # to the single-device path when the problem has no usable
-            # Schur structure for the sharded eliminator.
+            # Schur structure for the sharded eliminator; host-loop-only
+            # configurations (bounds, callbacks, ...) fall through to the
+            # single-device host-loop minimizer rather than silently
+            # losing their semantics inside the device loop.
             from .parallel.solve_sharded import try_solve_sharded
             x = try_solve_sharded(program, options, summary)
             if x is not None:

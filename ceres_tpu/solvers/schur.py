@@ -1008,7 +1008,11 @@ def make_schur_solver(program, options):
                                 and meta.ne * meta.te * nf <= 1e8))
             if use_explicit:
                 S_exp = ops.explicit_S()
-                apply_S = lambda v: S_exp @ v
+                # exact-f32 matvec: TPU's default bf16 matmul passes
+                # (~1e-3 relative) stall PCG at the operator-error floor
+                apply_S = lambda v: jnp.einsum(
+                    "fg,g->f", S_exp, v,
+                    precision=jax.lax.Precision.HIGHEST)
             else:
                 apply_S = ops.apply_S
             x0 = jnp.zeros((nf,), dtype=rhs.dtype)

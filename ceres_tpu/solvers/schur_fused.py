@@ -506,7 +506,8 @@ def make_fused_schur_lm_step(program, options, meta):
                                                       dtype=work_dtype),
                     S, kf, tf, options.preconditioner_type, S_corr)
                 result = conjugate_gradients(
-                    lambda v: S @ v, rhs, jnp.zeros_like(rhs),
+                    lambda v: _einsum("fg,g->f", S, v), rhs,
+                    jnp.zeros_like(rhs),
                     apply_preconditioner=precond,
                     max_iterations=options.max_linear_solver_iterations,
                     q_tolerance=options.eta,

@@ -105,16 +105,22 @@ class SparseNormalCholeskyContext:
         if self.dynamic:
             keep = values != 0.0
             keep[self.diag_pos] = True
+            # Per-iteration re-analysis uses a single AMD ordering pass:
+            # the static path's ORDER_AUTO runs RCM + AMD + two symbolic
+            # fills to pick a winner, which is fine once but triples the
+            # host cost when repeated every factorization.
+            order = (native.SparseCholesky.ORDER_AMD if self._use_rcm
+                     else native.SparseCholesky.ORDER_NATURAL)
             if not keep.all():
                 counts = np.zeros(self.n + 1, dtype=np.int64)
                 np.add.at(counts, self._col_of[keep] + 1, 1)
                 self.chol = native.SparseCholesky(
                     self.n, np.cumsum(counts), self.Ai[keep],
-                    use_rcm=self._use_rcm)
+                    ordering=order)
                 values = values[keep]
-            elif self.chol.n != self.n or self.chol._Ai.size != self.nnz:
+            elif self.chol._Ai.size != self.nnz:
                 self.chol = native.SparseCholesky(self.n, self.Ap, self.Ai,
-                                                  use_rcm=self._use_rcm)
+                                                  ordering=order)
         self._ok = (self.chol.factor(values) == 0)
         return np.int32(0 if self._ok else 1)
 

@@ -95,7 +95,8 @@ stage("apply_s", applys_stage, x)
 from ceres_tpu.solver import make_step_impl
 step_impl = make_step_impl(prog, opts)
 def step_stage(xx):
-    out = step_impl(xx, jnp.asarray(1e4, dtype=prog.dtype))
+    out = step_impl(xx, jnp.asarray(1e4, dtype=prog.dtype),
+                    jnp.ones((prog.num_effective,), dtype=prog.dtype))
     return out["model_cost_change"], out["lin_iters"]
 stage("step", step_stage, x)
 

@@ -171,16 +171,17 @@ def main():
         return f
 
     step_impl = make_step_impl(program, options)
+    scale0 = jnp.ones((program.num_effective,), dtype=program.dtype)
 
     def b_step():
         def f(x):
-            out = step_impl(x, radius)
+            out = step_impl(x, radius, scale0)
             return dep(x, out["cost"], out["delta"], out["model_cost_change"])
         return f
 
     def b_body():
         def f(x):
-            out = step_impl(x, radius)
+            out = step_impl(x, radius, scale0)
             x_new = program.plus(x, out["delta"])
             new_cost = program.cost_fn(x_new)
             return dep(x_new, out["cost"], new_cost)

@@ -317,3 +317,24 @@ def test_fused_split_rejection_path(bal):
     assert s_fused.num_unsuccessful_steps > 0  # rejections exercised
     rel = abs(s_fused.final_cost - s_host.final_cost) / s_host.final_cost
     assert rel < 1e-6, rel
+
+
+def test_mesh_with_bounds_falls_back_to_host_loop(bal):
+    """Host-loop-only features (bounds here) must NOT be silently lost
+    inside the sharded device loop: options.mesh + bounds routes to the
+    single-device host-loop minimizer (projected gradient convergence
+    test, trust_region_minimizer.cc:101,:288)."""
+    from jax.sharding import Mesh
+    problem, cams, pts = build_bal_ceres_problem(bal)
+    # a box around the current point values (inactive but present)
+    p0 = pts[0]
+    problem.set_parameter_lower_bound(p0, 0, float(p0[0]) - 100.0)
+    problem.set_parameter_upper_bound(p0, 0, float(p0[0]) + 100.0)
+    ndev = min(4, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("data",))
+    s = ct.solve(ct.SolverOptions(
+        mesh=mesh,
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=30, function_tolerance=1e-9), problem)
+    assert s.termination_type == ct.TerminationType.CONVERGENCE
+    assert "sharded fused" not in s.message
