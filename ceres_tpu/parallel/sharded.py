@@ -216,14 +216,14 @@ def make_sharded_lm_step(program, options, mesh: Mesh, axis: str = "data"):
             "lin_iters": iters,
         }
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shards_np)
     step_sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), shard_spec),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
 
     def place(shards):
         return jax.tree_util.tree_map(
@@ -252,10 +252,10 @@ def make_sharded_cost_fn(program, mesh: Mesh, shards_np, axis: str = "data"):
             total = total + jnp.sum(c)
         return jax.lax.psum(total, axis) + program.fixed_cost
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shards_np)
     return jax.jit(shard_map(cost, mesh=mesh, in_specs=(P(), shard_spec),
-                             out_specs=P(), check_rep=False))
+                             out_specs=P(), check_vma=False))
 
 
 def make_sharded_schur_step(program, options, mesh: Mesh,
@@ -412,14 +412,14 @@ def make_sharded_schur_step(program, options, mesh: Mesh,
             "lin_iters": jnp.asarray(1, jnp.int32),
         }
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     shard_spec = jax.tree_util.tree_map(lambda _: P(axis), shards_np)
     step_sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), shard_spec),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
 
     def place(shards):
         return jax.tree_util.tree_map(

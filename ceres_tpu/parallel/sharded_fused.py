@@ -569,7 +569,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
             gradient_max_norm=s["grad_max"],
             total_linear_iterations=s["lin_iters"])
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     shard_spec = []
     for entry in shards_np:
@@ -596,7 +596,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
         wrapped, mesh=mesh,
         in_specs=(P(), shard_spec),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     solve_jit = jax.jit(solve_sharded)
 
     def place(shards=None):
