@@ -48,11 +48,6 @@ def sharded_fused_supported(program, options, meta) -> bool:
     from ..solvers.schur_fused import fused_schur_supported
     if not fused_schur_supported(program, options, meta):
         return False
-    # the sharded row layout keys every e-bucket by its f-block ids;
-    # e-only buckets (constant f side) take the single-device path.
-    for bs in meta.buckets:
-        if bs.e_slot is not None and bs.f_cols is None:
-            return False
     # the sharded path materializes A shard-local (explicit mode only)
     from ..solvers.schur_fused import _explicit_viable
     if not _explicit_viable(meta):
@@ -74,7 +69,10 @@ def build_chunk_shards(program, meta, num_shards: int):
     ne_pad = int(math.ceil(max(ne, 1) / num_shards) * num_shards)
     shards = []
     for bi, (bk, bs) in enumerate(zip(program.buckets, meta.buckets)):
-        entry = {"kind": "e" if bs.e_slot is not None else "f"}
+        if bs.e_slot is not None:
+            entry = {"kind": "e" if bs.f_cols is not None else "e0"}
+        else:
+            entry = {"kind": "f"}
         if bs.e_slot is not None:
             rows = bs.chunk_rows                       # [ne, k]
             k = rows.shape[1]
@@ -97,15 +95,18 @@ def build_chunk_shards(program, meta, num_shards: int):
                 mask = np.concatenate(
                     [mask, np.zeros((ne_pad - ne, k), mask.dtype)], axis=0)
             entry["mask"] = mask
-            # local f-block id per lane (for the on-the-fly one-hot)
-            grp = meta.f_groups[0]
-            slots_here = [s for s in grp["slots"] if s[0] == bi]
-            if len(slots_here) != 1:
-                raise ValueError(
-                    f"sharded fused path: bucket {bi} must have exactly "
-                    f"one f slot (got {len(slots_here)})")
-            _, f_si, local = slots_here[0]
-            entry["f_ids"] = chunked(local).astype(np.int32)   # [ne_pad, k]
+            # local f-block id per lane (for the on-the-fly one-hot);
+            # e-only buckets (constant f side) have no f slot and enter
+            # only through EtE / g_e / cost.
+            if entry["kind"] == "e":
+                grp = meta.f_groups[0]
+                slots_here = [s for s in grp["slots"] if s[0] == bi]
+                if len(slots_here) != 1:
+                    raise ValueError(
+                        f"sharded fused path: bucket {bi} must have "
+                        f"exactly one f slot (got {len(slots_here)})")
+                _, f_si, local = slots_here[0]
+                entry["f_ids"] = chunked(local).astype(np.int32)  # [ne_pad,k]
             if getattr(bk, "loss_attrs", None):
                 entry["loss_attrs"] = {kk: chunked(v)
                                        for kk, v in bk.loss_attrs.items()}
@@ -234,7 +235,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
         total = jnp.asarray(0.0, dtype=dtype)
         for plan, sh in zip(plans, shards):
             bk = plan["bk"]
-            if sh["kind"] == "e":
+            if sh["kind"] in ("e", "e0"):
                 nloc, k = sh["mask"].shape
                 data = jax.tree_util.tree_map(
                     lambda a: a.reshape((nloc * k,) + a.shape[2:]),
@@ -265,7 +266,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
         store = []
         for plan, sh in zip(plans, shards):
             bk, bs = plan["bk"], plan["bs"]
-            if sh["kind"] == "e":
+            if sh["kind"] in ("e", "e0"):
                 nloc, k = sh["mask"].shape
                 data = jax.tree_util.tree_map(
                     lambda a: a.reshape((nloc * k,) + a.shape[2:]),
@@ -298,14 +299,18 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 Jg = Jc.reshape(nloc, k, rr, -1).astype(work_dtype)
                 rg = rc.reshape(nloc, k, rr).astype(work_dtype)
                 eo = plan["offs"][bs.e_slot]
-                fo = plan["offs"][plan["f_si"]]
                 Je = Jg[..., eo:eo + te]
-                Jf = Jg[..., fo:fo + tf]
-                oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
-                oh = oh * sh["mask"][..., None].astype(work_dtype)
                 from ..solvers.schur_fused import _outer_rt, _rvec_rt
                 EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
                 g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
+                if sh["kind"] == "e0":
+                    # constant f side: EtE / g_e / cost only
+                    store.append(("e0", Je, None, None))
+                    continue
+                fo = plan["offs"][plan["f_si"]]
+                Jf = Jg[..., fo:fo + tf]
+                oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
+                oh = oh * sh["mask"][..., None].astype(work_dtype)
                 Gf = _outer_rt(Jf, Jf)
                 FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
                 g_f = g_f + _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf, rg))
@@ -437,6 +442,8 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                     dfb = _einsum("nkc,ct->nkt", oh_s, dw_fb)
                     Jd = _einsum("nkrt,nt->nkr", Ja, dw_e) \
                         + _einsum("nkrt,nkt->nkr", Jb, dfb)
+                elif kind == "e0":
+                    Jd = _einsum("nkrt,nt->nkr", Ja, dw_e)
                 else:
                     dfb = _einsum("nc,ct->nt", oh_s, dw_fb)
                     Jd = _einsum("nrt,nt->nr", Ja, dfb)

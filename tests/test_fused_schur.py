@@ -299,6 +299,36 @@ def test_single_f_block_two_view():
     assert s.final_cost < s.initial_cost
 
 
+def test_sharded_fused_solve_with_constant_camera(bal):
+    """Observations of a constant camera form an e-only bucket (point
+    variable, camera fixed) — the sharded fused path must carry it
+    (EtE / g_e / cost contributions only) and match the single-device
+    result, not fall back."""
+    from jax.sharding import Mesh
+    from ceres_tpu.solvers.schur import detect_schur_structure
+    from ceres_tpu.parallel.sharded_fused import sharded_fused_supported
+    base = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                max_num_iterations=50, function_tolerance=1e-9)
+
+    problem, cams, _ = build_bal_ceres_problem(bal)
+    problem.set_parameter_block_constant(cams[0])
+    s1 = ct.solve(ct.SolverOptions(**base), problem)
+
+    problem2, cams2, _ = build_bal_ceres_problem(bal)
+    problem2.set_parameter_block_constant(cams2[0])
+    opts = ct.SolverOptions(mesh=min(8, len(jax.devices())), **base)
+    program = CompiledProgram.get_cached(problem2, opts)
+    meta = detect_schur_structure(program, opts)
+    assert any(bs.e_slot is not None and bs.f_cols is None
+               for bs in meta.buckets)          # e-only bucket exists
+    assert sharded_fused_supported(program, opts, meta)
+    s2 = ct.solve(opts, problem2)
+    assert "sharded fused" in s2.message
+    assert s2.termination_type == ct.TerminationType.CONVERGENCE
+    rel = abs(s2.final_cost - s1.final_cost) / s1.final_cost
+    assert rel < 1e-6, rel
+
+
 def test_fused_split_rejection_path(bal):
     """The fused loop's rejected-step fast path (cached linearization,
     re-solve with a smaller radius) must agree with the host loop. A huge
