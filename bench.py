@@ -53,10 +53,14 @@ def log(*a):
 
 
 def run_config(ct, problem, cams, pts, cam0, pt0, make_options, label):
-    """Warm-up + 5 timed solves; returns (median_wall, last_summary)."""
+    """Warm-up + 5 timed solves; returns (median_wall, last_summary,
+    warmup_wall). warmup_wall is dominated by XLA compilation on a cold
+    .jax_cache (~minutes for the fused whole-solve program) and by cache
+    deserialization on a warm one (~seconds)."""
     t0 = time.time()
     summary = ct.solve(make_options(), problem)
-    log(f"[{label}] warmup solve: {time.time()-t0:.1f}s  "
+    warmup = time.time() - t0
+    log(f"[{label}] warmup solve: {warmup:.1f}s  "
         f"{summary.brief_report()}")
     times = []
     for trial in range(5):
@@ -74,7 +78,7 @@ def run_config(ct, problem, cams, pts, cam0, pt0, make_options, label):
             f"(measured {measured:.4f}), {summary.num_iterations} iters, "
             f"cost {summary.initial_cost:.6e} -> {summary.final_cost:.6e}, "
             f"{summary.termination_type}")
-    return sorted(times)[len(times) // 2], summary
+    return sorted(times)[len(times) // 2], summary, warmup
 
 
 def main():
@@ -123,8 +127,8 @@ def main():
     pt0 = [p.copy() for p in pts]
 
     # ---- primary config (DENSE_SCHUR, the reference anchor) ----
-    wall, summary = run_config(ct, problem, cams, pts, cam0, pt0,
-                               make_options, solver_name)
+    wall, summary, warmup = run_config(ct, problem, cams, pts, cam0, pt0,
+                                       make_options, solver_name)
     iters = max(summary.num_iterations, 1)
     per_iter = summary.minimizer_time_in_seconds / iters
     log(f"  per-LM-iteration: {per_iter:.4f}s over {iters} iterations "
@@ -134,6 +138,7 @@ def main():
         "per_iter_s": round(per_iter, 5),
         "lm_iterations": int(summary.num_iterations),
         "final_cost": float(f"{summary.final_cost:.6e}"),
+        "warmup_s": round(warmup, 2),
     }
 
     # ---- pipelined device throughput (tunnel fixed costs amortized) ----
@@ -179,9 +184,10 @@ def main():
     # ---- ITERATIVE_SCHUR + SCHUR_JACOBI (driver BASELINE config) ----
     if not os.environ.get("BENCH_SKIP_ITERATIVE"):
         try:
-            it_wall, it_summary = run_config(
+            it_wall, it_summary, it_warm = run_config(
                 ct, problem, cams, pts, cam0, pt0,
                 lambda: make_options("ITERATIVE_SCHUR"), "ITERATIVE_SCHUR")
+            extras["iterative_warmup_s"] = round(it_warm, 2)
             tot_cg = it_summary.num_linear_solver_iterations \
                 or it_summary.num_linear_solves
             extras["iterative_wall_s"] = round(it_wall, 4)
