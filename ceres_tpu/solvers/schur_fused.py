@@ -294,7 +294,70 @@ def make_fused_schur_lm_step(program, options, meta):
     # reuse_diagonal_), re-running only the damped solve.
     keep_chunks = not (explicit and mixed and not iterative)
 
+    # Pallas lin-phase front-end (ops/pallas_lin.py): for the Snavely BA
+    # hot shape the jacfwd chains + E-side Grams + scaled A run in one
+    # hand-vectorized kernel; the solve phase then reads A in its
+    # transposed [te, nf, ne] layout and computes ||J_s d||^2 from the
+    # Gram blocks, so the chunk tensors are never materialized.
+    plin = None
+    from ..ops.pallas_lin import pallas_lin_supported, make_pallas_lin
+    if pallas_lin_supported(program, options, meta, explicit, mixed,
+                            f64_rhs):
+        plin = make_pallas_lin(program, options, meta)
+        keep_chunks = False
+
     def _lin_phase(x, scale):
+        if plin is not None:
+            return _lin_phase_pallas(x, scale)
+        return _lin_phase_generic(x, scale)
+
+    def _lin_phase_pallas(x, scale):
+        bk = program.buckets[0]
+        loss = program._bucket_loss(bk)          # None (support gate)
+        r64 = program._bucket_residuals(bk, x)
+        cost, _, _ = correct_residuals_and_jacobian(loss, r64, None)
+        total_cost = jnp.asarray(program.fixed_cost,
+                                 dtype=dtype) + jnp.sum(cost)
+
+        out = plin(x, scale)
+        EtE, g_e = out["EtE"], out["g_e"]        # [ne_pad, ...], pad rows 0
+        Jf, rg, oh = out["Jf"], out["rg"], out["oh_pad"]
+        FtF = _einsum("nkc,nktu->ctu", oh, _outer_rt(Jf, Jf))
+        g_f = _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf, rg))
+
+        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
+        cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)
+        s_e = out["s_e_t"].T                     # [ne_pad, te] (pad 1.0)
+        s_f = jax.lax.dynamic_slice(
+            scale.astype(work_dtype), (f_slab,),
+            (kf * tf,)).reshape(kf, tf)
+        diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
+        diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
+        EtE_s = EtE * (s_e[:, :, None] * s_e[:, None, :])
+        FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
+        sA = s_f.reshape(kf * tf)
+        g_se = g_e * s_e
+        g_sf = (g_f * s_f).reshape(kf * tf)
+
+        g_f_flat = g_f.reshape(kf * tf)
+        grad_max = jnp.maximum(jnp.max(jnp.abs(g_e)),
+                               jnp.max(jnp.abs(g_f_flat))).astype(dtype)
+        grad_norm = jnp.sqrt(jnp.vdot(g_e, g_e)
+                             + jnp.vdot(g_f_flat, g_f_flat)).astype(dtype)
+
+        art = dict(cost=total_cost, EtE_s=EtE_s, FtF_s=FtF_s, A_s=None,
+                   A_sT=out["A_sT"], g_se=g_se, g_sf=g_sf, s_e=s_e,
+                   s_f=s_f, sA=sA, diag_e=diag_e, diag_f=diag_f,
+                   grad_max=grad_max, grad_norm=grad_norm)
+        if program.has_bounds:
+            grad = jnp.zeros((program.num_effective,), dtype=g_e.dtype)
+            grad = jax.lax.dynamic_update_slice(
+                grad, g_e[:ne].reshape(-1), (e_slab,))
+            grad = jax.lax.dynamic_update_slice(grad, g_f_flat, (f_slab,))
+            art["grad_full"] = grad.astype(dtype)
+        return art
+
+    def _lin_phase_generic(x, scale):
         total_cost = jnp.asarray(program.fixed_cost, dtype=dtype)
 
         EtE = jnp.zeros((ne, te, te), dtype=work_dtype)
@@ -471,7 +534,9 @@ def make_fused_schur_lm_step(program, options, meta):
 
     def _solve_phase(art, radius):
         total_cost = art["cost"]
-        EtE_s, FtF_s, A_s = art["EtE_s"], art["FtF_s"], art["A_s"]
+        EtE_s, FtF_s = art["EtE_s"], art["FtF_s"]
+        A_s = art.get("A_s")
+        A_sT = art.get("A_sT")      # pallas layout [te, kf*tf, ne_pad]
         g_se, g_sf = art["g_se"], art["g_sf"]
         s_e, s_f, sA = art["s_e"], art["s_f"], art["sA"]
         chunk_store = art.get("chunks", [])
@@ -488,9 +553,14 @@ def make_fused_schur_lm_step(program, options, meta):
         z = _einsum("nij,nj->ni", inv_ete, b_e)          # (EtE)^-1 b_e
 
         if explicit:
-            rhs = b_f - _einsum("nuf,nu->f", A_s, z)
-            Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
-            S_corr = _einsum("nuf,nug->fg", A_s, Y)
+            if A_sT is not None:
+                rhs = b_f - _einsum("ufn,nu->f", A_sT, z)
+                Y = _einsum("nuv,vfn->ufn", inv_ete, A_sT)
+                S_corr = _einsum("ufn,ugn->fg", A_sT, Y)
+            else:
+                rhs = b_f - _einsum("nuf,nu->f", A_s, z)
+                Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
+                S_corr = _einsum("nuf,nug->fg", A_s, Y)
             ii = jnp.arange(kf)
             S = (-S_corr).reshape(kf, tf, kf, tf).at[ii, :, ii, :].add(
                 FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype)
@@ -516,8 +586,9 @@ def make_fused_schur_lm_step(program, options, meta):
                 lin_iters = result.num_iterations
 
             # back-substitute: d_e = (EtE)^-1 (b_e - A y)
-            d_e = _einsum("nij,nj->ni", inv_ete,
-                          b_e - _einsum("nuf,f->nu", A_s, y))
+            Ay = (_einsum("ufn,f->nu", A_sT, y) if A_sT is not None
+                  else _einsum("nuf,f->nu", A_s, y))
+            d_e = _einsum("nij,nj->ni", inv_ete, b_e - Ay)
         else:
             # ---- implicit (matrix-free) ITERATIVE_SCHUR over the chunk
             # tensors — the large-camera-count regime where A [ne,te,nf]
@@ -636,6 +707,16 @@ def make_fused_schur_lm_step(program, options, meta):
             Dd_sq = jnp.sum(D2_e * d_e * d_e) + jnp.sum(
                 D2_f.reshape(kf * tf) * y * y)
             Jd_sq = -d_dot_g - Dd_sq
+        elif explicit and not chunk_store:
+            # Pallas lin-phase path: no chunk tensors live. ||J_s d||^2
+            # from the Gram blocks — exact because J^T J =
+            # [[EtE, A], [A^T, blockdiag(FtF)]] for the BA structure
+            # (F blocks never share a residual row).
+            Ay2 = _einsum("ufn,f->nu", A_sT, y)
+            yb2 = y.reshape(kf, tf)
+            Jd_sq = (jnp.vdot(d_e, _einsum("nuv,nv->nu", EtE_s, d_e))
+                     + 2.0 * jnp.vdot(d_e, Ay2)
+                     + jnp.vdot(yb2, _einsum("ctu,cu->ct", FtF_s, yb2)))
         else:
             # Exact ||J_s d||^2 via the stored chunk tensors: required for
             # f64 tail digits (the identity cancels catastrophically near
@@ -656,12 +737,12 @@ def make_fused_schur_lm_step(program, options, meta):
                 Jd_sq = Jd_sq + jnp.vdot(Jd, Jd)
         mcc = -(d_dot_g + 0.5 * Jd_sq)
 
-        delta_e = (s_e * d_e).astype(dtype)              # [ne, te]
+        delta_e = (s_e * d_e).astype(dtype)       # [ne(_pad), te]
         delta_f = (sA * y).astype(dtype)                 # [kf*tf] block order
         delta = jnp.zeros((program.num_effective,), dtype=dtype)
         if e_slab is not None:
             delta = jax.lax.dynamic_update_slice(
-                delta, delta_e.reshape(-1), (e_slab,))
+                delta, delta_e[:ne].reshape(-1), (e_slab,))
         else:
             delta = delta.at[meta.c("e_cols", meta.e_cols)].set(delta_e)
         if f_slab is not None:
@@ -689,9 +770,13 @@ def make_fused_schur_lm_step(program, options, meta):
     # solve phase needs nothing beyond the art pytree (identity-mcc
     # explicit mixed mode — otherwise the chunk tensors would live in the
     # while-loop carry).
-    lm_step.split_ok = explicit and mixed and not iterative
+    # (the pallas lin-phase keeps no chunk tensors, so iterative-explicit
+    # becomes split-capable too)
+    lm_step.split_ok = explicit and mixed and (not iterative
+                                               or plin is not None)
     lm_step.linearize = _lin_phase
     lm_step.solve_from = _solve_phase
+    lm_step.pallas_lin = plin is not None
 
     return lm_step
 

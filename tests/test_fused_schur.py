@@ -329,6 +329,75 @@ def test_sharded_fused_solve_with_constant_camera(bal):
     assert rel < 1e-6, rel
 
 
+@pytest.mark.parametrize("solver_name", ["DENSE_SCHUR", "ITERATIVE_SCHUR"])
+def test_pallas_lin_phase_matches_generic(bal, solver_name):
+    """The hand-vectorized Pallas lin-phase kernel (ops/pallas_lin.py,
+    interpret mode on CPU) must agree with the generic fused lin phase.
+    Gram-level agreement is f32-exact; the solve amplifies f32 rounding
+    by the damped system's conditioning, so delta/step_norm compare at
+    5e-4 (both paths sit ~1.5e-4 from the f64 step — measured)."""
+    os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        problem, _, _ = build_bal_ceres_problem(bal)
+        options = ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType[solver_name],
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            use_mixed_precision_solves=True)
+        program = CompiledProgram.get_cached(problem, options)
+        from ceres_tpu.solvers import schur_fused
+        from ceres_tpu.solvers.schur import detect_schur_structure
+        meta = detect_schur_structure(program, options)
+        step = schur_fused.make_fused_schur_lm_step(program, options, meta)
+        assert step.pallas_lin, "pallas lin gate unexpectedly rejected"
+
+        x0 = program.initial_state()
+        radius = jnp.asarray(1e4, program.dtype)
+        ex = (program.example_x(), program.example_scalar(),
+              program.example_delta())
+        scale = solver_mod.make_scale_fn(program, options)(x0)
+        a = program.jit_with_consts(
+            solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                             scale)
+        os.environ["CERES_TPU_NO_PALLAS_LIN"] = "1"
+        try:
+            b = program.jit_with_consts(
+                solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                                 scale)
+        finally:
+            del os.environ["CERES_TPU_NO_PALLAS_LIN"]
+    finally:
+        del os.environ["CERES_TPU_PALLAS_INTERPRET"]
+    for k in ["cost", "gradient_max_norm", "delta", "model_cost_change",
+              "step_norm"]:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        rel = np.max(np.abs(va - vb)) / (np.max(np.abs(vb)) + 1e-300)
+        tol = 5e-4 if k in ("delta", "step_norm") else 1e-5
+        assert rel < tol, (k, rel)
+
+
+def test_pallas_lin_phase_e2e_solve(bal):
+    """End-to-end mixed-precision solve with the Pallas lin-phase on
+    (interpret mode) matches the generic fused path's final cost."""
+    base = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                use_mixed_precision_solves=True,
+                max_num_iterations=50, function_tolerance=1e-9)
+    os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        problem, _, _ = build_bal_ceres_problem(bal)
+        s1 = ct.solve(ct.SolverOptions(**base), problem)
+        os.environ["CERES_TPU_NO_PALLAS_LIN"] = "1"
+        try:
+            problem2, _, _ = build_bal_ceres_problem(bal)
+            s2 = ct.solve(ct.SolverOptions(**base), problem2)
+        finally:
+            del os.environ["CERES_TPU_NO_PALLAS_LIN"]
+    finally:
+        del os.environ["CERES_TPU_PALLAS_INTERPRET"]
+    assert s1.termination_type == ct.TerminationType.CONVERGENCE
+    rel = abs(s1.final_cost - s2.final_cost) / s2.final_cost
+    assert rel < 1e-6, rel
+
+
 def test_fused_split_rejection_path(bal):
     """The fused loop's rejected-step fast path (cached linearization,
     re-solve with a smaller radius) must agree with the host loop. A huge
