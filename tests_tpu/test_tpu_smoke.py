@@ -87,3 +87,50 @@ def test_nist_sample():
         linear_solver_type=ct.LinearSolverType.DENSE_QR,
         max_num_iterations=200), problem)
     assert compute_lre(b, nist.certified) >= 4.0
+
+
+def test_pallas_lin_phase_on_device():
+    """The Snavely lin-phase Pallas kernel (ops/pallas_lin.py) must
+    compile under the real Mosaic TPU compiler (interpret-mode parity is
+    covered in tests/test_fused_schur.py) and agree with the generic
+    fused step."""
+    import os
+    import jax.numpy as jnp
+    from ceres_tpu import solver as solver_mod
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.solvers import schur_fused
+    from ceres_tpu.solvers.schur import detect_schur_structure
+
+    bal = synthetic_bal_problem(num_cameras=8, num_points=2000,
+                                num_observations=8000, seed=5,
+                                pixel_noise=1.0)
+    bal.perturb(rotation_sigma=0.05, translation_sigma=0.5,
+                point_sigma=0.2, seed=6)
+    problem, _, _ = build_bal_ceres_problem(bal)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        use_mixed_precision_solves=True)
+    program = CompiledProgram.get_cached(problem, options)
+    meta = detect_schur_structure(program, options)
+    step = schur_fused.make_fused_schur_lm_step(program, options, meta)
+    assert step.pallas_lin, "pallas lin gate rejected on TPU"
+
+    x0 = program.initial_state()
+    radius = jnp.asarray(1e4, program.dtype)
+    ex = (program.example_x(), program.example_scalar(),
+          program.example_delta())
+    scale = solver_mod.make_scale_fn(program, options)(x0)
+    a = program.jit_with_consts(
+        solver_mod.make_step_impl(program, options), ex)(x0, radius, scale)
+    os.environ["CERES_TPU_NO_PALLAS_LIN"] = "1"
+    try:
+        b = program.jit_with_consts(
+            solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                             scale)
+    finally:
+        del os.environ["CERES_TPU_NO_PALLAS_LIN"]
+    for k in ["cost", "gradient_max_norm", "delta", "model_cost_change"]:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        rel = np.max(np.abs(va - vb)) / (np.max(np.abs(vb)) + 1e-300)
+        tol = 5e-4 if k == "delta" else 1e-5
+        assert rel < tol, (k, rel)
