@@ -245,29 +245,7 @@ def run_fused(program, options, summary):
         ("fused", options.cache_key()),
         lambda: program.jit_with_consts(
             make_fused_tr_solve(program, options), (program.example_x(),)))
-    try:
-        x_dev, stats_dev = solve(program.initial_state())
-    except Exception:
-        # A Pallas front-end that traced fine can still be rejected by the
-        # TPU kernel compiler (Mosaic layout/op support varies by
-        # generation). Retry once with the kernels off rather than failing
-        # the solve; the generic fused path computes the same step.
-        import os
-        import sys
-        if os.environ.get("CERES_TPU_NO_PALLAS_LIN"):
-            raise
-        print("ceres_tpu: pallas lin-phase kernel failed to compile; "
-              "retrying with the generic fused path", file=sys.stderr)
-        os.environ["CERES_TPU_NO_PALLAS_LIN"] = "1"
-        try:
-            solve = program.cached_jit(
-                ("fused-nopallaslin", options.cache_key()),
-                lambda: program.jit_with_consts(
-                    make_fused_tr_solve(program, options),
-                    (program.example_x(),)))
-            x_dev, stats_dev = solve(program.initial_state())
-        finally:
-            del os.environ["CERES_TPU_NO_PALLAS_LIN"]
+    x_dev, stats_dev = solve(program.initial_state())
     # ONE host transfer for the whole result: per-leaf pulls cost a tunnel
     # roundtrip each (~65 ms on the remote TPU), so the summary scalars
     # come back packed in a single f64 vector alongside x.

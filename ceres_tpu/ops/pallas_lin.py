@@ -172,14 +172,21 @@ def _aa_rotate_jets(aa, pt):
     return [_jwhere(small, small_res[i], large[i]) for i in range(3)]
 
 
-def _snavely_residual_jets(cam, pt, obs_x, obs_y):
+def _snavely_residual_jets(cam, pt, obs_x, obs_y, valid):
     """Snavely 9-param reprojection with jets (examples/snavely.py;
     reference snavely_reprojection_error.h:53). cam/pt: lists of jets;
-    obs: plain planes. Returns (rx, ry) jets."""
+    obs: plain planes; valid: bool plane — inactive (masked/pad) lanes
+    get a benign z=1 divisor so their garbage stays FINITE (NaN would
+    survive the output mask: NaN*0=NaN and poison the lane reductions).
+    Active lanes keep the true divisor: a genuinely degenerate
+    observation must still produce non-finite values so the solver's
+    invalid-step handling sees it (residual_block_utils.h:64 role).
+    Returns (rx, ry) jets."""
     p = _aa_rotate_jets(cam[0:3], pt)
     p = [_jadd(p[i], cam[3 + i]) for i in range(3)]
-    xp = _jneg(_jdiv(p[0], p[2]))
-    yp = _jneg(_jdiv(p[1], p[2]))
+    z = _jwhere(valid, p[2], _jc(jnp.float32(1.0)))
+    xp = _jneg(_jdiv(p[0], z))
+    yp = _jneg(_jdiv(p[1], z))
     r2 = _jadd(_jmul(xp, xp), _jmul(yp, yp))
     distortion = _jshift(_jmul(r2, _jadd(cam[7], _jmul(cam[8], r2))),
                          jnp.float32(1.0))
@@ -237,7 +244,8 @@ def _lin_kernel(se_ref, sf_ref, xf_ref, xe_ref, oh_ref, mask_ref,
         cam.append(_jvar(plane, fo + a))
     pt = [_jvar(xe_ref[a, :][None, :], eo + a) for a in range(te)]
 
-    rx, ry = _snavely_residual_jets(cam, pt, obsx_ref[...], obsy_ref[...])
+    rx, ry = _snavely_residual_jets(cam, pt, obsx_ref[...], obsy_ref[...],
+                                    mask > 0.5)
 
     rvals, rcols = [], []
     for jet in (rx, ry):
@@ -350,12 +358,20 @@ def pallas_lin_supported(program, options, meta, explicit: bool,
     return True
 
 
+# Mosaic probe-compile results per kernel shape (process-wide): the same
+# shape never pays a second probe, and a rejected shape never re-probes.
+_PROBE_CACHE: dict = {}
+
+
 def make_pallas_lin(program, options, meta, tile: int = 512):
     """Returns lin(x, scale) -> dict with keys
     EtE [ne_pad, te, te], g_e [ne_pad, te], A_sT [te, kf*tf, ne_pad]
-    (scaled), Jf [ne_pad, k, 2, tf], rg [ne_pad, k, 2], oh_pad
-    [ne_pad, k, kf], ne_pad. All f32, chunk layout, pad rows masked to
-    zero."""
+    (scaled), Jf [ne_pad, k, 2, tf], rg [ne_pad, k, 2], oh_t
+    [kf, k, ne_pad], ne_pad — all f32, chunk layout, pad rows masked to
+    zero. Returns None when the kernel's VMEM blocks cannot fit at any
+    tile width or the Mosaic TPU compiler rejects the kernel (probed at
+    build time so BOTH the fused and host-loop paths fall back to the
+    generic lin phase cleanly)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..solvers.schur_fused import _slab_of
@@ -367,7 +383,24 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     e_slab = _slab_of(meta.e_cols)
     fpos = meta.f_global_cols[grp["cols"]].reshape(kf, tf)
     f_slab = _slab_of(fpos)
+
+    # VMEM fit: per-lane bytes across all blocks (in/out refs) plus a
+    # generous allowance for the live jet planes the kernel body keeps
+    # (~40 [k, tile] planes through the unrolled channel loops). Shrink
+    # the tile until the estimate fits a conservative VMEM budget; give
+    # up below the minimum lane tile.
+    per_lane = 4 * (kf * k                 # oh
+                    + 5 * k                # mask/obsx/obsy/rc
+                    + 2 * tf * k           # jf
+                    + 2 * te + te * te + te
+                    + te * kf * tf         # A_sT
+                    + 40 * k)              # jet-plane working set
+    budget = 6 * 1024 * 1024
     tile = min(tile, max(128, 1 << (ne - 1).bit_length()))
+    while tile > 128 and per_lane * tile > budget:
+        tile //= 2
+    if per_lane * tile > 2 * budget:
+        return None
     ne_pad = int(math.ceil(ne / tile) * tile)
     grid = ne_pad // tile
 
@@ -404,14 +437,6 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     oh_t = np.concatenate(
         [oh_np, np.zeros((kf, ne_pad - ne, k), np.float32)],
         axis=1).transpose(0, 2, 1)                      # [kf, k, ne_pad]
-    # oh_pad [ne_pad, k, kf] for the outside F^T one-hot einsums
-    oh_pad = np.ascontiguousarray(oh_t.transpose(2, 1, 0))
-    program.register_const("plin.mask_t", np.ascontiguousarray(mask_t))
-    program.register_const("plin.obsx_t", obsx_t)
-    program.register_const("plin.obsy_t", obsy_t)
-    program.register_const("plin.oh_t", np.ascontiguousarray(oh_t))
-    program.register_const("plin.oh_pad", oh_pad)
-
     interp = bool(os.environ.get("CERES_TPU_PALLAS_INTERPRET"))
     kern = functools.partial(_lin_kernel, te=te, tf=tf, kf=kf, k=k,
                              eo=eo, fo=fo)
@@ -450,16 +475,50 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         interpret=interp,
     )
 
+    # Probe-compile the kernel through the real Mosaic backend ONCE per
+    # shape: a front-end that traces fine can still be rejected by the
+    # TPU kernel compiler (layout/op support varies by generation), and
+    # the rejection must surface HERE — at build time, where both the
+    # fused and host-loop minimizers can fall back to the generic lin
+    # phase — not inside a compiled solve.
+    if not interp:
+        shape_key = (te, tf, kf, k, tile, ne_pad, jax.default_backend())
+        ok = _PROBE_CACHE.get(shape_key)
+        if ok is None:
+            try:
+                probe_args = [
+                    jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
+                    jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
+                    jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((kf, k, ne_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+                ]
+                jax.jit(call).lower(*probe_args).compile()
+                ok = True
+            except Exception as e:
+                import sys
+                print("ceres_tpu: pallas lin-phase kernel rejected by the "
+                      f"TPU kernel compiler ({type(e).__name__}); using "
+                      "the generic fused lin phase", file=sys.stderr)
+                ok = False
+            _PROBE_CACHE[shape_key] = ok
+        if not ok:
+            return None
+
+    program.register_const("plin.mask_t", np.ascontiguousarray(mask_t))
+    program.register_const("plin.obsx_t", obsx_t)
+    program.register_const("plin.obsy_t", obsy_t)
+    program.register_const("plin.oh_t", np.ascontiguousarray(oh_t))
+
     def lin(x, scale):
         xe = jax.lax.dynamic_slice(x, (e_slab,), (ne * te,)
                                    ).astype(jnp.float32)
+        # pad e-blocks (ne..ne_pad) are all-masked rows; the kernel's
+        # valid-lane divisor guard keeps their chain finite.
         xe_t = jnp.pad(xe.reshape(ne, te).T, ((0, 0), (0, ne_pad - ne)))
-        if ne_pad != ne:
-            # pad e-blocks carry a benign point (0, 0, -1): with the
-            # all-zero pad camera the projection chain stays FINITE
-            # (z=0 would divide by zero and 0*inf would poison the
-            # masked reductions with NaN).
-            xe_t = xe_t.at[te - 1, ne:].set(-1.0)
         xf = jax.lax.dynamic_slice(x, (f_slab,), (kf * tf,)
                                    ).astype(jnp.float32)
         se = jax.lax.dynamic_slice(scale, (e_slab,), (ne * te,)
@@ -478,7 +537,7 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
             "A_sT": a_st,
             "Jf": jf_t.transpose(2, 1, 0).reshape(ne_pad, k, 2, tf),
             "rg": rc_t.transpose(2, 1, 0),
-            "oh_pad": program.const("plin.oh_pad"),
+            "oh_t": program.const("plin.oh_t"),
             "s_e_t": se_t,
             "ne_pad": ne_pad,
         }

@@ -303,7 +303,10 @@ def make_fused_schur_lm_step(program, options, meta):
     from ..ops.pallas_lin import pallas_lin_supported, make_pallas_lin
     if pallas_lin_supported(program, options, meta, explicit, mixed,
                             f64_rhs):
+        # None when the VMEM fit or the Mosaic probe compile fails —
+        # the generic lin phase then serves both minimizer loops.
         plin = make_pallas_lin(program, options, meta)
+    if plin is not None:
         keep_chunks = False
 
     def _lin_phase(x, scale):
@@ -321,9 +324,9 @@ def make_fused_schur_lm_step(program, options, meta):
 
         out = plin(x, scale)
         EtE, g_e = out["EtE"], out["g_e"]        # [ne_pad, ...], pad rows 0
-        Jf, rg, oh = out["Jf"], out["rg"], out["oh_pad"]
-        FtF = _einsum("nkc,nktu->ctu", oh, _outer_rt(Jf, Jf))
-        g_f = _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf, rg))
+        Jf, rg, oh_t = out["Jf"], out["rg"], out["oh_t"]  # oh_t [kf,k,ne]
+        FtF = _einsum("ckn,nktu->ctu", oh_t, _outer_rt(Jf, Jf))
+        g_f = _einsum("ckn,nkt->ct", oh_t, _rvec_rt(Jf, rg))
 
         cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
         cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)

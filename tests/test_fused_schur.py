@@ -375,6 +375,58 @@ def test_pallas_lin_phase_matches_generic(bal, solver_name):
         assert rel < tol, (k, rel)
 
 
+def test_pallas_lin_masked_lane_degenerate_point():
+    """A point with world z == 0 observed fewer times than the chunk
+    width: its masked kernel lanes evaluate the projection with the
+    all-zero masked camera, giving p_z = 0 — without the valid-lane
+    divisor guard the resulting NaN survives the output mask (NaN*0)
+    and poisons EtE/g_e. The step must stay finite and match the
+    generic path."""
+    bal = synthetic_bal_problem(num_cameras=3, num_points=40,
+                                num_observations=100, seed=13,
+                                pixel_noise=0.5)
+    # force unequal per-point observation counts, then zero a sparse
+    # point's z: find a point with fewer-than-max observations
+    counts = np.bincount(bal.point_index, minlength=bal.num_points)
+    assert counts.min() < counts.max(), "need masked lanes"
+    j = int(np.argmin(counts))
+    bal.points[j] = np.array([0.3, 0.2, 0.0])
+    problem, _, _ = build_bal_ceres_problem(bal)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        use_mixed_precision_solves=True)
+    os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        program = CompiledProgram.get_cached(problem, options)
+        from ceres_tpu.solvers import schur_fused
+        from ceres_tpu.solvers.schur import detect_schur_structure
+        meta = detect_schur_structure(program, options)
+        step = schur_fused.make_fused_schur_lm_step(program, options, meta)
+        assert step.pallas_lin
+        x0 = program.initial_state()
+        radius = jnp.asarray(1e4, program.dtype)
+        ex = (program.example_x(), program.example_scalar(),
+              program.example_delta())
+        scale = solver_mod.make_scale_fn(program, options)(x0)
+        a = program.jit_with_consts(
+            solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                             scale)
+        os.environ["CERES_TPU_NO_PALLAS_LIN"] = "1"
+        try:
+            b = program.jit_with_consts(
+                solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                                 scale)
+        finally:
+            del os.environ["CERES_TPU_NO_PALLAS_LIN"]
+    finally:
+        del os.environ["CERES_TPU_PALLAS_INTERPRET"]
+    assert np.isfinite(np.asarray(a["delta"])).all()
+    for k in ["cost", "delta", "model_cost_change"]:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        rel = np.max(np.abs(va - vb)) / (np.max(np.abs(vb)) + 1e-300)
+        assert rel < 5e-4, (k, rel)
+
+
 def test_pallas_lin_phase_e2e_solve(bal):
     """End-to-end mixed-precision solve with the Pallas lin-phase on
     (interpret mode) matches the generic fused path's final cost."""
