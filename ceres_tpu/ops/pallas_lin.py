@@ -196,6 +196,54 @@ def _snavely_residual_jets(cam, pt, obs_x, obs_y, valid):
     return rx, ry
 
 
+def _correct_jets(jets, loss, valid):
+    """Triggs robust-loss correction of one residual block's jets
+    (loss.py correct_residuals_and_jacobian / reference corrector.cc on
+    [k, T] planes): r~ = residual_scaling * r,
+    J~ = sqrt(rho') (J - (alpha/||r||^2) r r^T J). The r r^T J term
+    creates channel fill-in (a row gains every channel any row has).
+    Inactive lanes get sq=0 (the simple branch) so pathological loss
+    curvature never produces non-finite values that would survive the
+    output mask."""
+    sq = None
+    for j in jets:
+        t = j.v * j.v
+        sq = t if sq is None else sq + t
+    sq = jnp.where(valid, sq, 0.0)
+    _, rho1, rho2 = loss.evaluate(sq)
+    sqrt_rho1 = jnp.sqrt(jnp.maximum(rho1, 0.0))
+    simple = (sq == 0.0) | (rho2 <= 0.0)
+    safe_sq = jnp.where(sq == 0.0, 1.0, sq)
+    safe_rho1 = jnp.where(rho1 == 0.0, 1.0, rho1)
+    D = 1.0 + 2.0 * sq * rho2 / safe_rho1
+    alpha = 1.0 - jnp.sqrt(jnp.maximum(D, 0.0))
+    rs = jnp.where(simple, sqrt_rho1, sqrt_rho1 / (1.0 - alpha))
+    asn = jnp.where(simple, 0.0, alpha / safe_sq)
+
+    chans = set()
+    for j in jets:
+        chans |= set(j.d)
+    rtj = {}
+    for c in chans:
+        acc = None
+        for j in jets:
+            if c in j.d:
+                t = j.v * _p(j.d[c])
+                acc = t if acc is None else acc + t
+        rtj[c] = acc
+    out = []
+    for j in jets:
+        d = {}
+        for c in chans:
+            corr = asn * j.v * rtj[c]
+            if c in j.d:
+                d[c] = sqrt_rho1 * (_p(j.d[c]) - corr)
+            else:
+                d[c] = -sqrt_rho1 * corr
+        out.append(_Jet(j.v * rs, d))
+    return out
+
+
 def _jet_planes(jet, mask, nt):
     """Dense [nt] list of masked partial planes + masked value plane."""
     cols = []
@@ -213,7 +261,7 @@ def _jet_planes(jet, mask, nt):
 def _lin_kernel(se_ref, sf_ref, xf_ref, xe_ref, oh_ref, mask_ref,
                 obsx_ref, obsy_ref,
                 ete_ref, ge_ref, a_ref, jf_ref, rc_ref,
-                *, te, tf, kf, k, eo, fo):
+                *, te, tf, kf, k, eo, fo, loss=None):
     """One e-block tile: jets -> EtE, g_e, scaled A, chunk Jf, chunk r.
 
     All refs hold planes with rows-on-lanes:
@@ -246,6 +294,8 @@ def _lin_kernel(se_ref, sf_ref, xf_ref, xe_ref, oh_ref, mask_ref,
 
     rx, ry = _snavely_residual_jets(cam, pt, obsx_ref[...], obsy_ref[...],
                                     mask > 0.5)
+    if loss is not None:
+        rx, ry = _correct_jets([rx, ry], loss, mask > 0.5)
 
     rvals, rcols = [], []
     for jet in (rx, ry):
@@ -328,7 +378,11 @@ def pallas_lin_supported(program, options, meta, explicit: bool,
     bk, bs = program.buckets[0], meta.buckets[0]
     if bs.e_slot is None or bs.f_cols is None or bs.chunk_rows is None:
         return False
-    if bk.loss is not None or getattr(bk, "loss_attrs", None):
+    # Uniform-scalar robust losses run inside the kernel (the Triggs
+    # corrector is plane math); per-row stacked loss parameters
+    # (loss_attrs) would need chunk-layout attr planes — not yet.
+    if getattr(bk, "loss_attrs", None) or getattr(bk, "loss_attr_consts",
+                                                  None):
         return False
     if bk.jac_mode != "ad":
         return False
@@ -438,8 +492,9 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         [oh_np, np.zeros((kf, ne_pad - ne, k), np.float32)],
         axis=1).transpose(0, 2, 1)                      # [kf, k, ne_pad]
     interp = bool(os.environ.get("CERES_TPU_PALLAS_INTERPRET"))
+    loss = program._bucket_loss(bk)     # uniform scalars (gate) or None
     kern = functools.partial(_lin_kernel, te=te, tf=tf, kf=kf, k=k,
-                             eo=eo, fo=fo)
+                             eo=eo, fo=fo, loss=loss)
 
     bspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                              memory_space=pltpu.VMEM)
@@ -482,7 +537,11 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     # fused and host-loop minimizers can fall back to the generic lin
     # phase — not inside a compiled solve.
     if not interp:
-        shape_key = (te, tf, kf, k, tile, ne_pad, jax.default_backend())
+        loss_key = (None if loss is None else
+                    (type(loss).__name__,
+                     tuple(sorted(vars(loss).items()))))
+        shape_key = (te, tf, kf, k, tile, ne_pad, loss_key,
+                     jax.default_backend())
         ok = _PROBE_CACHE.get(shape_key)
         if ok is None:
             try:

@@ -316,7 +316,7 @@ def make_fused_schur_lm_step(program, options, meta):
 
     def _lin_phase_pallas(x, scale):
         bk = program.buckets[0]
-        loss = program._bucket_loss(bk)          # None (support gate)
+        loss = program._bucket_loss(bk)   # uniform scalars or None (gate)
         r64 = program._bucket_residuals(bk, x)
         cost, _, _ = correct_residuals_and_jacobian(loss, r64, None)
         total_cost = jnp.asarray(program.fixed_cost,

@@ -375,6 +375,47 @@ def test_pallas_lin_phase_matches_generic(bal, solver_name):
         assert rel < tol, (k, rel)
 
 
+def test_pallas_lin_robust_loss_matches_generic(bal):
+    """Robust (Huber) loss runs INSIDE the lin-phase kernel via the
+    jet-plane Triggs corrector; step must match the generic fused path
+    (which applies loss.py correct_residuals_and_jacobian row-wise)."""
+    problem, _, _ = build_bal_ceres_problem(bal, loss=ct.HuberLoss(1.0))
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        use_mixed_precision_solves=True)
+    os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        program = CompiledProgram.get_cached(problem, options)
+        from ceres_tpu.solvers import schur_fused
+        from ceres_tpu.solvers.schur import detect_schur_structure
+        meta = detect_schur_structure(program, options)
+        step = schur_fused.make_fused_schur_lm_step(program, options, meta)
+        assert step.pallas_lin, "loss bucket rejected by pallas gate"
+        x0 = program.initial_state()
+        radius = jnp.asarray(1e4, program.dtype)
+        ex = (program.example_x(), program.example_scalar(),
+              program.example_delta())
+        scale = solver_mod.make_scale_fn(program, options)(x0)
+        a = program.jit_with_consts(
+            solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                             scale)
+        os.environ["CERES_TPU_NO_PALLAS_LIN"] = "1"
+        try:
+            b = program.jit_with_consts(
+                solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                                 scale)
+        finally:
+            del os.environ["CERES_TPU_NO_PALLAS_LIN"]
+    finally:
+        del os.environ["CERES_TPU_PALLAS_INTERPRET"]
+    for k in ["cost", "gradient_max_norm", "delta", "model_cost_change",
+              "step_norm"]:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        rel = np.max(np.abs(va - vb)) / (np.max(np.abs(vb)) + 1e-300)
+        tol = 5e-4 if k in ("delta", "step_norm") else 1e-5
+        assert rel < tol, (k, rel)
+
+
 def test_pallas_lin_masked_lane_degenerate_point():
     """A point with world z == 0 observed fewer times than the chunk
     width: its masked kernel lanes evaluate the projection with the
