@@ -95,12 +95,19 @@ def make_fused_tr_solve(program, options):
         # Jacobi scaling fixed at iteration 0 for the whole solve
         # (trust_region_minimizer.cc:261-277 jacobian_scaling_).
         scale0 = scale_impl(x0)
+        cost0 = program.cost_fn(x0)
         if split:
-            art0 = step_impl.linearize(x0, scale0)
-            cost0 = art0["cost"]
+            # Seed the carry with a ZERO art and relin=True: iteration 1
+            # then linearizes inside the loop's cond, so the lin-phase
+            # graph is traced exactly once. (An outside-the-loop
+            # linearize would be a second full copy of the biggest
+            # subgraph — XLA cannot CSE across the while_loop boundary —
+            # and measurably inflates the TPU compile.)
+            art0 = jax.tree_util.tree_map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype),
+                jax.eval_shape(step_impl.linearize, x0, scale0))
         else:
             art0 = None
-            cost0 = program.cost_fn(x0)
 
         def cond(s):
             return s["code"] == 0
@@ -219,7 +226,7 @@ def make_fused_tr_solve(program, options):
         }
         if split:
             init["art"] = art0
-            init["relin"] = jnp.asarray(False)
+            init["relin"] = jnp.asarray(True)
         s = jax.lax.while_loop(cond, body, init)
         stats = jnp.stack([
             s["cost"].astype(jnp.float64),
