@@ -339,21 +339,15 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 store.append(("f", Jf, None, oh))
         return cost_loc, EtE, g_e, FtF, g_f, A, store
 
-    def initial_scale(x, shards):
-        """Fixed iteration-0 Jacobi scaling
-        (trust_region_minimizer.cc:261-277): s_e shard-local [nloc, te],
-        s_f replicated [kf, tf]."""
-        (_, EtE, _, FtF_loc, _, _, _) = lm_pieces(x, shards)
-        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
-        cn_f = jax.lax.psum(
-            jnp.diagonal(FtF_loc, axis1=-2, axis2=-1), axis)
-        if use_jacobi_scaling:
-            return (1.0 / (1.0 + jnp.sqrt(cn_e)),
-                    1.0 / (1.0 + jnp.sqrt(cn_f)))
-        return jnp.ones_like(cn_e), jnp.ones_like(cn_f)
+    def solve_body(x, radius, shards, s_e, s_f, first):
+        """One LM linearize+step; all-replicated outputs except delta_e.
 
-    def solve_body(x, radius, shards, s_e, s_f):
-        """One LM linearize+step; all-replicated outputs except delta_e."""
+        The fixed iteration-0 Jacobi scaling
+        (trust_region_minimizer.cc:261-277) is derived INSIDE the first
+        body iteration from its own Gram diagonals (`first`) and carried
+        thereafter — a separate scale pass at x0 would trace a second
+        copy of the linearize graph outside the while_loop, which XLA
+        cannot CSE across the loop boundary."""
         (cost_loc, EtE, g_e, FtF_loc, g_f_loc, A, store) = lm_pieces(
             x, shards)
         ge_max_loc = jnp.max(jnp.abs(g_e)) if g_e.size else \
@@ -367,6 +361,9 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
 
         cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
         cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)
+        if use_jacobi_scaling:
+            s_e = jnp.where(first, 1.0 / (1.0 + jnp.sqrt(cn_e)), s_e)
+            s_f = jnp.where(first, 1.0 / (1.0 + jnp.sqrt(cn_f)), s_f)
         diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
         diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
         rad = radius.astype(work_dtype)
@@ -480,20 +477,21 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                              ).astype(dtype)
         return dict(cost=cost, delta=delta, mcc=mcc.astype(dtype),
                     grad_max=grad_max, grad_norm=grad_norm,
-                    step_norm=step_norm, lin_iters=lin_iters)
+                    step_norm=step_norm, lin_iters=lin_iters,
+                    s_e=s_e, s_f=s_f)
 
     lm_strategy = True  # sharded fused path is LM-only
 
     def solve(x0, shards):
         cost0 = jax.lax.psum(local_cost(x0, shards), axis) \
             + program.fixed_cost
-        s_e0, s_f0 = initial_scale(x0, shards)
 
         def cond(s):
             return s["code"] == 0
 
         def body(s):
-            out = solve_body(s["x"], s["radius"], shards, s_e0, s_f0)
+            out = solve_body(s["x"], s["radius"], shards, s["s_e"],
+                             s["s_f"], s["iter"] == 0)
             cost = out["cost"]
             mcc = out["mcc"]
             step_norm = out["step_norm"]
@@ -551,6 +549,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 "grad_max": grad_max,
                 "lin_iters": s["lin_iters"]
                 + out["lin_iters"].astype(jnp.int32),
+                "s_e": out["s_e"], "s_f": out["s_f"],
             }
 
         init = {
@@ -567,6 +566,11 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
             "bad_steps": jnp.asarray(0, jnp.int32),
             "grad_max": jnp.asarray(jnp.inf, dtype=dtype),
             "lin_iters": jnp.asarray(0, jnp.int32),
+            # placeholder; iteration 0 derives the real scale (see
+            # solve_body) — ones are also the final value when Jacobi
+            # scaling is disabled.
+            "s_e": jnp.ones((ne_pad // num_shards, te), work_dtype),
+            "s_f": jnp.ones((kf, tf), work_dtype),
         }
         s = jax.lax.while_loop(cond, body, init)
         return ShardedFusedResult(
