@@ -92,9 +92,6 @@ def make_fused_tr_solve(program, options):
     split = bool(getattr(step_impl, "split_ok", False))
 
     def solve(x0):
-        # Jacobi scaling fixed at iteration 0 for the whole solve
-        # (trust_region_minimizer.cc:261-277 jacobian_scaling_).
-        scale0 = scale_impl(x0)
         cost0 = program.cost_fn(x0)
         if split:
             # Seed the carry with a ZERO art and relin=True: iteration 1
@@ -102,11 +99,21 @@ def make_fused_tr_solve(program, options):
             # graph is traced exactly once. (An outside-the-loop
             # linearize would be a second full copy of the biggest
             # subgraph — XLA cannot CSE across the while_loop boundary —
-            # and measurably inflates the TPU compile.)
+            # and measurably inflates the TPU compile.) The iteration-0
+            # Jacobi scaling (trust_region_minimizer.cc:261-277) is
+            # likewise derived INSIDE the first linearize from its own
+            # Gram diagonals and carried via art["s_e"]/["s_f"] — a
+            # scale pass at x0 would be yet another linearize copy.
+            scale0 = None
+            se_sd, sf_sd = step_impl.scale_carry_example
             art0 = jax.tree_util.tree_map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype),
-                jax.eval_shape(step_impl.linearize, x0, scale0))
+                jax.eval_shape(step_impl.linearize_carry, x0,
+                               se_sd, sf_sd,
+                               jax.ShapeDtypeStruct((), jnp.bool_)))
         else:
+            # Jacobi scaling fixed at iteration 0 for the whole solve.
+            scale0 = scale_impl(x0)
             art0 = None
 
         def cond(s):
@@ -116,7 +123,9 @@ def make_fused_tr_solve(program, options):
             if split:
                 art = jax.lax.cond(
                     s["relin"],
-                    lambda _: step_impl.linearize(s["x"], scale0),
+                    lambda _: step_impl.linearize_carry(
+                        s["x"], s["art"]["s_e"], s["art"]["s_f"],
+                        s["iter"] == 0),
                     lambda _: s["art"],
                     operand=None)
                 out = step_impl.solve_from(art, s["radius"])

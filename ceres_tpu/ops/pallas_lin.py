@@ -258,24 +258,24 @@ def _jet_planes(jet, mask, nt):
 # ----------------------------------------------------------------------
 # Kernel
 
-def _lin_kernel(se_ref, sf_ref, xf_ref, xe_ref, oh_ref, mask_ref,
+def _lin_kernel(xf_ref, xe_ref, oh_ref, mask_ref,
                 obsx_ref, obsy_ref,
                 ete_ref, ge_ref, a_ref, jf_ref, rc_ref,
                 *, te, tf, kf, k, eo, fo, loss=None):
-    """One e-block tile: jets -> EtE, g_e, scaled A, chunk Jf, chunk r.
+    """One e-block tile: jets -> EtE, g_e, cross A, chunk Jf, chunk r.
 
     All refs hold planes with rows-on-lanes:
-      se  [te, T]      e-scale columns (VMEM)
-      sf  [kf*tf]      f-scale (SMEM scalars)
       xf  [kf*tf]      camera parameter values (SMEM scalars)
       xe  [te, T]      point parameter values
       oh  [kf, k, T]   one-hot camera membership (masked)
       mask [k, T]
       obsx/obsy [k, T]
-    outs:
-      ete [te*te, T]   unscaled E^T E (row-major a*te+b)
-      ge  [te, T]      unscaled e gradient
-      a   [te, kf*tf, T]  SCALED cross tensor A_s^T
+    outs (ALL unscaled — Jacobi scaling is a rank-1 congruence applied
+    by the caller, so the iteration-0 scale can be derived from these
+    Gram diagonals without a separate linearize):
+      ete [te*te, T]   E^T E (row-major a*te+b)
+      ge  [te, T]      e gradient
+      a   [te, kf*tf, T]  cross tensor A^T
       jf  [2*tf, k, T] chunk-layout masked Jf (row-major r*tf+t)
       rc  [2, k, T]    chunk-layout masked residuals
     """
@@ -336,7 +336,8 @@ def _lin_kernel(se_ref, sf_ref, xf_ref, xe_ref, oh_ref, mask_ref,
             if b != a:
                 ete_ref[b * te + a, :] = plane
 
-    # scaled A^T: A[a, c*tf+t, :] = s_e[a] * s_f[c,t] * sum_k oh[c]*Ge[a,t]
+    # A^T: A[a, c*tf+t, :] = sum_k oh[c] * Ge[a,t]
+    zero = jnp.zeros_like(mask[0])
     ge_planes = {}
     for a in range(te):
         for t in range(tf):
@@ -352,14 +353,12 @@ def _lin_kernel(se_ref, sf_ref, xf_ref, xe_ref, oh_ref, mask_ref,
     for c in range(kf):
         ohc = oh_ref[c]                                # [k, T]
         for a in range(te):
-            se_a = se_ref[a, :]
             for t in range(tf):
                 gp = ge_planes[(a, t)]
                 if gp is None:
-                    a_ref[a, c * tf + t, :] = jnp.zeros_like(se_a)
+                    a_ref[a, c * tf + t, :] = zero
                     continue
-                plane = (gp * ohc).sum(axis=0)
-                a_ref[a, c * tf + t, :] = plane * se_a * sf_ref[c * tf + t]
+                a_ref[a, c * tf + t, :] = (gp * ohc).sum(axis=0)
 
 
 def pallas_lin_supported(program, options, meta, explicit: bool,
@@ -504,8 +503,6 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         kern,
         grid=(grid,),
         in_specs=[
-            bspec((te, tile), lambda i: (0, i)),            # se
-            smem((kf * tf,)),                               # sf
             smem((kf * tf,)),                               # xf
             bspec((te, tile), lambda i: (0, i)),            # xe
             bspec((kf, k, tile), lambda i: (0, 0, i)),      # oh
@@ -516,7 +513,7 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         out_specs=[
             bspec((te * te, tile), lambda i: (0, i)),       # ete
             bspec((te, tile), lambda i: (0, i)),            # ge
-            bspec((te, kf * tf, tile), lambda i: (0, 0, i)),  # A_sT
+            bspec((te, kf * tf, tile), lambda i: (0, 0, i)),  # A^T
             bspec((2 * tf, k, tile), lambda i: (0, 0, i)),  # jf
             bspec((2, k, tile), lambda i: (0, 0, i)),       # rc
         ],
@@ -546,8 +543,6 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         if ok is None:
             try:
                 probe_args = [
-                    jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
-                    jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
                     jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
                     jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
                     jax.ShapeDtypeStruct((kf, k, ne_pad), jnp.float32),
@@ -572,7 +567,7 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     program.register_const("plin.obsy_t", obsy_t)
     program.register_const("plin.oh_t", np.ascontiguousarray(oh_t))
 
-    def lin(x, scale):
+    def lin(x):
         xe = jax.lax.dynamic_slice(x, (e_slab,), (ne * te,)
                                    ).astype(jnp.float32)
         # pad e-blocks (ne..ne_pad) are all-masked rows; the kernel's
@@ -580,24 +575,17 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         xe_t = jnp.pad(xe.reshape(ne, te).T, ((0, 0), (0, ne_pad - ne)))
         xf = jax.lax.dynamic_slice(x, (f_slab,), (kf * tf,)
                                    ).astype(jnp.float32)
-        se = jax.lax.dynamic_slice(scale, (e_slab,), (ne * te,)
-                                   ).astype(jnp.float32)
-        se_t = jnp.pad(se.reshape(ne, te).T, ((0, 0), (0, ne_pad - ne)),
-                       constant_values=1.0)
-        sf = jax.lax.dynamic_slice(scale, (f_slab,), (kf * tf,)
-                                   ).astype(jnp.float32)
-        ete_t, ge_t, a_st, jf_t, rc_t = call(
-            se_t, sf, xf, xe_t,
+        ete_t, ge_t, a_t, jf_t, rc_t = call(
+            xf, xe_t,
             program.const("plin.oh_t"), program.const("plin.mask_t"),
             program.const("plin.obsx_t"), program.const("plin.obsy_t"))
         return {
             "EtE": ete_t.T.reshape(ne_pad, te, te),
             "g_e": ge_t.T,
-            "A_sT": a_st,
+            "A_T": a_t,                  # UNSCALED [te, kf*tf, ne_pad]
             "Jf": jf_t.transpose(2, 1, 0).reshape(ne_pad, k, 2, tf),
             "rg": rc_t.transpose(2, 1, 0),
             "oh_t": program.const("plin.oh_t"),
-            "s_e_t": se_t,
             "ne_pad": ne_pad,
         }
 

@@ -309,12 +309,52 @@ def make_fused_schur_lm_step(program, options, meta):
     if plin is not None:
         keep_chunks = False
 
-    def _lin_phase(x, scale):
-        if plin is not None:
-            return _lin_phase_pallas(x, scale)
-        return _lin_phase_generic(x, scale)
+    use_jacobi_scaling = options.jacobi_scaling
 
-    def _lin_phase_pallas(x, scale):
+    def _split_scale(scale):
+        """Full tangent scale vector -> (s_e [ne, te], s_f [kf, tf])."""
+        scale_w = scale.astype(work_dtype)
+        if e_slab is not None:
+            s_e = jax.lax.dynamic_slice(scale_w, (e_slab,),
+                                        (ne * te,)).reshape(ne, te)
+        else:
+            s_e = scale_w[meta.c("e_cols", meta.e_cols)]
+        if f_slab is not None:
+            s_f = jax.lax.dynamic_slice(scale_w, (f_slab,),
+                                        (kf * tf,)).reshape(kf, tf)
+        else:
+            s_f = scale_w[program.const("schur.fused.fpos")].reshape(kf, tf)
+        return s_e, s_f
+
+    def _resolve_scale(cn_e, cn_f, s_e_in, s_f_in, first):
+        """Iteration-0 Jacobi scaling from THIS linearization's Gram
+        diagonals (the column norms), carried thereafter — deriving it
+        here keeps the fused program at ONE copy of the linearize graph
+        (a separate scale pass cannot be CSE'd into the while_loop).
+        first=None means 'use the given scale' (host-loop contract,
+        where the minimizer computed the scale at x0 itself)."""
+        if first is None:
+            return s_e_in, s_f_in
+        if not use_jacobi_scaling:
+            return jnp.ones_like(cn_e), jnp.ones_like(cn_f)
+        s_e = jnp.where(first, 1.0 / (1.0 + jnp.sqrt(cn_e)), s_e_in)
+        s_f = jnp.where(first, 1.0 / (1.0 + jnp.sqrt(cn_f)), s_f_in)
+        return s_e, s_f
+
+    def _lin_phase(x, scale):
+        s_e, s_f = _split_scale(scale)
+        if plin is not None:
+            s_e = jnp.pad(s_e, ((0, plin.ne_pad - ne), (0, 0)),
+                          constant_values=1.0)
+            return _lin_phase_pallas(x, s_e, s_f, None)
+        return _lin_phase_generic(x, s_e, s_f, None)
+
+    def _lin_phase_carry(x, s_e, s_f, first):
+        if plin is not None:
+            return _lin_phase_pallas(x, s_e, s_f, first)
+        return _lin_phase_generic(x, s_e, s_f, first)
+
+    def _lin_phase_pallas(x, s_e_in, s_f_in, first):
         bk = program.buckets[0]
         loss = program._bucket_loss(bk)   # uniform scalars or None (gate)
         r64 = program._bucket_residuals(bk, x)
@@ -322,23 +362,21 @@ def make_fused_schur_lm_step(program, options, meta):
         total_cost = jnp.asarray(program.fixed_cost,
                                  dtype=dtype) + jnp.sum(cost)
 
-        out = plin(x, scale)
+        out = plin(x)
         EtE, g_e = out["EtE"], out["g_e"]        # [ne_pad, ...], pad rows 0
         Jf, rg, oh_t = out["Jf"], out["rg"], out["oh_t"]  # oh_t [kf,k,ne]
         FtF = _einsum("ckn,nktu->ctu", oh_t, _outer_rt(Jf, Jf))
         g_f = _einsum("ckn,nkt->ct", oh_t, _rvec_rt(Jf, rg))
 
-        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
+        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)  # pad rows 0 -> s=1
         cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)
-        s_e = out["s_e_t"].T                     # [ne_pad, te] (pad 1.0)
-        s_f = jax.lax.dynamic_slice(
-            scale.astype(work_dtype), (f_slab,),
-            (kf * tf,)).reshape(kf, tf)
+        s_e, s_f = _resolve_scale(cn_e, cn_f, s_e_in, s_f_in, first)
         diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
         diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
         EtE_s = EtE * (s_e[:, :, None] * s_e[:, None, :])
         FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
         sA = s_f.reshape(kf * tf)
+        A_sT = out["A_T"] * s_e.T[:, None, :] * sA[None, :, None]
         g_se = g_e * s_e
         g_sf = (g_f * s_f).reshape(kf * tf)
 
@@ -349,7 +387,7 @@ def make_fused_schur_lm_step(program, options, meta):
                              + jnp.vdot(g_f_flat, g_f_flat)).astype(dtype)
 
         art = dict(cost=total_cost, EtE_s=EtE_s, FtF_s=FtF_s, A_s=None,
-                   A_sT=out["A_sT"], g_se=g_se, g_sf=g_sf, s_e=s_e,
+                   A_sT=A_sT, g_se=g_se, g_sf=g_sf, s_e=s_e,
                    s_f=s_f, sA=sA, diag_e=diag_e, diag_f=diag_f,
                    grad_max=grad_max, grad_norm=grad_norm)
         if program.has_bounds:
@@ -360,7 +398,7 @@ def make_fused_schur_lm_step(program, options, meta):
             art["grad_full"] = grad.astype(dtype)
         return art
 
-    def _lin_phase_generic(x, scale):
+    def _lin_phase_generic(x, s_e_in, s_f_in, first):
         total_cost = jnp.asarray(program.fixed_cost, dtype=dtype)
 
         EtE = jnp.zeros((ne, te, te), dtype=work_dtype)
@@ -474,22 +512,13 @@ def make_fused_schur_lm_step(program, options, meta):
                 chunk_store.append(("f", Jf, None, oh, plan))
 
         # ---- column norms ARE the Gram diagonals ----
+        # Fixed iteration-0 Jacobi scaling
+        # (trust_region_minimizer.cc:261-277), given by the host-loop
+        # minimizer (first=None) or derived here on the fused loop's
+        # first iteration.
         cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)     # [ne, te]
         cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)     # [kf, tf]
-        # Fixed iteration-0 Jacobi scaling, passed in by the minimizer
-        # (reference trust_region_minimizer.cc:261-277), split into the
-        # e/f block layouts.
-        scale_w = scale.astype(work_dtype)
-        if e_slab is not None:
-            s_e = jax.lax.dynamic_slice(scale_w, (e_slab,),
-                                        (ne * te,)).reshape(ne, te)
-        else:
-            s_e = scale_w[meta.c("e_cols", meta.e_cols)]
-        if f_slab is not None:
-            s_f = jax.lax.dynamic_slice(scale_w, (f_slab,),
-                                        (kf * tf,)).reshape(kf, tf)
-        else:
-            s_f = scale_w[program.const("schur.fused.fpos")].reshape(kf, tf)
+        s_e, s_f = _resolve_scale(cn_e, cn_f, s_e_in, s_f_in, first)
 
         # ---- scale the small tensors (radius-independent) ----
         # scaled Gram = diag(s) G diag(s); scaled col norm = s^2 cn.
@@ -778,6 +807,11 @@ def make_fused_schur_lm_step(program, options, meta):
     lm_step.split_ok = explicit and mixed and (not iterative
                                                or plin is not None)
     lm_step.linearize = _lin_phase
+    lm_step.linearize_carry = _lin_phase_carry
+    ne_carry = plin.ne_pad if plin is not None else ne
+    lm_step.scale_carry_example = (
+        jax.ShapeDtypeStruct((ne_carry, te), work_dtype),
+        jax.ShapeDtypeStruct((kf, tf), work_dtype))
     lm_step.solve_from = _solve_phase
     lm_step.pallas_lin = plin is not None
 
