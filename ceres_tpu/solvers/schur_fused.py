@@ -102,6 +102,15 @@ def fused_schur_supported(program, options, meta) -> bool:
     if meta is None or len(meta.f_groups) != 1:
         return False
     grp = meta.f_groups[0]
+    # The implicit (matrix-free) mode never materializes the [n, kf]
+    # one-hots — it runs camera-chunk gather+sum reductions instead — so
+    # the one-hot viability cap only gates the EXPLICIT mode. This is
+    # what lets the fused path cover the production large-camera regime
+    # (e.g. 1024 cams x 1M observations, where n*kf ~ 1e9).
+    will_be_implicit = (
+        options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR
+        and (not _explicit_viable(meta)
+             or bool(os.environ.get("CERES_TPU_FORCE_IMPLICIT"))))
     for bi, bs in enumerate(meta.buckets):
         if bs.e_slot is not None:
             if bs.chunk_rows is None:
@@ -112,15 +121,17 @@ def fused_schur_supported(program, options, meta) -> bool:
             slots_here = [s for s in grp["slots"] if s[0] == bi]
             if len(slots_here) != 1:
                 return False
-            if meta._build_onehot(0, bi, slots_here[0][1], slots_here[0][2],
-                                  grp["kf"]) is None:
+            if not will_be_implicit and meta._build_onehot(
+                    0, bi, slots_here[0][1], slots_here[0][2],
+                    grp["kf"]) is None:
                 return False
         elif bs.f_cols is not None:
             slots_here = [s for s in grp["slots"] if s[0] == bi]
             if len(slots_here) != 1:
                 return False
-            if meta._build_onehot(0, bi, slots_here[0][1], slots_here[0][2],
-                                  grp["kf"]) is None:
+            if not will_be_implicit and meta._build_onehot(
+                    0, bi, slots_here[0][1], slots_here[0][2],
+                    grp["kf"]) is None:
                 return False
     if options.linear_solver_type in (LinearSolverType.DENSE_SCHUR,
                                       LinearSolverType.SPARSE_SCHUR):
@@ -467,48 +478,90 @@ def make_fused_schur_lm_step(program, options, meta):
                 fo, ftw = plan["slot_off"][plan["f_si"]]
                 Je = Jg[..., eo:eo + te]                 # [ne,k,rr,te]
                 Jf = Jg[..., fo:fo + ftw]                # [ne,k,rr,tf]
-                _, oh = meta.grouped_fslot(0, bi, plan["f_si"],
-                                           plan["local"])
-                oh = oh.astype(work_dtype)               # [ne,k,kf]
 
                 EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
                 Gf = _outer_rt(Jf, Jf)                   # [ne,k,tf,tf]
-                FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
                 if explicit:
+                    _, oh = meta.grouped_fslot(0, bi, plan["f_si"],
+                                               plan["local"])
+                    oh = oh.astype(work_dtype)           # [ne,k,kf]
+                    FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
                     Ge = _outer_rt(Je, Jf)               # [ne,k,te,tf]
                     # A: contraction over k (chunk width) — broadcast sum
                     # to [ne, te, kf, tf] then flatten block-major.
                     A = A + jnp.sum(oh[:, :, None, :, None]
                                     * Ge[:, :, :, None, :],
                                     axis=1).reshape(ne, te, kf * tf)
+                else:
+                    # Implicit mode: one-hot-free camera-chunk reduction
+                    # (the [ne*k, kf] one-hot is unaffordable in the
+                    # large-camera regime this mode exists for). Trailing
+                    # dims are flattened before the gather — the TPU
+                    # gather over tiny trailing dims runs row-by-row.
+                    oh = None
+                    camr = program.const(f"schur.fused.cam{bi}.rows")
+                    camm = program.const(f"schur.fused.cam{bi}.mask"
+                                         ).astype(work_dtype)
+                    FtF = FtF + jnp.sum(
+                        Gf.reshape(-1, ftw * ftw)[camr]
+                        * camm[..., None], axis=1).reshape(kf, ftw, ftw)
                 if f64_rhs:
                     mask64 = mask.astype(dtype)
                     Jg64 = _chunk_gather(Jc64, rows, mask64)
                     rg64 = _chunk_gather(rc64, rows, mask64)
                     g_e = g_e + jnp.sum(
                         _rvec_rt(Jg64[..., eo:eo + te], rg64), axis=1)
-                    g_f = g_f + _einsum(
-                        "nkc,nkt->ct", oh.astype(dtype),
-                        _rvec_rt(Jg64[..., fo:fo + ftw], rg64))
+                    gf64 = _rvec_rt(Jg64[..., fo:fo + ftw], rg64)
+                    if explicit:
+                        g_f = g_f + _einsum("nkc,nkt->ct",
+                                            oh.astype(dtype), gf64)
+                    else:
+                        g_f = g_f + jnp.sum(
+                            gf64.reshape(-1, ftw)[camr]
+                            * camm.astype(dtype)[..., None], axis=1)
                 else:
                     g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
-                    g_f = g_f + _einsum("nkc,nkt->ct", oh,
-                                        _rvec_rt(Jf, rg))
+                    gfc = _rvec_rt(Jf, rg)
+                    if explicit:
+                        g_f = g_f + _einsum("nkc,nkt->ct", oh, gfc)
+                    else:
+                        g_f = g_f + jnp.sum(
+                            gfc.reshape(-1, ftw)[camr]
+                            * camm[..., None], axis=1)
                 chunk_store.append(("e", Je, Jf, oh, plan))
             elif bs.f_cols is not None:
                 # ---- f-only bucket: block-diagonal + gradient ----
                 fo, ftw = plan["slot_off"][plan["f_si"]]
                 Jf = Jc[..., fo:fo + ftw]                # [n, rr, tf]
-                oh = meta.onehot(0, bi, plan["f_si"], plan["local"],
-                                 kf).astype(work_dtype)
                 G = _outer_rt(Jf, Jf)                    # [n,tf,tf]
-                FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
-                if f64_rhs:
-                    g_f = g_f + _einsum(
-                        "nc,nt->ct", oh.astype(dtype),
-                        _rvec_rt(Jc64[..., fo:fo + ftw], rc64))
+                if explicit:
+                    oh = meta.onehot(0, bi, plan["f_si"], plan["local"],
+                                     kf).astype(work_dtype)
+                    FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
                 else:
-                    g_f = g_f + _einsum("nc,nt->ct", oh, _rvec_rt(Jf, rc))
+                    oh = None
+                    camr = program.const(f"schur.fused.cam{bi}.rows")
+                    camm = program.const(f"schur.fused.cam{bi}.mask"
+                                         ).astype(work_dtype)
+                    FtF = FtF + jnp.sum(
+                        G.reshape(-1, ftw * ftw)[camr]
+                        * camm[..., None], axis=1).reshape(kf, ftw, ftw)
+                if f64_rhs:
+                    gf64 = _rvec_rt(Jc64[..., fo:fo + ftw], rc64)
+                    if explicit:
+                        g_f = g_f + _einsum("nc,nt->ct",
+                                            oh.astype(dtype), gf64)
+                    else:
+                        g_f = g_f + jnp.sum(
+                            gf64[camr] * camm.astype(dtype)[..., None],
+                            axis=1)
+                else:
+                    gfc = _rvec_rt(Jf, rc)
+                    if explicit:
+                        g_f = g_f + _einsum("nc,nt->ct", oh, gfc)
+                    else:
+                        g_f = g_f + jnp.sum(gfc[camr] * camm[..., None],
+                                            axis=1)
                 chunk_store.append(("f", Jf, None, oh, plan))
 
         # ---- column norms ARE the Gram diagonals ----
@@ -758,13 +811,24 @@ def make_fused_schur_lm_step(program, options, meta):
             Jd_sq = jnp.asarray(0.0, dtype=work_dtype)
             for kind, Ja, Jb, oh, _plan in chunk_store:
                 if kind == "e":
-                    dfb = _einsum("nkc,ct->nkt", oh, dw_fb)
+                    if oh is None:      # implicit mode: row-take by f id
+                        fids = meta.grouped_loc(0, _plan["bi"],
+                                                _plan["f_si"],
+                                                _plan["local"])
+                        dfb = dw_fb[fids]                # [ne,k,tf]
+                    else:
+                        dfb = _einsum("nkc,ct->nkt", oh, dw_fb)
                     Jd = _einsum("nkrt,nt->nkr", Ja, dw_e) \
                         + _einsum("nkrt,nkt->nkr", Jb, dfb)
                 elif kind == "e0":
                     Jd = _einsum("nkrt,nt->nkr", Ja, dw_e)
                 else:
-                    dfb = _einsum("nc,ct->nt", oh, dw_fb)
+                    if oh is None:
+                        fids = program.const(
+                            f"schur.fused.fids{_plan['bi']}")
+                        dfb = dw_fb[fids]                # [n,tf]
+                    else:
+                        dfb = _einsum("nc,ct->nt", oh, dw_fb)
                     Jd = _einsum("nrt,nt->nr", Ja, dfb)
                 Jd_sq = Jd_sq + jnp.vdot(Jd, Jd)
         mcc = -(d_dot_g + 0.5 * Jd_sq)
