@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -48,7 +49,11 @@ def sharded_fused_supported(program, options, meta) -> bool:
     from ..solvers.schur_fused import fused_schur_supported
     if not fused_schur_supported(program, options, meta):
         return False
-    # the sharded path materializes A shard-local (explicit mode only)
+    if options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR:
+        # always coverable: shard-local explicit A when it fits, the
+        # matrix-free implicit apply (one psum per CG iteration) beyond
+        return True
+    # direct reduced solve: A is materialized shard-local
     from ..solvers.schur_fused import _explicit_viable
     if not _explicit_viable(meta):
         num = len(jax.devices())
@@ -57,13 +62,62 @@ def sharded_fused_supported(program, options, meta) -> bool:
     return True
 
 
-def build_chunk_shards(program, meta, num_shards: int):
+def _sharded_explicit_viable(meta, num_shards: int) -> bool:
+    """Shard-local A [ne/P, te, nf] + replicated dense S affordable?"""
+    return (meta.nf <= 4096
+            and meta.ne * meta.te * meta.nf <= 1.5e8 * max(num_shards, 1))
+
+
+def _cam_chunks_per_shard(fids, mask, kf: int, num_shards: int):
+    """Per-shard camera-chunk index layout for the implicit reductions.
+
+    fids/mask: [N, ...] padded so num_shards divides N (e-buckets
+    [ne_pad, k], f-only buckets [n_pad]). Returns (rows, cmask) of shape
+    [num_shards * kf, kc]: under a P(axis) in_spec each device sees its
+    own [kf, kc] block of flat positions into ITS shard-local row space
+    (size (N/num_shards) * k). Padded lanes point at position 0 with
+    mask 0 (their contribution is zeroed by the row mask anyway)."""
+    fids = np.asarray(fids)
+    mask = np.asarray(mask)
+    N = fids.shape[0]
+    nloc = N // num_shards
+    per = []
+    kc = 1
+    for s in range(num_shards):
+        f = fids[s * nloc:(s + 1) * nloc].reshape(-1)
+        m = mask[s * nloc:(s + 1) * nloc].reshape(-1) > 0
+        idx = np.nonzero(m)[0]
+        cams = f[idx].astype(np.int64)
+        counts = np.bincount(cams, minlength=kf)
+        if counts.size:
+            kc = max(kc, int(counts.max()))
+        per.append((idx, cams, counts))
+    rows = np.zeros((num_shards, kf, kc), np.int32)
+    cmask = np.zeros((num_shards, kf, kc), np.float32)
+    for s, (idx, cams, counts) in enumerate(per):
+        if not len(cams):
+            continue
+        order = np.argsort(cams, kind="stable")
+        starts = np.zeros(kf, np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        rank = np.arange(len(cams), dtype=np.int64) - starts[cams[order]]
+        rows[s, cams[order], rank] = idx[order].astype(np.int32)
+        cmask[s, cams[order], rank] = 1.0
+    return (rows.reshape(num_shards * kf, kc),
+            cmask.reshape(num_shards * kf, kc))
+
+
+def build_chunk_shards(program, meta, num_shards: int,
+                       cam_chunks: bool = False):
     """Host-side: per-bucket row data re-laid in chunk order and padded so
     the e-block axis divides the shard count.
 
     Returns (shards, ne_pad): `shards` is a list (one entry per bucket) of
     dicts of numpy arrays whose LEADING axis is the shardable one —
     [ne_pad, k, ...] for e-buckets, [n_pad, ...] for f-only buckets.
+    cam_chunks=True (implicit mode) adds per-shard camera-chunk index
+    layouts ("cam_rows"/"cam_mask", [num_shards*kf, kc]) for the
+    matrix-free F^T reductions.
     """
     ne = meta.ne
     ne_pad = int(math.ceil(max(ne, 1) / num_shards) * num_shards)
@@ -140,6 +194,10 @@ def build_chunk_shards(program, meta, num_shards: int):
             if getattr(bk, "loss_attrs", None):
                 entry["loss_attrs"] = {kk: padded(v)
                                        for kk, v in bk.loss_attrs.items()}
+        if cam_chunks and "f_ids" in entry:
+            kf = meta.f_groups[0]["kf"]
+            entry["cam_rows"], entry["cam_mask"] = _cam_chunks_per_shard(
+                entry["f_ids"], entry["mask"], kf, num_shards)
         shards.append(entry)
     return shards, ne_pad
 
@@ -167,14 +225,25 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
     e-block data axis, collectives reducing over both (ICI within a host,
     DCN across; XLA picks the hierarchical reduction)."""
     from ..solvers.schur_fused import (_spd_inv_small, _spd_solve_dense,
-                                       _slab_of, _block_precond)
+                                       _slab_of, _block_precond,
+                                       _precond_from_blocks,
+                                       _outer_rt, _rvec_rt)
 
     if axis is None:
         axis = tuple(mesh.axis_names)
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
     axis = axes if len(axes) > 1 else axes[0]
     num_shards = int(np.prod([mesh.shape[a] for a in axes]))
-    shards_np, ne_pad = build_chunk_shards(program, meta, num_shards)
+    # explicit: shard-local A [ne/P, te, nf] + replicated dense S;
+    # implicit (the large-camera regime): matrix-free CG over the
+    # shard-local chunk tensors, one psum per CG application.
+    iterative_ = (options.linear_solver_type
+                  == LinearSolverType.ITERATIVE_SCHUR)
+    explicit = (not iterative_) or (
+        _sharded_explicit_viable(meta, num_shards)
+        and not os.environ.get("CERES_TPU_FORCE_IMPLICIT"))
+    shards_np, ne_pad = build_chunk_shards(program, meta, num_shards,
+                                           cam_chunks=not explicit)
 
     dtype = program.dtype
     mixed = options.use_mixed_precision_solves
@@ -262,7 +331,8 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
         g_e = jnp.zeros((nloc_e, te), dtype=work_dtype)
         FtF = jnp.zeros((kf, tf, tf), dtype=work_dtype)
         g_f = jnp.zeros((kf, tf), dtype=work_dtype)
-        A = jnp.zeros((nloc_e, te, kf * tf), dtype=work_dtype)
+        A = (jnp.zeros((nloc_e, te, kf * tf), dtype=work_dtype)
+             if explicit else None)
         store = []
         for plan, sh in zip(plans, shards):
             bk, bs = plan["bk"], plan["bs"]
@@ -300,7 +370,6 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 rg = rc.reshape(nloc, k, rr).astype(work_dtype)
                 eo = plan["offs"][bs.e_slot]
                 Je = Jg[..., eo:eo + te]
-                from ..solvers.schur_fused import _outer_rt, _rvec_rt
                 EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
                 g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
                 if sh["kind"] == "e0":
@@ -309,16 +378,30 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                     continue
                 fo = plan["offs"][plan["f_si"]]
                 Jf = Jg[..., fo:fo + tf]
-                oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
-                oh = oh * sh["mask"][..., None].astype(work_dtype)
                 Gf = _outer_rt(Jf, Jf)
-                FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
-                g_f = g_f + _einsum("nkc,nkt->ct", oh, _rvec_rt(Jf, rg))
-                Ge = _outer_rt(Je, Jf)
-                A = A + jnp.sum(oh[:, :, None, :, None]
-                                * Ge[:, :, :, None, :],
-                                axis=1).reshape(nloc, te, kf * tf)
-                store.append(("e", Je, Jf, oh))
+                if explicit:
+                    oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
+                    oh = oh * sh["mask"][..., None].astype(work_dtype)
+                    FtF = FtF + _einsum("nkc,nktu->ctu", oh, Gf)
+                    g_f = g_f + _einsum("nkc,nkt->ct", oh,
+                                        _rvec_rt(Jf, rg))
+                    Ge = _outer_rt(Je, Jf)
+                    A = A + jnp.sum(oh[:, :, None, :, None]
+                                    * Ge[:, :, :, None, :],
+                                    axis=1).reshape(nloc, te, kf * tf)
+                    store.append(("e", Je, Jf, oh))
+                else:
+                    # one-hot-free: shard-local camera-chunk gather+sum
+                    # (rows pre-masked; pad cam lanes masked in cam_mask)
+                    camr, camm = sh["cam_rows"], sh["cam_mask"]
+                    FtF = FtF + jnp.sum(
+                        Gf.reshape(-1, tf * tf)[camr]
+                        * camm[..., None], axis=1).reshape(kf, tf, tf)
+                    g_f = g_f + jnp.sum(
+                        _rvec_rt(Jf, rg).reshape(-1, tf)[camr]
+                        * camm[..., None], axis=1)
+                    store.append(("e", Je, Jf,
+                                  (sh["f_ids"], camr, camm)))
             else:
                 r, J = program._bucket_linearize(
                     bk, x, row_arrays=(sh["data"], sh["amb"]))
@@ -330,13 +413,22 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 Jc = Jc.astype(work_dtype)
                 fo = plan["offs"][plan["f_si"]]
                 Jf = Jc[..., fo:fo + tf]
-                oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
-                oh = oh * sh["mask"][:, None].astype(work_dtype)
-                from ..solvers.schur_fused import _outer_rt, _rvec_rt
                 G = _outer_rt(Jf, Jf)
-                FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
-                g_f = g_f + _einsum("nc,nt->ct", oh, _rvec_rt(Jf, rc))
-                store.append(("f", Jf, None, oh))
+                if explicit:
+                    oh = jax.nn.one_hot(sh["f_ids"], kf, dtype=work_dtype)
+                    oh = oh * sh["mask"][:, None].astype(work_dtype)
+                    FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
+                    g_f = g_f + _einsum("nc,nt->ct", oh, _rvec_rt(Jf, rc))
+                    store.append(("f", Jf, None, oh))
+                else:
+                    camr, camm = sh["cam_rows"], sh["cam_mask"]
+                    FtF = FtF + jnp.sum(
+                        G.reshape(-1, tf * tf)[camr]
+                        * camm[..., None], axis=1).reshape(kf, tf, tf)
+                    g_f = g_f + jnp.sum(
+                        _rvec_rt(Jf, rc)[camr] * camm[..., None], axis=1)
+                    store.append(("f", Jf, None,
+                                  (sh["f_ids"], camr, camm)))
         return cost_loc, EtE, g_e, FtF, g_f, A, store
 
     def solve_body(x, radius, shards, s_e, s_f, first):
@@ -374,7 +466,6 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
             + D2_e[..., None] * jnp.eye(te, dtype=work_dtype)
         FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
         sA = s_f.reshape(kf * tf)
-        A_s = A * s_e[:, :, None] * sA[None, None, :]
         g_se = g_e * s_e
         g_sf = (g_f * s_f).reshape(kf * tf)
         inv_ete = _spd_inv_small(EtE_d)
@@ -382,28 +473,121 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
         b_e = -g_se
         b_f = -g_sf
         z = _einsum("nij,nj->ni", inv_ete, b_e)
-        rhs_corr_loc = _einsum("nuf,nu->f", A_s, z)
-        Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
-        S_corr_loc = _einsum("nuf,nug->fg", A_s, Y)
-        # ---- psum #2: S and rhs corrections ----
-        S_corr, rhs_corr = jax.lax.psum((S_corr_loc, rhs_corr_loc), axis)
-        rhs = b_f - rhs_corr
-        ii = jnp.arange(kf)
-        S = (-S_corr).reshape(kf, tf, kf, tf).at[ii, :, ii, :].add(
-            FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype)
-        ).reshape(kf * tf, kf * tf)
+        from ..solvers.cg import conjugate_gradients
+        if explicit:
+            A_s = A * s_e[:, :, None] * sA[None, None, :]
+            rhs_corr_loc = _einsum("nuf,nu->f", A_s, z)
+            Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
+            S_corr_loc = _einsum("nuf,nug->fg", A_s, Y)
+            # ---- psum #2: S and rhs corrections ----
+            S_corr, rhs_corr = jax.lax.psum((S_corr_loc, rhs_corr_loc),
+                                            axis)
+            rhs = b_f - rhs_corr
+            ii = jnp.arange(kf)
+            S = (-S_corr).reshape(kf, tf, kf, tf).at[ii, :, ii, :].add(
+                FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype)
+            ).reshape(kf * tf, kf * tf)
 
-        if not iterative:
-            y = _spd_solve_dense(S, rhs)
-            lin_iters = jnp.asarray(1, dtype=jnp.int32)
+            if not iterative:
+                y = _spd_solve_dense(S, rhs)
+                lin_iters = jnp.asarray(1, dtype=jnp.int32)
+            else:
+                precond = _block_precond(
+                    FtF_s + D2_f[..., None] * jnp.eye(tf,
+                                                      dtype=work_dtype),
+                    S, kf, tf, options.preconditioner_type, S_corr)
+                result = conjugate_gradients(
+                    lambda v: _einsum("fg,g->f", S, v), rhs,
+                    jnp.zeros_like(rhs),
+                    apply_preconditioner=precond,
+                    max_iterations=options.max_linear_solver_iterations,
+                    q_tolerance=options.eta,
+                    min_iterations=options.min_linear_solver_iterations)
+                y = result.x
+                lin_iters = result.num_iterations
+
+            d_e = _einsum("nij,nj->ni", inv_ete,
+                          b_e - _einsum("nuf,f->nu", A_s, y))
         else:
-            from ..solvers.cg import conjugate_gradients
-            precond = _block_precond(
-                FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype),
-                S, kf, tf, options.preconditioner_type, S_corr)
+            # ---- implicit (matrix-free) sharded ITERATIVE_SCHUR ----
+            # The shard-local chunk tensors ARE the operator; each CG
+            # application costs a handful of VPU broadcast products, one
+            # camera-chunk gather+sum, and exactly one psum of [kf, tf]
+            # (the reduced-space residual). A is never materialized.
+            sstore = []
+            for kind, Je0, Jf0, aux in store:
+                if kind == "e0":
+                    continue
+                fids, camr, camm = aux
+                if kind == "e":
+                    Je_s = Je0 * s_e[:, None, None, :]
+                    Jf_s = Jf0 * s_f[fids][:, :, None, :]
+                else:
+                    Je_s = None
+                    Jf_s = Jf0 * s_f[fids][:, None, :]
+                sstore.append((kind, Je_s, Jf_s, fids, camr, camm))
+
+            def mv(J, v):      # [..., r, t] x [..., t] -> [..., r]
+                return jnp.sum(J * v[..., None, :], axis=-1)
+
+            def cam_reduce(contrib, camr, camm):
+                """[rows..., d] -> [kf, d] shard-local gather+sum."""
+                flat = contrib.reshape((-1,) + contrib.shape[-1:])
+                return jnp.sum(flat[camr] * camm[..., None], axis=1)
+
+            nloc_e = s_e.shape[0]
+
+            def apply_S(v):
+                vb = v.reshape(kf, tf)
+                out = jnp.zeros((kf, tf), dtype=work_dtype)
+                u = jnp.zeros((nloc_e, te), dtype=work_dtype)
+                ws = []
+                for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                    w = mv(Jf_s, vb[fids])
+                    if kind == "e":
+                        u = u + jnp.sum(_rvec_rt(Je_s, w), axis=1)
+                    ws.append(w)
+                zz = jnp.sum(inv_ete * u[:, None, :], axis=-1)
+                for (kind, Je_s, Jf_s, fids, camr, camm), w in zip(
+                        sstore, ws):
+                    w2 = w - mv(Je_s, zz[:, None, :]) if kind == "e" \
+                        else w
+                    out = out + cam_reduce(_rvec_rt(Jf_s, w2), camr,
+                                           camm)
+                out = jax.lax.psum(out, axis)   # one psum per CG apply
+                return (out + D2_f * vb).reshape(kf * tf)
+
+            # reduced rhs: b_f - F_s^T E_s z (one psum)
+            acc = jnp.zeros((kf, tf), dtype=work_dtype)
+            for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                if kind != "e":
+                    continue
+                w = mv(Je_s, z[:, None, :])
+                acc = acc + cam_reduce(_rvec_rt(Jf_s, w), camr, camm)
+            rhs = b_f - jax.lax.psum(acc, axis).reshape(kf * tf)
+
+            pk = options.preconditioner_type
+            precond = None
+            if pk != PreconditionerType.IDENTITY:
+                blocks = FtF_s + D2_f[..., None] * jnp.eye(
+                    tf, dtype=work_dtype)
+                if pk == PreconditionerType.SCHUR_JACOBI:
+                    corr = jnp.zeros((kf, tf, tf), dtype=work_dtype)
+                    for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                        if kind != "e":
+                            continue
+                        Ge_s = _outer_rt(Je_s, Jf_s)     # [n,k,te,tf]
+                        M = _einsum("nij,nkjt->nkit", inv_ete, Ge_s)
+                        contrib = _einsum("nkut,nkuv->nktv", Ge_s, M)
+                        corr = corr + jnp.sum(
+                            contrib.reshape(-1, tf * tf)[camr]
+                            * camm[..., None],
+                            axis=1).reshape(kf, tf, tf)
+                    blocks = blocks - jax.lax.psum(corr, axis)
+                precond = _precond_from_blocks(blocks, kf, tf)
+
             result = conjugate_gradients(
-                lambda v: _einsum("fg,g->f", S, v), rhs,
-                jnp.zeros_like(rhs),
+                apply_S, rhs, jnp.zeros_like(rhs),
                 apply_preconditioner=precond,
                 max_iterations=options.max_linear_solver_iterations,
                 q_tolerance=options.eta,
@@ -411,8 +595,15 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
             y = result.x
             lin_iters = result.num_iterations
 
-        d_e = _einsum("nij,nj->ni", inv_ete,
-                      b_e - _einsum("nuf,f->nu", A_s, y))
+            # back-substitute: d_e = (EtE)^-1 (b_e - E_s^T F_s y)
+            yb = y.reshape(kf, tf)
+            u2 = jnp.zeros((nloc_e, te), dtype=work_dtype)
+            for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                if kind != "e":
+                    continue
+                u2 = u2 + jnp.sum(_rvec_rt(Je_s, mv(Jf_s, yb[fids])),
+                                  axis=1)
+            d_e = jnp.sum(inv_ete * (b_e - u2)[:, None, :], axis=-1)
 
         # norms / model cost change (communicated pieces via psum)
         d_dot_g_loc = jnp.vdot(d_e, g_se)
@@ -435,14 +626,23 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
             dw_fb = (sA * y).reshape(kf, tf)      # replicated
             Jd_sq_loc = jnp.asarray(0.0, dtype=work_dtype)
             for kind, Ja, Jb, oh_s in store:
+                # implicit mode stores (f_ids, cam_rows, cam_mask): take
+                # the f step rows by camera id (Ja/Jb are pre-masked, so
+                # pad lanes contribute zero either way)
                 if kind == "e":
-                    dfb = _einsum("nkc,ct->nkt", oh_s, dw_fb)
+                    if isinstance(oh_s, tuple):
+                        dfb = dw_fb[oh_s[0]]             # [n,k,tf]
+                    else:
+                        dfb = _einsum("nkc,ct->nkt", oh_s, dw_fb)
                     Jd = _einsum("nkrt,nt->nkr", Ja, dw_e) \
                         + _einsum("nkrt,nkt->nkr", Jb, dfb)
                 elif kind == "e0":
                     Jd = _einsum("nkrt,nt->nkr", Ja, dw_e)
                 else:
-                    dfb = _einsum("nc,ct->nt", oh_s, dw_fb)
+                    if isinstance(oh_s, tuple):
+                        dfb = dw_fb[oh_s[0]]             # [n,tf]
+                    else:
+                        dfb = _einsum("nc,ct->nt", oh_s, dw_fb)
                     Jd = _einsum("nrt,nt->nr", Ja, dfb)
                 Jd_sq_loc = Jd_sq_loc + jnp.vdot(Jd, Jd)
             d_dot_g_e, Jd_sq, de_sq = jax.lax.psum(

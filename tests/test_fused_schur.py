@@ -125,6 +125,35 @@ def test_sharded_fused_solve_matches_single_device(bal, solver_name,
     assert rel < (1e-5 if mixed else 1e-6), rel
 
 
+@pytest.mark.parametrize("mixed", [False, True])
+def test_sharded_fused_implicit_matches_single_device(bal, mixed):
+    """Matrix-free sharded ITERATIVE_SCHUR (the production large-camera
+    multi-chip configuration): A is never materialized, the CG operator
+    walks the shard-local chunk tensors with one psum per application.
+    Forced at small size, compared against the single-device solve."""
+    from jax.sharding import Mesh
+    problem, _, _ = build_bal_ceres_problem(bal)
+    base = dict(linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+                preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+                max_num_iterations=50, function_tolerance=1e-9)
+    s1 = ct.solve(ct.SolverOptions(**base), problem)
+
+    problem2, _, _ = build_bal_ceres_problem(bal)
+    ndev = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("data",))
+    os.environ["CERES_TPU_FORCE_IMPLICIT"] = "1"
+    try:
+        s2 = ct.solve(ct.SolverOptions(
+            mesh=mesh, use_mixed_precision_solves=mixed, **base),
+            problem2)
+    finally:
+        del os.environ["CERES_TPU_FORCE_IMPLICIT"]
+    assert "sharded fused" in s2.message
+    assert s2.termination_type == ct.TerminationType.CONVERGENCE
+    rel = abs(s2.final_cost - s1.final_cost) / s1.final_cost
+    assert rel < (1e-5 if mixed else 1e-6), rel
+
+
 def test_sharded_mesh_int_option(bal):
     """options.mesh accepts a device count."""
     problem, _, _ = build_bal_ceres_problem(bal)
