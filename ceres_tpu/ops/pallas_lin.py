@@ -417,9 +417,10 @@ _PROBE_CACHE: dict = {}
 
 
 def make_pallas_lin(program, options, meta, tile: int = 512):
-    """Returns lin(x, scale) -> dict with keys
-    EtE [ne_pad, te, te], g_e [ne_pad, te], A_sT [te, kf*tf, ne_pad]
-    (scaled), Jf [ne_pad, k, 2, tf], rg [ne_pad, k, 2], oh_t
+    """Returns lin(x) -> dict with keys
+    EtE [ne_pad, te, te], g_e [ne_pad, te], A_T [te, kf*tf, ne_pad]
+    (UNSCALED — the caller applies the s_e/s_f Jacobi congruence, see
+    _lin_phase_pallas), Jf [ne_pad, k, 2, tf], rg [ne_pad, k, 2], oh_t
     [kf, k, ne_pad], ne_pad — all f32, chunk layout, pad rows masked to
     zero. Returns None when the kernel's VMEM blocks cannot fit at any
     tile width or the Mosaic TPU compiler rejects the kernel (probed at

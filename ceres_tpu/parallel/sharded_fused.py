@@ -45,21 +45,28 @@ from ..types import LinearSolverType, PreconditionerType
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
-def sharded_fused_supported(program, options, meta) -> bool:
-    from ..solvers.schur_fused import fused_schur_supported
-    if not fused_schur_supported(program, options, meta):
+def sharded_fused_supported(program, options, meta,
+                            num_shards: int = None) -> bool:
+    """The sharded runtime never needs the host [n, kf] one-hots — its
+    explicit mode builds shard-local one-hots on the fly and its implicit
+    mode uses camera-chunk reductions — so the structural check runs with
+    require_onehots=False (the single-device predicate would spuriously
+    reject mid-size mesh problems whose n*kf exceeds the host cap)."""
+    from ..solvers.schur_fused import (fused_structure_ok,
+                                      iterative_options_ok)
+    if not fused_structure_ok(meta, require_onehots=False):
         return False
+    if num_shards is None:
+        num_shards = len(jax.devices())
     if options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR:
         # always coverable: shard-local explicit A when it fits, the
         # matrix-free implicit apply (one psum per CG iteration) beyond
-        return True
-    # direct reduced solve: A is materialized shard-local
-    from ..solvers.schur_fused import _explicit_viable
-    if not _explicit_viable(meta):
-        num = len(jax.devices())
-        if meta.ne * meta.te * meta.nf > 1.5e8 * max(num, 1):
-            return False
-    return True
+        return iterative_options_ok(options)
+    if options.linear_solver_type in (LinearSolverType.DENSE_SCHUR,
+                                      LinearSolverType.SPARSE_SCHUR):
+        # direct reduced solve: replicated dense S + shard-local A
+        return _sharded_explicit_viable(meta, num_shards)
+    return False
 
 
 def _sharded_explicit_viable(meta, num_shards: int) -> bool:
@@ -77,6 +84,7 @@ def _cam_chunks_per_shard(fids, mask, kf: int, num_shards: int):
     own [kf, kc] block of flat positions into ITS shard-local row space
     (size (N/num_shards) * k). Padded lanes point at position 0 with
     mask 0 (their contribution is zeroed by the row mask anyway)."""
+    from ..solvers.schur_fused import cam_chunk_layout
     fids = np.asarray(fids)
     mask = np.asarray(mask)
     N = fids.shape[0]
@@ -88,21 +96,13 @@ def _cam_chunks_per_shard(fids, mask, kf: int, num_shards: int):
         m = mask[s * nloc:(s + 1) * nloc].reshape(-1) > 0
         idx = np.nonzero(m)[0]
         cams = f[idx].astype(np.int64)
-        counts = np.bincount(cams, minlength=kf)
-        if counts.size:
-            kc = max(kc, int(counts.max()))
-        per.append((idx, cams, counts))
+        if cams.size:
+            kc = max(kc, int(np.bincount(cams, minlength=kf).max()))
+        per.append((idx, cams))
     rows = np.zeros((num_shards, kf, kc), np.int32)
     cmask = np.zeros((num_shards, kf, kc), np.float32)
-    for s, (idx, cams, counts) in enumerate(per):
-        if not len(cams):
-            continue
-        order = np.argsort(cams, kind="stable")
-        starts = np.zeros(kf, np.int64)
-        starts[1:] = np.cumsum(counts)[:-1]
-        rank = np.arange(len(cams), dtype=np.int64) - starts[cams[order]]
-        rows[s, cams[order], rank] = idx[order].astype(np.int32)
-        cmask[s, cams[order], rank] = 1.0
+    for s, (idx, cams) in enumerate(per):
+        rows[s], cmask[s] = cam_chunk_layout(cams, idx, kf, kc)
     return (rows.reshape(num_shards * kf, kc),
             cmask.reshape(num_shards * kf, kc))
 
@@ -227,6 +227,8 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
     from ..solvers.schur_fused import (_spd_inv_small, _spd_solve_dense,
                                        _slab_of, _block_precond,
                                        _precond_from_blocks,
+                                       _sj_chunk_blocks,
+                                       chunk_has_dup_cams,
                                        _outer_rt, _rvec_rt)
 
     if axis is None:
@@ -244,6 +246,14 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
         and not os.environ.get("CERES_TPU_FORCE_IMPLICIT"))
     shards_np, ne_pad = build_chunk_shards(program, meta, num_shards,
                                            cam_chunks=not explicit)
+    # implicit SCHUR_JACOBI exactness: does any camera observe the same
+    # point through several rows of a bucket? (host, once)
+    dup_cams = {}
+    if not explicit:
+        for bi2, entry in enumerate(shards_np):
+            if entry["kind"] == "e":
+                dup_cams[bi2] = chunk_has_dup_cams(entry["f_ids"],
+                                                   entry["mask"])
 
     dtype = program.dtype
     mixed = options.use_mixed_precision_solves
@@ -401,7 +411,8 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                         _rvec_rt(Jf, rg).reshape(-1, tf)[camr]
                         * camm[..., None], axis=1)
                     store.append(("e", Je, Jf,
-                                  (sh["f_ids"], camr, camm)))
+                                  (sh["f_ids"], camr, camm,
+                                   dup_cams.get(plan["bi"], False))))
             else:
                 r, J = program._bucket_linearize(
                     bk, x, row_arrays=(sh["data"], sh["amb"]))
@@ -428,7 +439,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                     g_f = g_f + jnp.sum(
                         _rvec_rt(Jf, rc)[camr] * camm[..., None], axis=1)
                     store.append(("f", Jf, None,
-                                  (sh["f_ids"], camr, camm)))
+                                  (sh["f_ids"], camr, camm, False)))
         return cost_loc, EtE, g_e, FtF, g_f, A, store
 
     def solve_body(x, radius, shards, s_e, s_f, first):
@@ -518,14 +529,14 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
             for kind, Je0, Jf0, aux in store:
                 if kind == "e0":
                     continue
-                fids, camr, camm = aux
+                fids, camr, camm, dup = aux
                 if kind == "e":
                     Je_s = Je0 * s_e[:, None, None, :]
                     Jf_s = Jf0 * s_f[fids][:, :, None, :]
                 else:
                     Je_s = None
                     Jf_s = Jf0 * s_f[fids][:, None, :]
-                sstore.append((kind, Je_s, Jf_s, fids, camr, camm))
+                sstore.append((kind, Je_s, Jf_s, fids, camr, camm, dup))
 
             def mv(J, v):      # [..., r, t] x [..., t] -> [..., r]
                 return jnp.sum(J * v[..., None, :], axis=-1)
@@ -542,14 +553,14 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                 out = jnp.zeros((kf, tf), dtype=work_dtype)
                 u = jnp.zeros((nloc_e, te), dtype=work_dtype)
                 ws = []
-                for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                for kind, Je_s, Jf_s, fids, camr, camm, _dup in sstore:
                     w = mv(Jf_s, vb[fids])
                     if kind == "e":
                         u = u + jnp.sum(_rvec_rt(Je_s, w), axis=1)
                     ws.append(w)
                 zz = jnp.sum(inv_ete * u[:, None, :], axis=-1)
-                for (kind, Je_s, Jf_s, fids, camr, camm), w in zip(
-                        sstore, ws):
+                for (kind, Je_s, Jf_s, fids, camr, camm,
+                     _dup), w in zip(sstore, ws):
                     w2 = w - mv(Je_s, zz[:, None, :]) if kind == "e" \
                         else w
                     out = out + cam_reduce(_rvec_rt(Jf_s, w2), camr,
@@ -559,7 +570,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
 
             # reduced rhs: b_f - F_s^T E_s z (one psum)
             acc = jnp.zeros((kf, tf), dtype=work_dtype)
-            for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+            for kind, Je_s, Jf_s, fids, camr, camm, _dup in sstore:
                 if kind != "e":
                     continue
                 w = mv(Je_s, z[:, None, :])
@@ -573,12 +584,13 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                     tf, dtype=work_dtype)
                 if pk == PreconditionerType.SCHUR_JACOBI:
                     corr = jnp.zeros((kf, tf, tf), dtype=work_dtype)
-                    for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                    for kind, Je_s, Jf_s, fids, camr, camm, dup \
+                            in sstore:
                         if kind != "e":
                             continue
                         Ge_s = _outer_rt(Je_s, Jf_s)     # [n,k,te,tf]
                         M = _einsum("nij,nkjt->nkit", inv_ete, Ge_s)
-                        contrib = _einsum("nkut,nkuv->nktv", Ge_s, M)
+                        contrib = _sj_chunk_blocks(Ge_s, M, fids, dup)
                         corr = corr + jnp.sum(
                             contrib.reshape(-1, tf * tf)[camr]
                             * camm[..., None],
@@ -598,7 +610,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
             # back-substitute: d_e = (EtE)^-1 (b_e - E_s^T F_s y)
             yb = y.reshape(kf, tf)
             u2 = jnp.zeros((nloc_e, te), dtype=work_dtype)
-            for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+            for kind, Je_s, Jf_s, fids, camr, camm, _dup in sstore:
                 if kind != "e":
                     continue
                 u2 = u2 + jnp.sum(_rvec_rt(Je_s, mv(Jf_s, yb[fids])),

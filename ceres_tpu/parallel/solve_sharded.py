@@ -55,8 +55,9 @@ def try_solve_sharded(program, options, summary):
         from .sharded_fused import (make_sharded_fused_solve,
                                     sharded_fused_supported)
         meta = detect_schur_structure(program, options)
-        if meta is not None and sharded_fused_supported(program, options,
-                                                        meta):
+        num_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if meta is not None and sharded_fused_supported(
+                program, options, meta, num_shards):
             t0 = time.time()
             # key on the mesh's structure, not id(): CPython reuses ids
             # of collected objects, so id(mesh) could alias a dead mesh's

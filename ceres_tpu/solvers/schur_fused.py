@@ -97,20 +97,16 @@ def _slab_of(cols: np.ndarray) -> Optional[int]:
     return None
 
 
-def fused_schur_supported(program, options, meta) -> bool:
-    """Structural conditions for the fused eliminator."""
+def fused_structure_ok(meta, require_onehots: bool) -> bool:
+    """Structural conditions shared by the single-device and sharded
+    fused eliminators: one f group, chunk layout on every e-bucket, one f
+    slot per bucket. require_onehots additionally demands materializable
+    [n, kf] one-hots (needed only by the single-device EXPLICIT mode; the
+    implicit mode runs camera-chunk gather+sum reductions and the sharded
+    runtime builds its one-hots on the fly)."""
     if meta is None or len(meta.f_groups) != 1:
         return False
     grp = meta.f_groups[0]
-    # The implicit (matrix-free) mode never materializes the [n, kf]
-    # one-hots — it runs camera-chunk gather+sum reductions instead — so
-    # the one-hot viability cap only gates the EXPLICIT mode. This is
-    # what lets the fused path cover the production large-camera regime
-    # (e.g. 1024 cams x 1M observations, where n*kf ~ 1e9).
-    will_be_implicit = (
-        options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR
-        and (not _explicit_viable(meta)
-             or bool(os.environ.get("CERES_TPU_FORCE_IMPLICIT"))))
     for bi, bs in enumerate(meta.buckets):
         if bs.e_slot is not None:
             if bs.chunk_rows is None:
@@ -121,7 +117,7 @@ def fused_schur_supported(program, options, meta) -> bool:
             slots_here = [s for s in grp["slots"] if s[0] == bi]
             if len(slots_here) != 1:
                 return False
-            if not will_be_implicit and meta._build_onehot(
+            if require_onehots and meta._build_onehot(
                     0, bi, slots_here[0][1], slots_here[0][2],
                     grp["kf"]) is None:
                 return False
@@ -129,25 +125,42 @@ def fused_schur_supported(program, options, meta) -> bool:
             slots_here = [s for s in grp["slots"] if s[0] == bi]
             if len(slots_here) != 1:
                 return False
-            if not will_be_implicit and meta._build_onehot(
+            if require_onehots and meta._build_onehot(
                     0, bi, slots_here[0][1], slots_here[0][2],
                     grp["kf"]) is None:
                 return False
-    if options.linear_solver_type in (LinearSolverType.DENSE_SCHUR,
-                                      LinearSolverType.SPARSE_SCHUR):
+    return True
+
+
+def iterative_options_ok(options) -> bool:
+    """ITERATIVE_SCHUR configurations the fused paths can serve: a
+    preconditioner assembled exactly from the chunk tensors, no SPSE
+    warm start (host-loop feature)."""
+    if options.preconditioner_type not in (
+            PreconditionerType.IDENTITY, PreconditionerType.JACOBI,
+            PreconditionerType.SCHUR_JACOBI):
+        return False
+    return not options.use_spse_initialization
+
+
+def fused_schur_supported(program, options, meta) -> bool:
+    """Structural conditions for the single-device fused eliminator."""
+    t = options.linear_solver_type
+    if t in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR):
         # direct reduced solve: dense S + the cross tensor A must fit
-        return _explicit_viable(meta)
-    if options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR:
-        # explicit-S operator when viable; matrix-free (implicit) apply
-        # over the chunk tensors otherwise — either way the fused path
-        # needs a preconditioner it can assemble exactly.
-        if options.preconditioner_type not in (
-                PreconditionerType.IDENTITY, PreconditionerType.JACOBI,
-                PreconditionerType.SCHUR_JACOBI):
+        return (fused_structure_ok(meta, require_onehots=True)
+                and _explicit_viable(meta))
+    if t == LinearSolverType.ITERATIVE_SCHUR:
+        if not iterative_options_ok(options):
             return False
-        if options.use_spse_initialization:
-            return False
-        return True
+        # The one-hot viability cap only gates the explicit mode; the
+        # implicit mode is one-hot-free, which is what lets the fused
+        # path cover the production large-camera regime (1024 cams x 1M
+        # observations has n*kf ~ 1e9, far past any materialization cap).
+        will_be_explicit = (
+            _explicit_viable(meta)
+            and not os.environ.get("CERES_TPU_FORCE_IMPLICIT"))
+        return fused_structure_ok(meta, require_onehots=will_be_explicit)
     return False
 
 
@@ -281,6 +294,11 @@ def make_fused_schur_lm_step(program, options, meta):
                 _build_cam_chunks(program, plan["local"], bs2.chunk_rows,
                                   bs2.chunk_mask,
                                   f"schur.fused.cam{plan['bi']}", kf)
+                # does any camera observe the same point through several
+                # rows? (the SCHUR_JACOBI assembly then needs the
+                # within-chunk cross terms to stay exact)
+                plan["dup_cams"] = chunk_has_dup_cams(
+                    plan["local"][bs2.chunk_rows], bs2.chunk_mask)
             else:
                 _build_cam_chunks(program, plan["local"], None, None,
                                   f"schur.fused.cam{plan['bi']}", kf)
@@ -704,7 +722,8 @@ def make_fused_schur_lm_step(program, options, meta):
                     fids = program.const(f"schur.fused.fids{bi2}")
                     sfrow = s_f[fids]                    # [n,tf]
                     Jf_s = Jf * sfrow[:, None, :]
-                sstore.append((kind, Je_s, Jf_s, fids, camr, camm))
+                sstore.append((kind, Je_s, Jf_s, fids, camr, camm,
+                               plan.get("dup_cams", False)))
 
             def mv(J, v):      # [..., r, t] x [..., t] -> [..., r]
                 return jnp.sum(J * v[..., None, :], axis=-1)
@@ -719,15 +738,15 @@ def make_fused_schur_lm_step(program, options, meta):
                 out = jnp.zeros((kf, tf), dtype=work_dtype)
                 u = jnp.zeros((ne, te), dtype=work_dtype)
                 ws = []
-                for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                for kind, Je_s, Jf_s, fids, camr, camm, _dup in sstore:
                     vrow = vb[fids]
                     w = mv(Jf_s, vrow)
                     if kind == "e":
                         u = u + jnp.sum(_rvec_rt(Je_s, w), axis=1)
                     ws.append(w)
                 zz = jnp.sum(inv_ete * u[:, None, :], axis=-1)
-                for (kind, Je_s, Jf_s, fids, camr, camm), w in zip(sstore,
-                                                                   ws):
+                for (kind, Je_s, Jf_s, fids, camr, camm, _dup), w in zip(
+                        sstore, ws):
                     if kind == "e":
                         w2 = w - mv(Je_s, zz[:, None, :])
                     else:
@@ -737,7 +756,7 @@ def make_fused_schur_lm_step(program, options, meta):
 
             # reduced rhs: b_f - F_s^T E_s z
             acc = jnp.zeros((kf, tf), dtype=work_dtype)
-            for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+            for kind, Je_s, Jf_s, fids, camr, camm, _dup in sstore:
                 if kind != "e":
                     continue
                 w = mv(Je_s, z[:, None, :])
@@ -745,19 +764,22 @@ def make_fused_schur_lm_step(program, options, meta):
             rhs = b_f - acc.reshape(kf * tf)
 
             # preconditioner blocks: exact block diagonal of S for
-            # SCHUR_JACOBI; of F_s^T F_s for JACOBI
+            # SCHUR_JACOBI (incl. within-chunk cross terms when a camera
+            # observes a point through several rows; cross-BUCKET
+            # duplicate pairs remain approximated — preconditioner
+            # quality only, never correctness); of F_s^T F_s for JACOBI
             pk = options.preconditioner_type
             precond = None
             if pk != PreconditionerType.IDENTITY:
                 blocks = FtF_s + D2_f[..., None] * jnp.eye(
                     tf, dtype=work_dtype)
                 if pk == PreconditionerType.SCHUR_JACOBI:
-                    for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+                    for kind, Je_s, Jf_s, fids, camr, camm, dup in sstore:
                         if kind != "e":
                             continue
                         Ge_s = _outer_rt(Je_s, Jf_s)     # [ne,k,te,tf]
                         M = _einsum("nij,nkjt->nkit", inv_ete, Ge_s)
-                        contrib = _einsum("nkut,nkuv->nktv", Ge_s, M)
+                        contrib = _sj_chunk_blocks(Ge_s, M, fids, dup)
                         flat = contrib.reshape(-1, tf, tf)
                         blocks = blocks - jnp.sum(
                             flat[camr] * camm[..., None, None], axis=1)
@@ -776,7 +798,7 @@ def make_fused_schur_lm_step(program, options, meta):
             # back-substitute: d_e = (EtE)^-1 (b_e - E_s^T F_s y)
             yb = y.reshape(kf, tf)
             u2 = jnp.zeros((ne, te), dtype=work_dtype)
-            for kind, Je_s, Jf_s, fids, camr, camm in sstore:
+            for kind, Je_s, Jf_s, fids, camr, camm, _dup in sstore:
                 if kind != "e":
                     continue
                 yrow = yb[fids]
@@ -882,6 +904,36 @@ def make_fused_schur_lm_step(program, options, meta):
     return lm_step
 
 
+def cam_chunk_layout(cams, positions, kf: int, kc: int = None):
+    """Group `positions` (row ids) by f-block id `cams` into a dense
+    [kf, kc] index layout with a validity mask — the camera-chunk form
+    the implicit reductions gather over. Shared by the single-device
+    (_build_cam_chunks) and sharded (_cam_chunks_per_shard) builders."""
+    cams = np.asarray(cams, dtype=np.int64)
+    positions = np.asarray(positions)
+    counts = np.bincount(cams, minlength=kf)
+    if kc is None:
+        kc = max(1, int(counts.max()) if counts.size else 1)
+    order = np.argsort(cams, kind="stable")
+    starts = np.zeros(kf, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    rank = np.arange(len(cams), dtype=np.int64) - starts[cams[order]]
+    rows = np.zeros((kf, kc), dtype=np.int32)
+    mask = np.zeros((kf, kc), dtype=np.float32)
+    rows[cams[order], rank] = positions[order].astype(np.int32)
+    mask[cams[order], rank] = 1.0
+    return rows, mask
+
+
+def chunk_has_dup_cams(fids, mask) -> bool:
+    """Does any chunk row observe the same f block through more than one
+    valid lane? Decides whether the implicit SCHUR_JACOBI assembly needs
+    the within-chunk cross terms (host-side, once per program)."""
+    fs = np.sort(np.where(np.asarray(mask) > 0, np.asarray(fids), -1),
+                 axis=1)
+    return bool(np.any((fs[:, 1:] == fs[:, :-1]) & (fs[:, 1:] >= 0)))
+
+
 def _build_cam_chunks(program, local, chunk_rows, chunk_mask, name, kf):
     """Camera-chunk layout for the implicit apply: rows regrouped BY
     F-BLOCK so the F^T reductions become gather + dense sum instead of a
@@ -891,7 +943,6 @@ def _build_cam_chunks(program, local, chunk_rows, chunk_mask, name, kf):
     order when chunk_rows is None); padded lanes are masked AND point at
     position 0 (whose contribution is zeroed by the chunk mask anyway)."""
     n = local.shape[0]
-    kf_local = kf
     if chunk_rows is not None:
         # position of each original row inside the flattened point-chunk
         # layout (pad lanes carry row id 0 but mask 0 — exclude via mask)
@@ -901,19 +952,29 @@ def _build_cam_chunks(program, local, chunk_rows, chunk_mask, name, kf):
         pos_of_row[flat_rows[flat_valid]] = np.nonzero(flat_valid)[0]
     else:
         pos_of_row = np.arange(n, dtype=np.int64)
-    counts = np.bincount(local, minlength=kf_local)
-    kc = max(1, int(counts.max()))
-    order = np.argsort(local, kind="stable")
-    starts = np.zeros(kf_local, dtype=np.int64)
-    starts[1:] = np.cumsum(counts)[:-1]
-    rank = np.arange(n, dtype=np.int64) - starts[local[order]]
-    rows = np.zeros((kf_local, kc), dtype=np.int32)
-    mask = np.zeros((kf_local, kc), dtype=np.float32)
-    rows[local[order], rank] = pos_of_row[order].astype(np.int32)
-    mask[local[order], rank] = 1.0
+    rows, mask = cam_chunk_layout(local, pos_of_row, kf)
     program.register_const(f"{name}.rows", rows)
     program.register_const(f"{name}.mask", mask)
     return name
+
+
+def _sj_chunk_blocks(Ge_s, M, fids, dup: bool):
+    """Per-lane [n, k, tf, tf] contributions to the S block diagonal:
+    Ge^T inv(EtE) Ge. With dup=True (some camera observes the same point
+    through more than one row) the within-chunk cross terms between
+    same-camera lanes are included via a k^2 pass, keeping the
+    SCHUR_JACOBI blocks the exact diagonal of S; without duplicates the
+    per-lane form is already exact. Shared by the single-device and
+    sharded implicit assemblies."""
+    if not dup:
+        return _einsum("nkut,nkuv->nktv", Ge_s, M)
+    tf = Ge_s.shape[-1]
+    out = jnp.zeros(Ge_s.shape[:2] + (tf, tf), dtype=Ge_s.dtype)
+    for k2 in range(Ge_s.shape[1]):
+        eq = (fids == fids[:, k2:k2 + 1]).astype(Ge_s.dtype)   # [n, k]
+        out = out + eq[..., None, None] * _einsum(
+            "nkut,nuv->nktv", Ge_s, M[:, k2])
+    return out
 
 
 def _precond_from_blocks(blocks, kf, tf):

@@ -154,6 +154,51 @@ def test_sharded_fused_implicit_matches_single_device(bal, mixed):
     assert rel < (1e-5 if mixed else 1e-6), rel
 
 
+def test_sj_chunk_blocks_exact_with_duplicate_cameras():
+    """Implicit SCHUR_JACOBI assembly: when a camera observes the same
+    point through several rows, the S block diagonal has within-chunk
+    cross terms (A_c = sum_k Ge_k, so A_c^T inv A_c has k1 != k2 pairs).
+    _sj_chunk_blocks(dup=True) must equal the dense per-camera
+    computation; the per-lane form (dup=False) must not."""
+    from ceres_tpu.solvers.schur_fused import (_sj_chunk_blocks,
+                                               _spd_inv_small,
+                                               chunk_has_dup_cams)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    ne, k, te, tf, kf = 4, 3, 2, 3, 2     # k > kf forces duplicates
+    Ge = jnp.asarray(rng.standard_normal((ne, k, te, tf)))
+    fids_np = rng.integers(0, kf, size=(ne, k))
+    fids = jnp.asarray(fids_np)
+    B = rng.standard_normal((ne, te, te))
+    spd = jnp.asarray(B @ np.swapaxes(B, -1, -2)
+                      + 3.0 * np.eye(te)[None])
+    inv = _spd_inv_small(spd)
+    assert chunk_has_dup_cams(fids_np, np.ones((ne, k)))
+
+    # dense reference: per-camera aggregated cross blocks
+    ref = np.zeros((kf, tf, tf))
+    for n in range(ne):
+        for c in range(kf):
+            A_c = np.zeros((te, tf))
+            for kk in range(k):
+                if fids_np[n, kk] == c:
+                    A_c += np.asarray(Ge[n, kk])
+            ref[c] += A_c.T @ np.asarray(inv[n]) @ A_c
+
+    M = jnp.einsum("nij,nkjt->nkit", inv, Ge)
+    contrib = _sj_chunk_blocks(Ge, M, fids, dup=True)   # [ne,k,tf,tf]
+    got = np.zeros((kf, tf, tf))
+    for n in range(ne):
+        for kk in range(k):
+            got[fids_np[n, kk]] += np.asarray(contrib[n, kk])
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+    lanewise = _sj_chunk_blocks(Ge, M, fids, dup=False)
+    assert not np.allclose(
+        np.asarray(jnp.sum(contrib, axis=(0, 1))),
+        np.asarray(jnp.sum(lanewise, axis=(0, 1))))
+
+
 def test_sharded_mesh_int_option(bal):
     """options.mesh accepts a device count."""
     problem, _, _ = build_bal_ceres_problem(bal)
