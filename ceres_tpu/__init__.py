@@ -36,6 +36,7 @@ from .cost import (  # noqa: F401
 )
 from .problem import Problem, ProblemOptions, ResidualBlockId  # noqa: F401
 from .solver import Solver, solve  # noqa: F401
+from .batch import solve_batched  # noqa: F401
 from .covariance import Covariance, CovarianceOptions  # noqa: F401
 from .gradient_checker import GradientChecker  # noqa: F401
 from .gradient_problem import (  # noqa: F401

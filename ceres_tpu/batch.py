@@ -1,0 +1,223 @@
+"""Batched solves: N structurally-identical problems in ONE device program.
+
+No reference analog — this is a TPU-native capability. Ceres solves one
+problem per Solve() call; on accelerator hardware the natural unit is a
+BATCH of small/medium solves (RANSAC hypotheses, per-frame pose
+refinement, multi-start global optimization, sensor-array calibration)
+executed as a single jitted program: the fused trust-region while-loop
+(minimizers/fused.py) is vmapped over the problem axis, so every LM
+iteration runs the whole batch's linearize/eliminate/solve as batched
+MXU/VPU ops, and the loop runs until every element terminates (finished
+elements are frozen by the fused loop's freeze_done guard).
+
+Contract: all problems must share the SAME structure — identical block
+sizes, residual counts, cost classes, loss classes, and sparsity (the
+same construction code with different numeric data). Structure is
+verified cheaply: the per-problem constant sets must agree in name,
+shape, and dtype, and every integer (index/structural) constant must be
+bitwise equal; float data constants (measurements, loss scales,
+interpolation grids) may differ per problem. Problems whose
+configuration cannot run the fused loop (bounds, callbacks, inner
+iterations, ...) fall back to sequential ct.solve().
+
+Usage:
+    summaries = ct.solve_batched(options, [p1, p2, ...])
+Results are written back into each problem's parameter arrays, exactly
+like ct.solve().
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import program as program_mod
+from .program import CompiledProgram
+from .types import SolverSummary
+from .types import MinimizerType, TerminationType
+
+
+def _fused_capable(program, options) -> bool:
+    # options.fused_iterations is deliberately ignored: the batched
+    # implementation IS the fused loop (a host loop per element would
+    # defeat the point); the flag only selects the single-solve path.
+    return (options.minimizer_type == MinimizerType.TRUST_REGION
+            and not options.callbacks
+            and not options.use_nonmonotonic_steps
+            and not options.minimizer_progress_to_stdout
+            and not options.use_inner_iterations
+            and not options.trust_region_problem_dump_directory
+            and not program.has_bounds
+            and options.mesh is None)
+
+
+def _record_const_names(fn, example_args):
+    used = set()
+    tok = program_mod._CONST_CTX.set(("record", used))
+    try:
+        jax.eval_shape(fn, *example_args)
+    finally:
+        program_mod._CONST_CTX.reset(tok)
+    return sorted(used)
+
+
+def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
+    """Solve N structurally-identical problems in one vmapped device
+    program. Returns one SolverSummary per problem; parameters are
+    written back into each problem's arrays."""
+    from .solver import solve as solve_single
+    from .minimizers.fused import (make_fused_tr_solve, FusedResult,
+                                   TERMINATION_BY_CODE)
+
+    problems = list(problems)
+    if not problems:
+        return []
+    if len(problems) == 1:
+        return [solve_single(options, problems[0])]
+
+    t_start = time.time()
+    programs = [CompiledProgram.get_cached(p, options) for p in problems]
+    template = programs[0]
+
+    if not _fused_capable(template, options):
+        return [solve_single(options, p) for p in problems]
+
+    # Build the solve from the template; building the step structure for
+    # the OTHER programs as well makes their lazily-registered constants
+    # (Schur meta, camera chunks, ...) available for stacking.
+    fn = make_fused_tr_solve(template, options, freeze_done=True)
+    for pr in programs[1:]:
+        make_fused_tr_solve(pr, options, freeze_done=True)
+
+    # ---- structural validation ----
+    err = _validate_same_structure(programs)
+    if err is not None:
+        raise ValueError(f"solve_batched: problems differ in structure "
+                         f"({err}); batched solving requires identical "
+                         f"graphs (same construction code, different "
+                         f"numeric data)")
+
+    names = _record_const_names(fn, (template.example_x(),))
+
+    # shared (bitwise-equal across problems) vs per-problem constants
+    shared_names, var_names = [], []
+    for nm in names:
+        v0 = template.consts_np[nm]
+        same = all(_tree_equal(v0, pr.consts_np[nm]) for pr in programs[1:])
+        (shared_names if same else var_names).append(nm)
+    # integer structural constants must not vary (index layouts are baked
+    # into host-side decisions like slab offsets)
+    for nm in var_names:
+        leaves = jax.tree_util.tree_leaves(template.consts_np[nm])
+        if any(np.issubdtype(np.asarray(a).dtype, np.integer)
+               for a in leaves):
+            raise ValueError(
+                f"solve_batched: structural (integer) constant {nm!r} "
+                f"differs across problems — the sparsity/ordering must "
+                f"be identical for a batched solve")
+
+    def bound(shared_tuple, var_stacked, x0_stacked):
+        def one(var_tuple, x0):
+            mapping = dict(zip(shared_names, shared_tuple))
+            mapping.update(dict(zip(var_names, var_tuple)))
+            tok = program_mod._CONST_CTX.set(("bind", mapping))
+            try:
+                return fn(x0)
+            finally:
+                program_mod._CONST_CTX.reset(tok)
+        return jax.vmap(one)(var_stacked, x0_stacked)
+
+    solve_jit = template.cached_jit(
+        ("batched", options.cache_key(), len(problems),
+         tuple(var_names)),
+        lambda: jax.jit(bound))
+
+    t0 = time.time()
+    shared_tuple = tuple(template._device_const(nm)
+                         for nm in shared_names)
+    var_stacked = tuple(
+        jax.tree_util.tree_map(
+            lambda *a: jnp.stack([jnp.asarray(x) for x in a]),
+            *[pr.consts_np[nm] for pr in programs])
+        for nm in var_names)
+    x0_stacked = jnp.stack([pr.initial_state() for pr in programs])
+    x_dev, stats_dev = solve_jit(shared_tuple, var_stacked, x0_stacked)
+    x_host, stats = jax.device_get((x_dev, stats_dev))
+    minimizer_time = time.time() - t0
+
+    summaries = []
+    for i, pr in enumerate(programs):
+        result = FusedResult.unpack(x_host[i], stats[i])
+        s = SolverSummary()
+        s.minimizer_type = options.minimizer_type
+        s.trust_region_strategy_type = options.trust_region_strategy_type
+        s.linear_solver_type_given = options.linear_solver_type
+        s.linear_solver_type_used = options.linear_solver_type
+        s.num_parameter_blocks = pr.num_parameter_blocks
+        s.num_parameters = pr.num_parameters
+        s.num_residual_blocks = pr.num_residual_blocks
+        s.num_residuals = pr.num_residuals_total
+        s.fixed_cost = pr.fixed_cost
+        s.initial_cost = float(result.initial_cost)
+        s.final_cost = float(result.cost)
+        s.num_successful_steps = int(result.successful_steps)
+        s.num_unsuccessful_steps = int(result.unsuccessful_steps)
+        s.num_linear_solves = int(result.iterations)
+        s.num_linear_solver_iterations = int(
+            result.total_linear_iterations)
+        s.num_iterations_fused = int(result.iterations)
+        code = int(result.termination_code)
+        term, msg = TERMINATION_BY_CODE.get(
+            code, (TerminationType.FAILURE, f"unknown code {code}"))
+        s.termination_type = term
+        s.message = msg + f" (batched fused mode, element {i})"
+        s.minimizer_time_in_seconds = minimizer_time
+        s.total_time_in_seconds = time.time() - t_start
+        if s.is_solution_usable():
+            pr.write_back(result.x)
+        summaries.append(s)
+    return summaries
+
+
+def _tree_equal(a, b) -> bool:
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    if len(la) != len(lb):
+        return False
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
+def _validate_same_structure(programs) -> str:
+    """None when all programs share the template's structure, else a
+    human-readable difference."""
+    t = programs[0]
+    for i, pr in enumerate(programs[1:], start=1):
+        if pr.num_ambient != t.num_ambient:
+            return f"problem {i}: {pr.num_ambient} ambient parameters " \
+                   f"vs {t.num_ambient}"
+        if pr.num_effective != t.num_effective:
+            return f"problem {i}: {pr.num_effective} effective " \
+                   f"parameters vs {t.num_effective}"
+        if len(pr.buckets) != len(t.buckets):
+            return f"problem {i}: {len(pr.buckets)} cost buckets vs " \
+                   f"{len(t.buckets)}"
+        if pr.fixed_cost != t.fixed_cost:
+            return f"problem {i}: fixed cost {pr.fixed_cost} vs " \
+                   f"{t.fixed_cost} (constant-block residuals are " \
+                   f"folded host-side and must agree)"
+        if set(pr.consts_np) != set(t.consts_np):
+            extra = set(pr.consts_np) ^ set(t.consts_np)
+            return f"problem {i}: constant set differs ({sorted(extra)[:4]})"
+        for nm, v in t.consts_np.items():
+            sa = [np.asarray(x).shape
+                  for x in jax.tree_util.tree_leaves(v)]
+            sb = [np.asarray(x).shape
+                  for x in jax.tree_util.tree_leaves(pr.consts_np[nm])]
+            if sa != sb:
+                return f"problem {i}: constant {nm!r} shape {sb} vs {sa}"
+    return None

@@ -64,8 +64,14 @@ class FusedResult(NamedTuple):
                    total_linear_iterations=int(s[7]))
 
 
-def make_fused_tr_solve(program, options):
-    """Returns a raw (unjitted) fused solve: x0 -> FusedResult."""
+def make_fused_tr_solve(program, options, freeze_done: bool = False):
+    """Returns a raw (unjitted) fused solve: x0 -> FusedResult.
+
+    freeze_done=True makes the loop body a no-op for a state whose
+    termination code is already set. Single solves never need it (the
+    while condition guards the body), but under vmap (batch.py) the loop
+    runs until EVERY batch element terminates, and without the guard a
+    finished element would keep taking (tiny) steps."""
     from ..solver import make_scale_impl, make_step_impl
 
     step_impl = make_step_impl(program, options)
@@ -216,6 +222,10 @@ def make_fused_tr_solve(program, options):
             if split:
                 nxt["art"] = art
                 nxt["relin"] = accept   # x changed -> re-linearize next
+            if freeze_done:
+                live = s["code"] == 0
+                nxt = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(live, n, o), nxt, s)
             return nxt
 
         init = {

@@ -1,0 +1,119 @@
+"""Batched solves (ceres_tpu/batch.py): N structurally-identical
+problems in one vmapped fused device program. No reference analog — a
+TPU-native capability (RANSAC hypotheses, per-frame refinement,
+multi-start). Correctness anchor: every batch element must match its own
+individual ct.solve() run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+from ceres_tpu.io.bal import build_bal_ceres_problem, synthetic_bal_problem
+
+
+class _ExpResidual:
+    def __init__(self, x, y):
+        self.x, self.y = float(x), float(y)
+
+    def __call__(self, m, c):
+        return self.y - jnp.exp(m[0] * self.x + c[0])
+
+
+def _curve_problem(rng, m_true, c_true):
+    m = np.array([0.0])
+    c = np.array([0.0])
+    prob = ct.Problem()
+    for x in np.linspace(0, 5, 25):
+        y = float(np.exp(m_true * x + c_true) + 0.01 * rng.standard_normal())
+        prob.add_residual_block(
+            ct.AutoDiffCostFunction(_ExpResidual(x, y), 1, [1, 1]),
+            None, m, c)
+    return prob, m, c
+
+
+def test_batched_curve_fit_matches_individual():
+    rng = np.random.default_rng(3)
+    truths = [(0.3, 0.1), (0.25, 0.4), (0.5, -0.2), (0.1, 0.8)]
+    # fused_iterations so the individual reference runs the same fused
+    # while-loop algorithm the batched path always uses
+    options = ct.SolverOptions(max_num_iterations=40,
+                               function_tolerance=1e-12,
+                               fused_iterations=True)
+
+    # individual reference runs (fresh problems: solve writes back)
+    rng_a = np.random.default_rng(3)
+    refs = []
+    for mt, ct_ in truths:
+        prob, m, c = _curve_problem(rng_a, mt, ct_)
+        s = ct.solve(options, prob)
+        refs.append((s, m.copy(), c.copy()))
+
+    rng_b = np.random.default_rng(3)
+    built = [_curve_problem(rng_b, mt, ct_) for mt, ct_ in truths]
+    summaries = ct.solve_batched(options, [b[0] for b in built])
+
+    assert len(summaries) == len(truths)
+    for (s_ref, m_ref, c_ref), s_b, (prob, m, c) in zip(refs, summaries,
+                                                        built):
+        assert s_b.termination_type == ct.TerminationType.CONVERGENCE
+        assert s_b.num_iterations == s_ref.num_iterations, \
+            (s_b.num_iterations, s_ref.num_iterations)
+        np.testing.assert_allclose(s_b.final_cost, s_ref.final_cost,
+                                   rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(m, m_ref, rtol=1e-8)
+        np.testing.assert_allclose(c, c_ref, rtol=1e-8)
+
+
+def test_batched_bal_schur_multistart():
+    """Same BA graph, different initial perturbations (multi-start): the
+    batched DENSE_SCHUR fused solve must match per-problem solves."""
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=40, function_tolerance=1e-9,
+        fused_iterations=True)
+
+    def build(perturb_seed):
+        bal = synthetic_bal_problem(num_cameras=4, num_points=150,
+                                    num_observations=600, seed=11,
+                                    pixel_noise=0.5)
+        bal.perturb(rotation_sigma=0.02, translation_sigma=0.1,
+                    point_sigma=0.05, seed=perturb_seed)
+        return build_bal_ceres_problem(bal)
+
+    seeds = [1, 2, 3]
+    refs = [ct.solve(options, build(s)[0]) for s in seeds]
+    probs = [build(s)[0] for s in seeds]
+    summaries = ct.solve_batched(options, probs)
+    for s_ref, s_b in zip(refs, summaries):
+        assert s_b.termination_type == ct.TerminationType.CONVERGENCE
+        np.testing.assert_allclose(s_b.final_cost, s_ref.final_cost,
+                                   rtol=1e-9)
+        assert s_b.num_iterations == s_ref.num_iterations
+
+
+def test_batched_rejects_different_structure():
+    """Different observation graphs (sparsity) must be rejected loudly."""
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR)
+
+    def build(seed):
+        # 6 cameras / 3-camera covisibility windows: the per-point window
+        # start is seed-dependent, so different seeds give different
+        # observation graphs (not just different data)
+        bal = synthetic_bal_problem(num_cameras=6, num_points=40,
+                                    num_observations=120, seed=seed,
+                                    pixel_noise=0.5)
+        return build_bal_ceres_problem(bal)[0]
+
+    with pytest.raises(ValueError, match="structure|constant"):
+        ct.solve_batched(options, [build(1), build(2)])
+
+
+def test_batched_single_and_empty():
+    assert ct.solve_batched(ct.SolverOptions(), []) == []
+    rng = np.random.default_rng(0)
+    prob, m, c = _curve_problem(rng, 0.3, 0.1)
+    (s,) = ct.solve_batched(ct.SolverOptions(), [prob])
+    assert s.termination_type == ct.TerminationType.CONVERGENCE
