@@ -134,3 +134,59 @@ def test_pallas_lin_phase_on_device():
         rel = np.max(np.abs(va - vb)) / (np.max(np.abs(vb)) + 1e-300)
         tol = 5e-4 if k == "delta" else 1e-5
         assert rel < tol, (k, rel)
+
+
+def test_batched_solves_on_device():
+    """ct.solve_batched (batch.py): a multi-start batch of BA solves as
+    one vmapped fused program on the chip, each element matching its
+    individual solve."""
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        use_mixed_precision_solves=True,
+        max_num_iterations=30, function_tolerance=1e-6,
+        fused_iterations=True)
+
+    def build(perturb_seed):
+        bal = synthetic_bal_problem(num_cameras=4, num_points=300,
+                                    num_observations=1200, seed=11,
+                                    pixel_noise=0.5)
+        bal.perturb(rotation_sigma=0.05, translation_sigma=0.2,
+                    point_sigma=0.1, seed=perturb_seed)
+        return build_bal_ceres_problem(bal)[0]
+
+    seeds = [1, 2, 3, 4]
+    refs = [ct.solve(options, build(s)) for s in seeds]
+    summaries = ct.solve_batched(options, [build(s) for s in seeds])
+    for s_ref, s_b in zip(refs, summaries):
+        assert s_b.termination_type == ct.TerminationType.CONVERGENCE
+        np.testing.assert_allclose(s_b.final_cost, s_ref.final_cost,
+                                   rtol=1e-6)
+
+
+def test_implicit_fused_iterative_schur_on_device():
+    """The one-hot-free implicit fused ITERATIVE_SCHUR mode (camera-chunk
+    reductions) on hardware, forced at small size."""
+    import os
+    bal = synthetic_bal_problem(num_cameras=8, num_points=1000,
+                                num_observations=4000, seed=3,
+                                pixel_noise=1.0)
+    bal.perturb(rotation_sigma=0.05, translation_sigma=0.3,
+                point_sigma=0.1, seed=4)
+    problem, _, _ = build_bal_ceres_problem(bal)
+    ref_problem, _, _ = build_bal_ceres_problem(bal)
+    s_ref = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=40, function_tolerance=1e-9), ref_problem)
+    os.environ["CERES_TPU_FORCE_IMPLICIT"] = "1"
+    try:
+        s = ct.solve(ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            use_mixed_precision_solves=True,
+            max_num_iterations=40, function_tolerance=1e-9,
+            fused_iterations=True), problem)
+    finally:
+        del os.environ["CERES_TPU_FORCE_IMPLICIT"]
+    assert s.termination_type == ct.TerminationType.CONVERGENCE
+    rel = abs(s.final_cost - s_ref.final_cost) / s_ref.final_cost
+    assert rel < 1e-5, rel
