@@ -181,6 +181,42 @@ def main():
     except Exception as e:
         log(f"pipelined throughput measurement failed: {e}")
 
+    # ---- batched serving rate (ct.solve_batched, no reference analog:
+    # a RANSAC / per-frame-refinement shaped batch as ONE device
+    # program) ----
+    if not os.environ.get("BENCH_SKIP_BATCH"):
+        try:
+            from ceres_tpu.io.bal import (synthetic_bal_problem as _synth,
+                                          build_bal_ceres_problem as _bld)
+
+            def batch_build(perturb_seed):
+                b = _synth(num_cameras=4, num_points=500,
+                           num_observations=2000, seed=11,
+                           pixel_noise=0.5)
+                b.perturb(rotation_sigma=0.05, translation_sigma=0.2,
+                          point_sigma=0.1, seed=perturb_seed)
+                return _bld(b)[0]
+
+            K = 8
+            bopts = lambda: ct.SolverOptions(  # noqa: E731
+                linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                use_mixed_precision_solves=True,
+                max_num_iterations=40, function_tolerance=1e-6,
+                fused_iterations=True)
+            ct.solve_batched(bopts(), [batch_build(s)
+                                       for s in range(K)])   # warm
+            probs = [batch_build(s) for s in range(K)]
+            t0 = time.time()
+            bsum = ct.solve_batched(bopts(), probs)
+            bwall = time.time() - t0
+            extras["batch8_wall_s"] = round(bwall, 4)
+            extras["batch8_solves_per_s"] = round(K / bwall, 2)
+            log(f"  batched serving: {K} BA solves in {bwall:.3f}s "
+                f"({K/bwall:.1f} solves/s), all "
+                f"{'converged' if all(str(s.termination_type).endswith('CONVERGENCE') for s in bsum) else 'NOT CONVERGED'}")
+        except Exception as e:
+            log(f"batched serving measurement failed: {e}")
+
     # ---- ITERATIVE_SCHUR + SCHUR_JACOBI (driver BASELINE config) ----
     if not os.environ.get("BENCH_SKIP_ITERATIVE"):
         try:

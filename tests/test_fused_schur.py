@@ -154,6 +154,77 @@ def test_sharded_fused_implicit_matches_single_device(bal, mixed):
     assert rel < (1e-5 if mixed else 1e-6), rel
 
 
+def _two_bucket_bal_problem():
+    """Heterogeneous-cost BA: half the observations robust (HuberLoss),
+    half plain — two e-buckets sharing the same cameras and points."""
+    from ceres_tpu.examples.snavely import SnavelyReprojectionError
+    bal = synthetic_bal_problem(num_cameras=4, num_points=100,
+                                num_observations=400, seed=2,
+                                pixel_noise=0.5)
+    bal.perturb(rotation_sigma=0.02, translation_sigma=0.1,
+                point_sigma=0.05, seed=3)
+    cams = [bal.cameras[i].copy() for i in range(bal.num_cameras)]
+    pts = [bal.points[i].copy() for i in range(bal.num_points)]
+    problem = ct.Problem()
+    for i in range(bal.num_observations):
+        ox, oy = bal.observations[i]
+        cost = ct.AutoDiffCostFunction(
+            SnavelyReprojectionError(ox, oy), 2, [9, 3])
+        loss = ct.HuberLoss(2.0) if i % 2 == 0 else None
+        problem.add_residual_block(cost, loss,
+                                   cams[bal.camera_index[i]],
+                                   pts[bal.point_index[i]])
+    return problem
+
+
+def test_multi_bucket_fused_sharded_implicit_agree():
+    """Two-bucket (mixed-loss) BA through every production path: fused
+    DENSE_SCHUR, fused implicit ITERATIVE_SCHUR, sharded explicit, and
+    sharded implicit must all reach the host-loop reference cost."""
+    from jax.sharding import Mesh
+    base = dict(max_num_iterations=50, function_tolerance=1e-9)
+    ref = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        fused_iterations=False, **base), _two_bucket_bal_problem())
+    assert ref.termination_type == ct.TerminationType.CONVERGENCE
+
+    def run(**kw):
+        env = kw.pop("env", None)
+        if env:
+            os.environ[env] = "1"
+        try:
+            return ct.solve(ct.SolverOptions(**base, **kw),
+                            _two_bucket_bal_problem())
+        finally:
+            if env:
+                del os.environ[env]
+
+    mesh = Mesh(np.array(jax.devices()[:min(8, len(jax.devices()))]),
+                axis_names=("data",))
+    cases = {
+        "fused dense": run(
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            fused_iterations=True),
+        "fused implicit": run(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            fused_iterations=True, env="CERES_TPU_FORCE_IMPLICIT"),
+        "sharded explicit": run(
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            mesh=mesh),
+        "sharded implicit": run(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            mesh=mesh, env="CERES_TPU_FORCE_IMPLICIT"),
+    }
+    for name, s in cases.items():
+        assert s.termination_type == ct.TerminationType.CONVERGENCE, name
+        rel = abs(s.final_cost - ref.final_cost) / ref.final_cost
+        assert rel < 1e-6, (name, rel)
+    for name in ("sharded explicit", "sharded implicit"):
+        assert "sharded fused" in cases[name].message, cases[name].message
+
+
 def test_sj_chunk_blocks_exact_with_duplicate_cameras():
     """Implicit SCHUR_JACOBI assembly: when a camera observes the same
     point through several rows, the S block diagonal has within-chunk
