@@ -8,7 +8,11 @@ pattern proxy, not a hardware-speed measurement (the virtual devices share
 the same host cores).
 
 Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-       python -m benchmarks.mesh_scaling_benchmark
+       python -m benchmarks.mesh_scaling_benchmark [--implicit]
+
+--implicit forces the matrix-free sharded ITERATIVE_SCHUR mode (the
+production large-camera configuration: A never materialized, one
+[kf, tf] psum per CG application) instead of the explicit dense-S path.
 """
 
 from __future__ import annotations
@@ -33,6 +37,10 @@ def main(argv=None):
     from ceres_tpu.io.bal import (build_bal_ceres_problem,
                                   synthetic_bal_problem)
 
+    implicit = "--implicit" in sys.argv
+    if implicit:
+        os.environ["CERES_TPU_FORCE_IMPLICIT"] = "1"
+
     bal = synthetic_bal_problem(16, 22106, 83718, seed=7, pixel_noise=1.0)
     bal.perturb(rotation_sigma=0.1, translation_sigma=1.0, point_sigma=0.5,
                 seed=8)
@@ -44,7 +52,10 @@ def main(argv=None):
         mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("data",))
         options = ct.SolverOptions(
             mesh=mesh,
-            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            linear_solver_type=(ct.LinearSolverType.ITERATIVE_SCHUR
+                                if implicit else
+                                ct.LinearSolverType.DENSE_SCHUR),
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
             max_num_iterations=50, function_tolerance=1e-6)
         cam0 = [c.copy() for c in cams]
         pt0 = [p.copy() for p in pts]
