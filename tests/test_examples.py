@@ -102,3 +102,35 @@ def test_libmv_bundle_adjuster():
     s, intr, cams, pts = solve_libmv(LIBMV_FILE, options=opts)
     assert s.is_solution_usable()
     assert s.final_cost <= s.initial_cost
+
+
+def test_ransac_homography_batched():
+    """RANSAC with batched hypothesis refinement (solve_batched demo):
+    recovers H against gross outliers; SubsetManifold through the
+    batched fused path."""
+    import numpy as np
+    from ceres_tpu.examples.ransac_homography import ransac_homography
+
+    rng = np.random.default_rng(4)
+    H_true = np.array([[1.02, 0.01, 0.3],
+                       [-0.02, 0.98, -0.2],
+                       [1e-4, -2e-4, 1.0]])
+    n, n_out = 30, 7
+    x1 = rng.uniform(-1, 1, (n, 2))
+    x1h = np.concatenate([x1, np.ones((n, 1))], axis=1)
+    x2h = x1h @ H_true.T
+    x2 = x2h[:, :2] / x2h[:, 2:]
+    x2 += 1e-4 * rng.standard_normal(x2.shape)
+    out = rng.choice(n, size=n_out, replace=False)
+    x2[out] += rng.uniform(0.3, 1.0, (n_out, 2))
+
+    H, mask, (summaries, s_polish) = ransac_homography(
+        x1, x2, num_hypotheses=6, seed=1)
+    assert len(summaries) == 6
+    assert "batched fused" in summaries[0].message
+    H = H / H[2, 2]
+    assert np.linalg.norm(H - H_true / H_true[2, 2]) < 1e-2
+    true_inliers = np.ones(n, bool)
+    true_inliers[out] = False
+    assert (mask & ~true_inliers).sum() == 0
+    assert mask.sum() >= 0.8 * (n - n_out)
