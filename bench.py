@@ -37,6 +37,7 @@ reference pays no compilation, we amortize it across solves).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -81,9 +82,46 @@ def run_config(ct, problem, cams, pts, cam0, pt0, make_options, label):
     return sorted(times)[len(times) // 2], summary, warmup
 
 
+def probe_tpu(timeout_s=150.0) -> bool:
+    """True if a TPU backend can be initialized. Probed in a SUBPROCESS
+    under a hard timeout: when the tunnel to the TPU worker is down,
+    jax.devices() hangs indefinitely inside backend init (it cannot be
+    interrupted from within the same process), which would otherwise
+    hang the whole benchmark."""
+    if os.environ.get("BENCH_FORCE_CPU"):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "import sys; sys.exit(0 if d and d[0].platform == 'tpu' "
+             "else 1)"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+CPU_FALLBACK = False
+
+
 def main():
+    global CPU_FALLBACK
     t0 = time.time()
+    if not probe_tpu():
+        # Tunnel down / no TPU attached: run on CPU and SAY SO — a slow
+        # honest number beats a hung benchmark. vs_baseline is computed
+        # from the CPU wall time, unadjusted.
+        CPU_FALLBACK = True
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""   # axon hangs on init
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        log("TPU unreachable (probe timed out) — falling back to CPU; "
+            "vs_baseline will reflect CPU, not TPU, performance")
     import jax
+    if CPU_FALLBACK:
+        # The JAX_PLATFORMS env var is ignored when sitecustomize has
+        # already selected the axon TPU platform; config.update wins.
+        jax.config.update("jax_platforms", "cpu")
     try:
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  ".jax_cache")
@@ -240,6 +278,8 @@ def main():
         except Exception as e:
             log(f"ITERATIVE_SCHUR config failed: {e}")
 
+    if CPU_FALLBACK:
+        extras["platform"] = "cpu-fallback (TPU tunnel unreachable)"
     print(json.dumps({
         "metric": f"bal16_22106_{solver_name.lower()}_wall_to_convergence",
         "value": round(wall, 4),

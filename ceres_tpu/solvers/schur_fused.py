@@ -499,7 +499,20 @@ def make_fused_schur_lm_step(program, options, meta):
 
                 EtE = EtE + jnp.sum(_outer_rt(Je, Je), axis=1)
                 Gf = _outer_rt(Jf, Jf)                   # [ne,k,tf,tf]
-                if explicit:
+                if explicit and kf == 1:
+                    # One-f-block specialization (the reference's
+                    # SchurEliminatorForOneFBlock role,
+                    # schur_eliminator.h:365, re-architected): every
+                    # one-hot is identically 1, so the selector matmuls
+                    # collapse to plain sums and no [n, kf] one-hot is
+                    # built or read. Pad lanes contribute zero (Jg/rg are
+                    # already chunk-masked). Two-view BA / single-camera
+                    # refinement land here.
+                    oh = None
+                    FtF = FtF + jnp.sum(Gf, axis=(0, 1))[None]
+                    Ge = _outer_rt(Je, Jf)               # [ne,k,te,tf]
+                    A = A + jnp.sum(Ge, axis=1).reshape(ne, te, kf * tf)
+                elif explicit:
                     _, oh = meta.grouped_fslot(0, bi, plan["f_si"],
                                                plan["local"])
                     oh = oh.astype(work_dtype)           # [ne,k,kf]
@@ -530,7 +543,9 @@ def make_fused_schur_lm_step(program, options, meta):
                     g_e = g_e + jnp.sum(
                         _rvec_rt(Jg64[..., eo:eo + te], rg64), axis=1)
                     gf64 = _rvec_rt(Jg64[..., fo:fo + ftw], rg64)
-                    if explicit:
+                    if explicit and kf == 1:
+                        g_f = g_f + jnp.sum(gf64, axis=(0, 1))[None]
+                    elif explicit:
                         g_f = g_f + _einsum("nkc,nkt->ct",
                                             oh.astype(dtype), gf64)
                     else:
@@ -540,7 +555,9 @@ def make_fused_schur_lm_step(program, options, meta):
                 else:
                     g_e = g_e + jnp.sum(_rvec_rt(Je, rg), axis=1)
                     gfc = _rvec_rt(Jf, rg)
-                    if explicit:
+                    if explicit and kf == 1:
+                        g_f = g_f + jnp.sum(gfc, axis=(0, 1))[None]
+                    elif explicit:
                         g_f = g_f + _einsum("nkc,nkt->ct", oh, gfc)
                     else:
                         g_f = g_f + jnp.sum(
@@ -552,7 +569,10 @@ def make_fused_schur_lm_step(program, options, meta):
                 fo, ftw = plan["slot_off"][plan["f_si"]]
                 Jf = Jc[..., fo:fo + ftw]                # [n, rr, tf]
                 G = _outer_rt(Jf, Jf)                    # [n,tf,tf]
-                if explicit:
+                if explicit and kf == 1:
+                    oh = None           # one-f-block: selector is all-ones
+                    FtF = FtF + jnp.sum(G, axis=0)[None]
+                elif explicit:
                     oh = meta.onehot(0, bi, plan["f_si"], plan["local"],
                                      kf).astype(work_dtype)
                     FtF = FtF + _einsum("nc,ntu->ctu", oh, G)
@@ -566,7 +586,9 @@ def make_fused_schur_lm_step(program, options, meta):
                         * camm[..., None], axis=1).reshape(kf, ftw, ftw)
                 if f64_rhs:
                     gf64 = _rvec_rt(Jc64[..., fo:fo + ftw], rc64)
-                    if explicit:
+                    if explicit and kf == 1:
+                        g_f = g_f + jnp.sum(gf64, axis=0)[None]
+                    elif explicit:
                         g_f = g_f + _einsum("nc,nt->ct",
                                             oh.astype(dtype), gf64)
                     else:
@@ -575,7 +597,9 @@ def make_fused_schur_lm_step(program, options, meta):
                             axis=1)
                 else:
                     gfc = _rvec_rt(Jf, rc)
-                    if explicit:
+                    if explicit and kf == 1:
+                        g_f = g_f + jnp.sum(gfc, axis=0)[None]
+                    elif explicit:
                         g_f = g_f + _einsum("nc,nt->ct", oh, gfc)
                     else:
                         g_f = g_f + jnp.sum(gfc[camr] * camm[..., None],
@@ -845,7 +869,12 @@ def make_fused_schur_lm_step(program, options, meta):
                 elif kind == "e0":
                     Jd = _einsum("nkrt,nt->nkr", Ja, dw_e)
                 else:
-                    if oh is None:
+                    if oh is None and kf == 1:
+                        # one-f-block specialization: every row maps to
+                        # block 0
+                        dfb = jnp.broadcast_to(
+                            dw_fb[0], Ja.shape[:1] + (tf,))
+                    elif oh is None:
                         fids = program.const(
                             f"schur.fused.fids{_plan['bi']}")
                         dfb = dw_fb[fids]                # [n,tf]

@@ -398,10 +398,13 @@ def test_fused_implicit_iterative_matches_generic(bal):
 def test_single_f_block_two_view():
     """SchurEliminatorForOneFBlock (schur_eliminator.h:365) role: two-view
     BA with one free camera reduces to a single f block (kf=1); the fused
-    eliminator handles it through the same batched path (XLA specializes
-    on the shapes), no dedicated specialization needed. Structural check:
-    the fused step equals the generic SchurOps step exactly, and a short
-    solve strictly decreases the cost."""
+    eliminator takes its one-f-block specialization (every one-hot is
+    identically 1, so the selector matmuls collapse to plain sums and no
+    [n, kf] one-hot is built at all — schur_fused.py `kf == 1` branches).
+    A weak prior on the free camera adds an f-only bucket so the
+    specialization's f-only branch runs too. Structural check: the fused
+    step equals the generic SchurOps step exactly, and a short solve
+    strictly decreases the cost."""
     bal = synthetic_bal_problem(num_cameras=2, num_points=120,
                                 num_observations=240, seed=9,
                                 pixel_noise=0.2)
@@ -410,6 +413,8 @@ def test_single_f_block_two_view():
     problem, cams, pts = build_bal_ceres_problem(bal)
     problem.set_parameter_block_constant(cams[0])
     problem.set_parameter_block_constant(pts[0])
+    problem.add_residual_block(
+        ct.NormalPrior(0.01 * np.eye(9), cams[1].copy()), None, cams[1])
     options = ct.SolverOptions(
         linear_solver_type=ct.LinearSolverType.DENSE_SCHUR)
     program = CompiledProgram.get_cached(problem, options)
