@@ -243,6 +243,10 @@ def make_fused_schur_lm_step(program, options, meta):
     dtype = program.dtype
     mixed = options.use_mixed_precision_solves
     work_dtype = jnp.float32 if mixed else dtype
+    if mixed and os.environ.get("CERES_TPU_EXP_F64ACC"):
+        # Experiment knob: f32 jacfwd, but all Gram/solve arithmetic in
+        # f64 — isolates accumulation error from J-entry rounding.
+        work_dtype = dtype
     use_jacobi_scaling = options.jacobi_scaling
     min_diag = options.min_lm_diagonal
     max_diag = options.max_lm_diagonal
