@@ -463,6 +463,14 @@ def solve(options: SolverOptions, problem,
                           and not options.minimizer_progress_to_stdout
                           and not options.use_inner_iterations
                           and not options.trust_region_problem_dump_directory
+                          and options.evaluation_callback is None
+                          and not options.update_state_every_iteration
+                          # a finite wall-clock budget needs the host
+                          # clock between iterations
+                          and options.max_solver_time_in_seconds >= 1e9
+                          # dynamic re-analysis mutates host factor state
+                          # per iteration; keep it on the host loop
+                          and not options.dynamic_sparsity
                           and not program.has_bounds)
         use_fused = options.fused_iterations and device_loop_ok
         if options.mesh is not None and device_loop_ok:

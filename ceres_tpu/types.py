@@ -259,7 +259,6 @@ class SolverOptions:
     dtype: Any = None                 # None -> config.default_dtype()
     mesh: Any = None                  # jax.sharding.Mesh for multi-chip solve
     fused_iterations: bool = False    # run whole TR loop in one lax.while_loop
-    donate_state: bool = True
 
     def cache_key(self):
         """Hashable signature of every option that affects compiled
