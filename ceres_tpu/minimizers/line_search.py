@@ -235,6 +235,13 @@ def _line_search(phi, phi0: float, dphi0: float, step0: float, options,
 def minimize_line_search(program, options, summary: SolverSummary,
                          x0=None):
     """The outer loop (line_search_minimizer.cc:85)."""
+    if options.fused_iterations and x0 is None:
+        from .line_search_fused import (fused_line_search_ok,
+                                        run_fused_line_search)
+        if fused_line_search_ok(program, options):
+            # write-back is the caller's job (solver.py /
+            # solve_gradient_problem), as on the host-loop fallthrough
+            return run_fused_line_search(program, options, summary)
     t_start = time.time()
 
     @jax.jit
