@@ -228,6 +228,8 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                                        _slab_of, _block_precond,
                                        _precond_from_blocks,
                                        _sj_chunk_blocks,
+                                       _sj_cross_pair_blocks,
+                                       detect_cross_bucket_dups,
                                        chunk_has_dup_cams,
                                        _outer_rt, _rvec_rt)
 
@@ -249,11 +251,18 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
     # implicit SCHUR_JACOBI exactness: does any camera observe the same
     # point through several rows of a bucket? (host, once)
     dup_cams = {}
+    cross_pairs = []
     if not explicit:
         for bi2, entry in enumerate(shards_np):
             if entry["kind"] == "e":
                 dup_cams[bi2] = chunk_has_dup_cams(entry["f_ids"],
                                                    entry["mask"])
+        # cross-BUCKET duplicate (cam, point) pairs: all e-buckets share
+        # the same point-chunk layout, so the host-side detection (and
+        # the per-shard correction) aligns on the chunk row index
+        cross_pairs = detect_cross_bucket_dups(
+            [(entry["f_ids"], np.asarray(entry["mask"]) > 0)
+             for entry in shards_np if entry["kind"] == "e"])
 
     dtype = program.dtype
     mixed = options.use_mixed_precision_solves
@@ -594,6 +603,20 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                         corr = corr + jnp.sum(
                             contrib.reshape(-1, tf * tf)[camr]
                             * camm[..., None],
+                            axis=1).reshape(kf, tf, tf)
+                    # cross-BUCKET duplicate (cam, point) pairs: the S
+                    # diagonal couples the buckets' Ge contributions
+                    # (shard-local — a point lives on exactly one shard)
+                    es = [t for t in sstore if t[0] == "e"]
+                    for i1, i2 in cross_pairs:
+                        _, Je1, Jf1, fid1, camr1, camm1, _ = es[i1]
+                        _, Je2, Jf2, fid2, _, _, _ = es[i2]
+                        cross = _sj_cross_pair_blocks(
+                            _outer_rt(Je1, Jf1), _outer_rt(Je2, Jf2),
+                            inv_ete, fid1, fid2)
+                        corr = corr + jnp.sum(
+                            cross.reshape(-1, tf * tf)[camr1]
+                            * camm1[..., None],
                             axis=1).reshape(kf, tf, tf)
                     blocks = blocks - jax.lax.psum(corr, axis)
                 precond = _precond_from_blocks(blocks, kf, tf)

@@ -288,6 +288,7 @@ def make_fused_schur_lm_step(program, options, meta):
         bucket_plan.append(dict(bk=bk, bs=bs, bi=bi, f_si=f_si,
                                 local=local, slot_off=slot_off))
 
+    cross_pairs = []
     if not explicit:
         # camera-chunk layouts for the matrix-free apply (host, once)
         for plan in bucket_plan:
@@ -309,6 +310,14 @@ def make_fused_schur_lm_step(program, options, meta):
                 program.register_const(
                     f"schur.fused.fids{plan['bi']}",
                     plan["local"].astype(np.int32))
+        # Cross-BUCKET duplicate (camera, point) pairs (host, once):
+        # ordered by the sstore e-entry order the solve phase iterates.
+        cross_pairs = detect_cross_bucket_dups(
+            [(plan["local"][plan["bs"].chunk_rows],
+              plan["bs"].chunk_mask > 0)
+             for plan in bucket_plan
+             if plan["bs"].f_cols is not None
+             and plan["bs"].e_slot is not None])
 
     # Mixed mode rhs accuracy: f32 J·r products carry the f32 input
     # rounding, which costs ~1-2 extra LM iterations at BAL scale vs f64.
@@ -792,10 +801,10 @@ def make_fused_schur_lm_step(program, options, meta):
             rhs = b_f - acc.reshape(kf * tf)
 
             # preconditioner blocks: exact block diagonal of S for
-            # SCHUR_JACOBI (incl. within-chunk cross terms when a camera
-            # observes a point through several rows; cross-BUCKET
-            # duplicate pairs remain approximated — preconditioner
-            # quality only, never correctness); of F_s^T F_s for JACOBI
+            # SCHUR_JACOBI — incl. within-chunk cross terms when a camera
+            # observes a point through several rows, and cross-BUCKET
+            # terms when the same (cam, point) pair has rows in two
+            # buckets; of F_s^T F_s for JACOBI
             pk = options.preconditioner_type
             precond = None
             if pk != PreconditionerType.IDENTITY:
@@ -811,6 +820,18 @@ def make_fused_schur_lm_step(program, options, meta):
                         flat = contrib.reshape(-1, tf, tf)
                         blocks = blocks - jnp.sum(
                             flat[camr] * camm[..., None, None], axis=1)
+                    # cross-BUCKET duplicate (cam, point) pairs: the S
+                    # diagonal couples the buckets' Ge contributions
+                    es = [t for t in sstore if t[0] == "e"]
+                    for i1, i2 in cross_pairs:
+                        _, Je1, Jf1, fid1, camr1, camm1, _ = es[i1]
+                        _, Je2, Jf2, fid2, _, _, _ = es[i2]
+                        cross = _sj_cross_pair_blocks(
+                            _outer_rt(Je1, Jf1), _outer_rt(Je2, Jf2),
+                            inv_ete, fid1, fid2)
+                        blocks = blocks - jnp.sum(
+                            cross.reshape(-1, tf, tf)[camr1]
+                            * camm1[..., None, None], axis=1)
                 precond = _precond_from_blocks(blocks, kf, tf)
 
             from .cg import conjugate_gradients
@@ -1008,6 +1029,43 @@ def _sj_chunk_blocks(Ge_s, M, fids, dup: bool):
         out = out + eq[..., None, None] * _einsum(
             "nkut,nuv->nktv", Ge_s, M[:, k2])
     return out
+
+
+def _sj_cross_pair_blocks(Ge1_s, Ge2_s, inv_ete, fids1, fids2):
+    """Cross-BUCKET correction to the implicit SCHUR_JACOBI blocks: when
+    the same (camera, point) pair carries residual rows in two different
+    buckets (e.g. two loss functions on one observation), the S diagonal
+    block has cross terms between the buckets' Ge contributions —
+    A_c = sum_rows Ge_row sums ACROSS buckets before the congruence.
+    Returns the [ne, k1, tf, tf] contribution C + C^T with
+    C[n, k1] = sum_{k2 : fids2[n,k2] == fids1[n,k1]}
+               Ge1[n,k1]^T inv_ete[n] Ge2[n,k2]
+    to be camera-chunk-reduced with BUCKET 1's layout (each unordered
+    cross pair is counted exactly once there). Pad lanes contribute
+    zero (Ge tensors are chunk-masked)."""
+    MG2 = _einsum("nuv,nlvt->nlut", inv_ete, Ge2_s)      # [ne,k2,te,tf]
+    eq = (fids1[:, :, None] == fids2[:, None, :]).astype(Ge1_s.dtype)
+    C = _einsum("nkut,nlum,nkl->nktm", Ge1_s, MG2, eq)   # [ne,k1,tf,tf]
+    return C + jnp.swapaxes(C, -1, -2)
+
+
+def detect_cross_bucket_dups(e_entries):
+    """Host-side, once per program: which ORDERED pairs of e-buckets
+    share a (point, camera) observation? e_entries: list of
+    (fids [ne, k] np, valid [ne, k] bool np). Returns [(i, j), ...]
+    index pairs (i < j) into that list."""
+    stride = 1 + max((int(np.asarray(f).max(initial=0))
+                      for f, _ in e_entries), default=0)
+    keys = []
+    for fids, valid in e_entries:
+        fids = np.asarray(fids, dtype=np.int64)
+        valid = np.asarray(valid, dtype=bool)
+        n_idx = np.broadcast_to(
+            np.arange(fids.shape[0], dtype=np.int64)[:, None], fids.shape)
+        keys.append(np.unique(n_idx[valid] * stride + fids[valid]))
+    return [(i, j)
+            for i in range(len(keys)) for j in range(i + 1, len(keys))
+            if np.intersect1d(keys[i], keys[j], assume_unique=True).size]
 
 
 def _precond_from_blocks(blocks, kf, tf):

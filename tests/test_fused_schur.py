@@ -680,3 +680,121 @@ def test_mesh_with_bounds_falls_back_to_host_loop(bal):
         max_num_iterations=30, function_tolerance=1e-9), problem)
     assert s.termination_type == ct.TerminationType.CONVERGENCE
     assert "sharded fused" not in s.message
+
+
+def test_detect_cross_bucket_dups():
+    from ceres_tpu.solvers.schur_fused import detect_cross_bucket_dups
+    f1 = np.array([[0, 1], [2, 0]])
+    v1 = np.ones((2, 2), bool)
+    # bucket 2 shares (point 1, cam 2) with bucket 1
+    f2 = np.array([[3, 3], [2, 3]])
+    v2 = np.ones((2, 2), bool)
+    # bucket 3 shares nothing (same cams, different points -> keys differ)
+    f3 = np.array([[2, 3], [1, 1]])
+    v3 = np.array([[True, False], [False, False]])
+    pairs = detect_cross_bucket_dups([(f1, v1), (f2, v2), (f3, v3)])
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+    # masked-out lanes don't count
+    v2b = np.array([[True, True], [False, True]])
+    assert detect_cross_bucket_dups([(f1, v1), (f2, v2b)]) == []
+
+
+def test_sj_cross_pair_blocks_exact():
+    """Cross-bucket S-diagonal correction: per-bucket _sj_chunk_blocks
+    plus _sj_cross_pair_blocks must equal the dense per-camera
+    computation over the UNION of both buckets' rows."""
+    from ceres_tpu.solvers.schur_fused import (_sj_chunk_blocks,
+                                               _sj_cross_pair_blocks,
+                                               _spd_inv_small)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    ne, k1, k2, te, tf, kf = 5, 3, 2, 2, 3, 3
+    Ge1 = jnp.asarray(rng.standard_normal((ne, k1, te, tf)))
+    Ge2 = jnp.asarray(rng.standard_normal((ne, k2, te, tf)))
+    f1_np = rng.integers(0, kf, size=(ne, k1))
+    f2_np = rng.integers(0, kf, size=(ne, k2))
+    f1, f2 = jnp.asarray(f1_np), jnp.asarray(f2_np)
+    B = rng.standard_normal((ne, te, te))
+    spd = jnp.asarray(B @ np.swapaxes(B, -1, -2) + 3.0 * np.eye(te)[None])
+    inv = _spd_inv_small(spd)
+
+    # dense reference over the union of rows
+    ref = np.zeros((kf, tf, tf))
+    for n in range(ne):
+        for c in range(kf):
+            A_c = np.zeros((te, tf))
+            for kk in range(k1):
+                if f1_np[n, kk] == c:
+                    A_c += np.asarray(Ge1[n, kk])
+            for kk in range(k2):
+                if f2_np[n, kk] == c:
+                    A_c += np.asarray(Ge2[n, kk])
+            ref[c] += A_c.T @ np.asarray(inv[n]) @ A_c
+
+    got = np.zeros((kf, tf, tf))
+    for Ge, f_np, f in ((Ge1, f1_np, f1), (Ge2, f2_np, f2)):
+        M = jnp.einsum("nij,nkjt->nkit", inv, Ge)
+        contrib = _sj_chunk_blocks(Ge, M, f, dup=True)
+        for n in range(ne):
+            for kk in range(f_np.shape[1]):
+                got[f_np[n, kk]] += np.asarray(contrib[n, kk])
+    cross = _sj_cross_pair_blocks(Ge1, Ge2, inv, f1, f2)
+    for n in range(ne):
+        for kk in range(k1):
+            got[f1_np[n, kk]] += np.asarray(cross[n, kk])
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def _cross_dup_bal_problem():
+    """Every observation enters TWICE — once robust, once plain — so the
+    same (camera, point) pair has rows in two different buckets (the
+    cross-bucket duplicate case for the implicit SCHUR_JACOBI)."""
+    from ceres_tpu.examples.snavely import SnavelyReprojectionError
+    bal = synthetic_bal_problem(num_cameras=3, num_points=60,
+                                num_observations=200, seed=4,
+                                pixel_noise=0.5)
+    bal.perturb(rotation_sigma=0.02, translation_sigma=0.1,
+                point_sigma=0.05, seed=5)
+    cams = [bal.cameras[i].copy() for i in range(bal.num_cameras)]
+    pts = [bal.points[i].copy() for i in range(bal.num_points)]
+    problem = ct.Problem()
+    for i in range(bal.num_observations):
+        ox, oy = bal.observations[i]
+        for loss in (ct.HuberLoss(2.0), None):
+            cost = ct.AutoDiffCostFunction(
+                SnavelyReprojectionError(ox, oy), 2, [9, 3])
+            problem.add_residual_block(cost, loss,
+                                       cams[bal.camera_index[i]],
+                                       pts[bal.point_index[i]])
+    return problem
+
+
+def test_cross_bucket_dup_implicit_schur_jacobi():
+    """The implicit fused + sharded ITERATIVE_SCHUR with SCHUR_JACOBI on
+    a cross-bucket-duplicate problem: exercises _sj_cross_pair_blocks in
+    both wirings and must reach the host DENSE_SCHUR reference cost."""
+    from jax.sharding import Mesh
+    base = dict(max_num_iterations=50, function_tolerance=1e-9)
+    ref = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        fused_iterations=False, **base), _cross_dup_bal_problem())
+    assert ref.termination_type == ct.TerminationType.CONVERGENCE
+
+    os.environ["CERES_TPU_FORCE_IMPLICIT"] = "1"
+    try:
+        fused = ct.solve(ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            fused_iterations=True, **base), _cross_dup_bal_problem())
+        mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("data",))
+        sharded = ct.solve(ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            mesh=mesh, **base), _cross_dup_bal_problem())
+    finally:
+        del os.environ["CERES_TPU_FORCE_IMPLICIT"]
+    for name, s in (("fused", fused), ("sharded", sharded)):
+        assert s.termination_type == ct.TerminationType.CONVERGENCE, name
+        rel = abs(s.final_cost - ref.final_cost) / ref.final_cost
+        assert rel < 1e-6, (name, rel)

@@ -190,3 +190,20 @@ def test_implicit_fused_iterative_schur_on_device():
     assert s.termination_type == ct.TerminationType.CONVERGENCE
     rel = abs(s.final_cost - s_ref.final_cost) / s_ref.final_cost
     assert rel < 1e-5, rel
+
+
+def test_fused_line_search_on_device():
+    """Whole L-BFGS + Wolfe loop as one device dispatch
+    (minimizers/line_search_fused.py)."""
+    params = np.array([-1.2, 1.0])
+
+    class Rosen(ct.FirstOrderFunction):
+        def cost(self, x):
+            return (1.0 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    s = ct.solve_gradient_problem(
+        ct.SolverOptions(minimizer_type=ct.MinimizerType.LINE_SEARCH,
+                         max_num_iterations=200, fused_iterations=True),
+        ct.GradientProblem(Rosen(2)), params)
+    assert s.is_solution_usable(), s.message
+    np.testing.assert_allclose(params, [1.0, 1.0], atol=1e-5)
