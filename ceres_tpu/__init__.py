@@ -12,6 +12,7 @@ from . import config  # noqa: F401  (enables x64 on import)
 
 from .types import (  # noqa: F401
     CallbackReturnType, CovarianceAlgorithmType, DoglegType,
+    EvaluationCallback,
     IterationSummary, LineSearchDirectionType, LineSearchInterpolationType,
     LineSearchType, LinearSolverType, LoggingType, MinimizerType,
     NonlinearConjugateGradientType, NumericDiffMethodType,

@@ -78,6 +78,8 @@ class BucketJacobian:
     @property
     def all_cols(self):
         """[n, t_total] concatenated column indices."""
+        if not self.cols:   # all-constant bucket: zero tangent columns
+            return jnp.zeros((self.n, 0), dtype=jnp.int32)
         return jnp.concatenate(self.cols, axis=1) if len(self.cols) > 1 \
             else self.cols[0]
 
@@ -110,6 +112,8 @@ class BucketJacobian:
                 parts.append(Vg[self.tlocals[s]])
             else:
                 parts.append(v[c])
+        if not parts:   # all-constant bucket
+            return jnp.zeros((self.n, 0), dtype=v.dtype)
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                                 axis=1)
 

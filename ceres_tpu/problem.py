@@ -66,13 +66,18 @@ class ResidualBlockId:
 
 class ProblemOptions:
     """Reference Problem::Options. Ownership enums are no-ops under GC;
-    enable_fast_removal retained for API parity (removal here is O(n))."""
+    enable_fast_removal retained for API parity (removal here is O(n)).
+    evaluation_callback (problem.h:179): called before each evaluation;
+    honored by Problem.evaluate* and by ct.solve (merged into
+    SolverOptions.evaluation_callback when the latter is unset)."""
 
     def __init__(self, enable_fast_removal: bool = False,
                  cost_function_ownership=None, loss_function_ownership=None,
-                 manifold_ownership=None, disable_all_safety_checks=False):
+                 manifold_ownership=None, disable_all_safety_checks=False,
+                 evaluation_callback=None):
         self.enable_fast_removal = enable_fast_removal
         self.disable_all_safety_checks = disable_all_safety_checks
+        self.evaluation_callback = evaluation_callback
 
 
 class Problem:
@@ -179,6 +184,14 @@ class Problem:
         blk = self._get(values)
         return float(blk.upper[index]) if blk.upper is not None else np.inf
 
+    def has_parameter_block(self, values) -> bool:
+        """problem.h:369."""
+        try:
+            key = self._as_key(values)
+        except TypeError:
+            return False
+        return key in self._blocks
+
     def parameter_block_size(self, values) -> int:
         return self._get(values).size
 
@@ -256,6 +269,14 @@ class Problem:
     def get_parameter_blocks_for_residual_block(self, rb: ResidualBlockId):
         return [self._blocks[k].array for k in rb.param_keys]
 
+    def get_cost_function_for_residual_block(self, rb: ResidualBlockId):
+        """problem.h:387."""
+        return rb.cost
+
+    def get_loss_function_for_residual_block(self, rb: ResidualBlockId):
+        """problem.h:392."""
+        return rb.loss
+
     def get_residual_blocks_for_parameter_block(self, values):
         key = self._as_key(values)
         return [rb for rb in self._residuals
@@ -273,15 +294,152 @@ class Problem:
     def evaluate(self, apply_loss_function: bool = True,
                  residual_blocks=None, parameter_blocks=None,
                  want_residuals: bool = True, want_gradient: bool = False,
-                 want_jacobian: bool = False):
+                 want_jacobian: bool = False, new_point: bool = True):
         """Returns (cost, residuals, gradient, jacobian); entries None when
-        not requested. Residuals are ordered by residual-block insertion
-        order; gradient/jacobian columns follow parameter-block insertion
-        order in tangent space (reference problem_impl.cc:585)."""
+        not requested (reference problem_impl.cc:585 + EvaluateOptions,
+        problem.h:405-438).
+
+        residual_blocks: subset (and row order) of residual blocks to
+        evaluate; None = all, insertion order. parameter_blocks: subset
+        (and column order) of parameter blocks; blocks not listed are held
+        constant for this evaluation; None = all, insertion order. Listed
+        blocks contribute tangent_size columns (0 if constant)."""
         from .program import CompiledProgram
-        # include_fixed_blocks: Problem::Evaluate reports residuals for all
-        # residual blocks, even those whose parameters are all constant.
-        prog = CompiledProgram(self, apply_loss=apply_loss_function,
+        cb = self.options.evaluation_callback
+        if cb is not None:
+            cb.prepare_for_evaluation(
+                evaluate_jacobians=bool(want_gradient or want_jacobian),
+                new_evaluation_point=new_point)
+        if residual_blocks is None and parameter_blocks is None:
+            # include_fixed_blocks: Problem::Evaluate reports residuals for
+            # all residual blocks, even all-constant ones.
+            prog = CompiledProgram(self, apply_loss=apply_loss_function,
+                                   include_fixed_blocks=True)
+            return prog.public_evaluate(want_residuals, want_gradient,
+                                        want_jacobian)
+
+        # Subset evaluation: build a temporary view problem sharing the
+        # user arrays / cost objects (the reference builds a temporary
+        # Program the same way, problem_impl.cc Evaluate). Insertion order
+        # in the view IS the requested row/column order.
+        sel_res = (list(residual_blocks) if residual_blocks is not None
+                   else self.residual_blocks())
+        view = Problem()
+        listed_keys = None
+        if parameter_blocks is not None:
+            listed_keys = set()
+            for pb in parameter_blocks:
+                src = self._get(pb)    # unknown block -> KeyError
+                view.add_parameter_block(pb)
+                vb = view._get(pb)
+                vb.manifold = src.manifold
+                vb.constant = src.constant
+                listed_keys.add(id(pb))
+        for rb in sel_res:
+            if (rb.index >= len(self._residuals)
+                    or self._residuals[rb.index] is not rb):
+                raise KeyError("residual block not in problem")
+            arrays = [self._blocks[k].array for k in rb.param_keys]
+            view.add_residual_block(rb.cost, rb.loss, *arrays)
+            for k, arr in zip(rb.param_keys, arrays):
+                src, vb = self._blocks[k], view._get(arr)
+                vb.manifold = src.manifold
+                # blocks outside parameter_blocks are held constant
+                # (problem_impl.cc: excluded blocks SetConstant during
+                # evaluation)
+                vb.constant = src.constant or (
+                    listed_keys is not None and k not in listed_keys)
+        prog = CompiledProgram(view, apply_loss=apply_loss_function,
                                include_fixed_blocks=True)
-        return prog.public_evaluate(want_residuals, want_gradient,
-                                    want_jacobian)
+        cost, res, grad, jac = prog.public_evaluate(
+            want_residuals, want_gradient, want_jacobian)
+        if not (want_gradient or want_jacobian):
+            return cost, res, grad, jac
+
+        # Expand tangent columns to the full requested parameter-block
+        # list: the view's CompiledProgram drops blocks untouched by the
+        # selected residuals; the reference contract gives every listed
+        # variable block its tangent_size columns (zero if untouched).
+        req = (parameter_blocks if parameter_blocks is not None
+               else self.parameter_blocks())
+        used = set()
+        for rb in view._residual_records():
+            used.update(rb.param_keys)
+        # column ranges in the view's output (insertion order over
+        # variable & used blocks — matches public_evaluate's permutation)
+        src_off, o = {}, 0
+        for key in view._block_order:
+            vb = view._blocks[key]
+            if vb.constant or key not in used or vb.tangent_size == 0:
+                continue
+            src_off[key] = (o, vb.tangent_size)
+            o += vb.tangent_size
+        # destination ranges over the requested list
+        widths = []
+        for pb in req:
+            vb = view._blocks.get(id(pb))
+            if vb is not None:
+                widths.append(0 if vb.constant else vb.tangent_size)
+            else:   # listed but untouched by the selected residuals
+                src = self._get(pb)
+                widths.append(0 if src.constant else src.tangent_size)
+        total = sum(widths)
+        grad_out = np.zeros(total) if want_gradient else None
+        jac_out = (np.zeros((jac.shape[0], total))
+                   if want_jacobian else None)
+        d = 0
+        for pb, w in zip(req, widths):
+            s = src_off.get(id(pb))
+            if s is not None and w:
+                if want_gradient:
+                    grad_out[d:d + w] = grad[s[0]:s[0] + s[1]]
+                if want_jacobian:
+                    jac_out[:, d:d + w] = jac[:, s[0]:s[0] + s[1]]
+            d += w
+        return cost, res, grad_out, jac_out
+
+    def evaluate_residual_block(self, rb: ResidualBlockId,
+                                apply_loss_function: bool = True,
+                                want_jacobians: bool = True,
+                                new_point: bool = True):
+        """Reference Problem::EvaluateResidualBlock (problem.h:515).
+
+        Returns (cost, residuals, jacobians) where jacobians is a list
+        with one [num_residuals, tangent_size] array per parameter block
+        of the residual (None for constant blocks — the reference forbids
+        requesting those), or None when want_jacobians is False. Loss
+        robustification and Manifold are applied, matching the reference
+        contract (quaternion blocks give 3 columns, not 4)."""
+        if (rb.index >= len(self._residuals)
+                or self._residuals[rb.index] is not rb):
+            raise KeyError("residual block not in problem")
+        cost, _res, _grad, jac = self.evaluate(
+            apply_loss_function=apply_loss_function,
+            residual_blocks=[rb],
+            parameter_blocks=[self._blocks[k].array
+                              for k in rb.param_keys],
+            want_residuals=True,
+            want_gradient=False, want_jacobian=want_jacobians,
+            new_point=new_point)
+        res = _res
+        if not want_jacobians:
+            return cost, res, None
+        jacs, col = [], 0
+        for k in rb.param_keys:
+            blk = self._blocks[k]
+            if blk.constant:
+                jacs.append(None)
+                continue
+            w = blk.tangent_size
+            jacs.append(jac[:, col:col + w])
+            col += w
+        return cost, res, jacs
+
+    def evaluate_residual_block_assuming_parameters_unchanged(
+            self, rb: ResidualBlockId, apply_loss_function: bool = True,
+            want_jacobians: bool = True):
+        """problem.h:533 — as evaluate_residual_block but the
+        EvaluationCallback (if any) is told new_point=False."""
+        return self.evaluate_residual_block(
+            rb, apply_loss_function=apply_loss_function,
+            want_jacobians=want_jacobians, new_point=False)

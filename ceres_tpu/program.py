@@ -702,6 +702,13 @@ class CompiledProgram:
         fn = bk.residual_fn
         var_slots = [(i, sl) for i, sl in enumerate(bk.slots) if sl.variable]
 
+        if not var_slots:
+            # All-constant bucket (possible under include_fixed_blocks,
+            # e.g. Problem::Evaluate with a parameter_blocks subset):
+            # residuals only, zero tangent columns.
+            r = jax.vmap(lambda data, *ps: fn(data, *ps))(data, *params)
+            return r, jnp.zeros(r.shape + (0,), dtype=r.dtype)
+
         if bk.jac_mode == "ad":
             def per_block(data, *ps):
                 def g(deltas):
@@ -864,10 +871,13 @@ class CompiledProgram:
         else:
             cost = jax.jit(self.cost_fn)(x)
             grad, jac = None, None
-            res = (jax.jit(lambda xx: self.residuals_fn(xx, corrected=False))(x)
+            # corrected=True: Problem::Evaluate returns loss-corrected
+            # ("robustified") residuals, matching ResidualBlock::Evaluate
+            # (residual_block.cc applies the Corrector to residuals). When
+            # apply_loss=False the program carries no losses and correction
+            # is the identity.
+            res = (jax.jit(lambda xx: self.residuals_fn(xx, corrected=True))(x)
                    if want_residuals else None)
-            if want_residuals:
-                res = self.residuals_fn(x)
 
         residuals_out = None
         if want_residuals:

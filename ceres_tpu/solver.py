@@ -401,6 +401,15 @@ def solve(options: SolverOptions, problem,
         summary.message = f"Invalid options: {err}"
         return summary
 
+    # Problem::Options::evaluation_callback (problem.h:179, Ceres 2.2
+    # attaches the callback to the Problem): merge into the solver options
+    # unless the user already set one there.
+    prob_cb = getattr(getattr(problem, "options", None),
+                      "evaluation_callback", None)
+    if prob_cb is not None and options.evaluation_callback is None:
+        import dataclasses
+        options = dataclasses.replace(options, evaluation_callback=prob_cb)
+
     # ---- preprocess ----
     t0 = time.time()
     program = CompiledProgram.get_cached(problem, options)

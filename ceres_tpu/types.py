@@ -115,6 +115,18 @@ class TerminationType(_StrEnum):
     USER_FAILURE = enum.auto()
 
 
+class EvaluationCallback:
+    """Reference EvaluationCallback (evaluation_callback.h:63): notified
+    before each residual/jacobian evaluation so user code can update
+    shared state. Attach via Problem::Options.evaluation_callback or
+    SolverOptions.evaluation_callback. Duck typing is accepted everywhere;
+    this base exists for API parity and documentation."""
+
+    def prepare_for_evaluation(self, evaluate_jacobians: bool,
+                               new_evaluation_point: bool):
+        raise NotImplementedError
+
+
 class CallbackReturnType(_StrEnum):
     """Reference types.h:401-415."""
     SOLVER_CONTINUE = enum.auto()
