@@ -32,6 +32,7 @@ from .manifolds import (  # noqa: F401
 from .cost import (  # noqa: F401
     AutoDiffCostFunction, ConditionedCostFunction, CostFunction,
     CostFunctionToFunctor, DynamicAutoDiffCostFunction,
+    DynamicCostFunctionToFunctor,
     DynamicNumericDiffCostFunction, NormalPrior, NumericDiffCostFunction,
     NumericDiffOptions, SizedCostFunction,
 )
@@ -41,7 +42,8 @@ from .batch import solve_batched  # noqa: F401
 from .covariance import Covariance, CovarianceOptions  # noqa: F401
 from .gradient_checker import GradientChecker  # noqa: F401
 from .gradient_problem import (  # noqa: F401
-    FirstOrderFunction, GradientProblem, GradientProblemSolver,
+    AutoDiffFirstOrderFunction, FirstOrderFunction, GradientProblem,
+    GradientProblemSolver, NumericDiffFirstOrderFunction,
     solve_gradient_problem,
 )
 from .interpolation import (  # noqa: F401

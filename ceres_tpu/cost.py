@@ -373,6 +373,16 @@ class CostFunctionToFunctor:
         return self._fn(self._data, *params)
 
 
+class DynamicCostFunctionToFunctor(CostFunctionToFunctor):
+    """Wrap a dynamically-sized CostFunction into a functor (reference
+    dynamic_cost_function_to_functor.h:46). Called with a list/tuple of
+    parameter arrays, mirroring the dynamic functor convention
+    (T const* const* parameters)."""
+
+    def __call__(self, params):
+        return self._fn(self._data, *params)
+
+
 class ConditionedCostFunction(CostFunction):
     """Apply per-residual conditioner cost functions
     (reference conditioned_cost_function.h:74): out_i = c_i(r_i)."""

@@ -43,6 +43,53 @@ class FirstOrderFunction:
         return c, g
 
 
+class AutoDiffFirstOrderFunction(FirstOrderFunction):
+    """Build a FirstOrderFunction from a plain scalar functor; the gradient
+    comes from JAX AD (the Jet role — reference
+    autodiff_first_order_function.h:105)."""
+
+    def __init__(self, functor, num_parameters: int):
+        super().__init__(num_parameters)
+        self._functor = functor
+
+    def cost(self, x):
+        return jnp.reshape(jnp.asarray(self._functor(x)), ())
+
+
+class NumericDiffFirstOrderFunction(FirstOrderFunction):
+    """FirstOrderFunction with a finite-difference gradient (reference
+    numeric_diff_first_order_function.h). For functors whose gradient JAX
+    AD cannot produce (non-differentiable primitives, lookups); the
+    stencil itself is traceable and runs as one batched evaluation, like
+    NumericDiffCostFunction (cost.py)."""
+
+    def __init__(self, functor, num_parameters: int,
+                 method=None, options=None):
+        from .types import NumericDiffMethodType
+        from .cost import NumericDiffOptions
+        super().__init__(num_parameters)
+        self._functor = functor
+        self._method = method or NumericDiffMethodType.CENTRAL
+        self._options = options or NumericDiffOptions()
+
+    def cost(self, x):
+        return jnp.reshape(jnp.asarray(self._functor(x)), ())
+
+    def cost_and_gradient(self, x):
+        from .types import NumericDiffMethodType
+        c = self.cost(x)
+        step = self._options.relative_step_size * jnp.maximum(
+            jnp.abs(x), 1.0)
+        eye = jnp.eye(x.shape[0], dtype=x.dtype)
+        if self._method == NumericDiffMethodType.FORWARD:
+            probes = jax.vmap(
+                lambda e, h: self.cost(x + h * e))(eye, step)
+            return c, (probes - c) / step
+        fp = jax.vmap(lambda e, h: self.cost(x + h * e))(eye, step)
+        fm = jax.vmap(lambda e, h: self.cost(x - h * e))(eye, step)
+        return c, (fp - fm) / (2.0 * step)
+
+
 class GradientProblem:
     """gradient_problem.h:92. Optionally carries a Manifold."""
 

@@ -108,3 +108,61 @@ def test_spse_warm_start_converges():
         results[spse] = s
     np.testing.assert_allclose(results[True].final_cost,
                                results[False].final_cost, rtol=1e-5)
+
+
+def test_dynamic_cost_function_to_functor():
+    """reference dynamic_cost_function_to_functor.h: a dynamically-sized
+    CostFunction composed inside a dynamic AD functor."""
+    inner = ct.DynamicAutoDiffCostFunction(
+        lambda params: params[0] * 2.0 - params[1])
+    inner.add_parameter_block(2)
+    inner.add_parameter_block(2)
+    inner.set_num_residuals(2)
+    wrapped = ct.DynamicCostFunctionToFunctor(inner)
+
+    def outer(params):
+        # shift the first block, then apply the wrapped cost
+        shifted = [params[0] + 1.0, params[1]]
+        return wrapped(shifted)
+
+    a = np.array([0.0, 0.0])
+    b = np.array([0.5, -0.5])
+    cost = ct.DynamicAutoDiffCostFunction(outer)
+    cost.add_parameter_block(2)
+    cost.add_parameter_block(2)
+    cost.set_num_residuals(2)
+    problem = ct.Problem()
+    problem.add_residual_block(cost, None, a, b)
+    problem.set_parameter_block_constant(b)
+    s = ct.solve(ct.SolverOptions(), problem)
+    assert s.is_solution_usable()
+    # residual 2*(a+1) - b = 0  ->  a = b/2 - 1
+    np.testing.assert_allclose(a, b / 2.0 - 1.0, atol=1e-10)
+
+
+def test_autodiff_first_order_function():
+    """autodiff_first_order_function.h: plain functor -> FirstOrderFunction."""
+    f = ct.AutoDiffFirstOrderFunction(
+        lambda x: (1.0 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2, 2)
+    params = np.array([-1.2, 1.0])
+    s = ct.solve_gradient_problem(
+        ct.SolverOptions(minimizer_type=ct.MinimizerType.LINE_SEARCH,
+                         max_num_iterations=500),
+        ct.GradientProblem(f), params)
+    assert s.is_solution_usable(), s.message
+    np.testing.assert_allclose(params, [1.0, 1.0], atol=1e-6)
+
+
+def test_numeric_diff_first_order_function():
+    """numeric_diff_first_order_function.h: finite-difference gradient."""
+    f = ct.NumericDiffFirstOrderFunction(
+        lambda x: jnp.sum((x - jnp.asarray([3.0, -1.0])) ** 2), 2)
+    c, g = f.cost_and_gradient(jnp.asarray([0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(g), [-6.0, 2.0], rtol=1e-5)
+    params = np.array([0.0, 0.0])
+    s = ct.solve_gradient_problem(
+        ct.SolverOptions(minimizer_type=ct.MinimizerType.LINE_SEARCH,
+                         max_num_iterations=100),
+        ct.GradientProblem(f), params)
+    assert s.is_solution_usable(), s.message
+    np.testing.assert_allclose(params, [3.0, -1.0], atol=1e-5)
