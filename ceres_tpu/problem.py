@@ -294,7 +294,8 @@ class Problem:
     def evaluate(self, apply_loss_function: bool = True,
                  residual_blocks=None, parameter_blocks=None,
                  want_residuals: bool = True, want_gradient: bool = False,
-                 want_jacobian: bool = False, new_point: bool = True):
+                 want_jacobian: bool = False, new_point: bool = True,
+                 jacobian_format: str = "dense"):
         """Returns (cost, residuals, gradient, jacobian); entries None when
         not requested (reference problem_impl.cc:585 + EvaluateOptions,
         problem.h:405-438).
@@ -303,7 +304,10 @@ class Problem:
         evaluate; None = all, insertion order. parameter_blocks: subset
         (and column order) of parameter blocks; blocks not listed are held
         constant for this evaluation; None = all, insertion order. Listed
-        blocks contribute tangent_size columns (0 if constant)."""
+        blocks contribute tangent_size columns (0 if constant).
+
+        jacobian_format: "dense" (numpy) or "csr" (scipy CSR — the
+        reference's CRSMatrix form; never densified, usable at BA scale)."""
         from .program import CompiledProgram
         cb = self.options.evaluation_callback
         if cb is not None:
@@ -316,7 +320,8 @@ class Problem:
             prog = CompiledProgram(self, apply_loss=apply_loss_function,
                                    include_fixed_blocks=True)
             return prog.public_evaluate(want_residuals, want_gradient,
-                                        want_jacobian)
+                                        want_jacobian,
+                                        jacobian_format=jacobian_format)
 
         # Subset evaluation: build a temporary view problem sharing the
         # user arrays / cost objects (the reference builds a temporary
@@ -352,7 +357,8 @@ class Problem:
         prog = CompiledProgram(view, apply_loss=apply_loss_function,
                                include_fixed_blocks=True)
         cost, res, grad, jac = prog.public_evaluate(
-            want_residuals, want_gradient, want_jacobian)
+            want_residuals, want_gradient, want_jacobian,
+            jacobian_format=jacobian_format)
         if not (want_gradient or want_jacobian):
             return cost, res, grad, jac
 
@@ -385,8 +391,13 @@ class Problem:
                 widths.append(0 if src.constant else src.tangent_size)
         total = sum(widths)
         grad_out = np.zeros(total) if want_gradient else None
-        jac_out = (np.zeros((jac.shape[0], total))
-                   if want_jacobian else None)
+        sparse = want_jacobian and jacobian_format == "csr"
+        if sparse:
+            # column projection src -> requested layout: jac @ P
+            import scipy.sparse as sp
+            src_cols, dst_cols = [], []
+        jac_out = (None if not want_jacobian else
+                   None if sparse else np.zeros((jac.shape[0], total)))
         d = 0
         for pb, w in zip(req, widths):
             s = src_off.get(id(pb))
@@ -394,8 +405,17 @@ class Problem:
                 if want_gradient:
                     grad_out[d:d + w] = grad[s[0]:s[0] + s[1]]
                 if want_jacobian:
-                    jac_out[:, d:d + w] = jac[:, s[0]:s[0] + s[1]]
+                    if sparse:
+                        src_cols.extend(range(s[0], s[0] + s[1]))
+                        dst_cols.extend(range(d, d + w))
+                    else:
+                        jac_out[:, d:d + w] = jac[:, s[0]:s[0] + s[1]]
             d += w
+        if sparse:
+            P = sp.coo_matrix(
+                (np.ones(len(src_cols)), (src_cols, dst_cols)),
+                shape=(jac.shape[1], total)).tocsr()
+            jac_out = (jac @ P).tocsr()
         return cost, res, grad_out, jac_out
 
     def evaluate_residual_block(self, rb: ResidualBlockId,

@@ -861,10 +861,16 @@ class CompiledProgram:
 
     # ------------------------------------------------------------------
 
-    def public_evaluate(self, want_residuals, want_gradient, want_jacobian):
+    def public_evaluate(self, want_residuals, want_gradient, want_jacobian,
+                        jacobian_format: str = "dense"):
         """Problem::Evaluate (problem_impl.cc:585). Residuals in insertion
         order; gradient/jacobian in tangent space ordered by parameter-block
-        insertion order."""
+        insertion order.
+
+        jacobian_format: "dense" (numpy [rows, cols]) or "csr"
+        (scipy.sparse.csr_matrix — the reference returns a CRSMatrix;
+        assembled from the block structure without densifying, usable at
+        BA scale)."""
         x = self.initial_state()
         if want_gradient or want_jacobian:
             cost, grad, jac, res = jax.jit(self.linearize_fn)(x)
@@ -917,7 +923,6 @@ class CompiledProgram:
             grad_out = np.asarray(grad)[perm]
         jac_out = None
         if want_jacobian:
-            jd = np.asarray(jac.to_dense())[:, perm]
             # rows to residual-block insertion order (as residuals above)
             sizes = {rb.index: rb.cost.num_residuals
                      for rb in self.problem._residual_records()}
@@ -925,13 +930,44 @@ class CompiledProgram:
             for idx in sorted(sizes):
                 offs[idx] = o
                 o += sizes[idx]
-            jac_out = np.zeros_like(jd)
-            row = 0
-            for bk in self.buckets:
-                for i, orig in enumerate(bk.orig_indices):
-                    jac_out[offs[orig]:offs[orig] + bk.r] = \
-                        jd[row:row + bk.r]
-                    row += bk.r
+            if jacobian_format == "csr":
+                import scipy.sparse as sp
+                ncols = perm.size
+                inv = np.empty(ncols, dtype=np.int64)
+                inv[perm] = np.arange(ncols)
+                rows_l, cols_l, data_l = [], [], []
+                for bk, b in zip(self.buckets, jac.buckets):
+                    t = b.J.shape[2]
+                    if t == 0:
+                        continue
+                    Jb = np.asarray(b.J)               # [n, r, t]
+                    cpub = inv[np.asarray(b.all_cols)]  # [n, t]
+                    starts = np.asarray(
+                        [offs[orig] for orig in bk.orig_indices])
+                    r = bk.r
+                    rows = (starts[:, None, None]
+                            + np.arange(r)[None, :, None])
+                    rows_l.append(np.broadcast_to(
+                        rows, Jb.shape).ravel())
+                    cols_l.append(np.broadcast_to(
+                        cpub[:, None, :], Jb.shape).ravel())
+                    data_l.append(Jb.ravel())
+                if rows_l:
+                    jac_out = sp.coo_matrix(
+                        (np.concatenate(data_l),
+                         (np.concatenate(rows_l), np.concatenate(cols_l))),
+                        shape=(self.num_rows, ncols)).tocsr()
+                else:
+                    jac_out = sp.csr_matrix((self.num_rows, ncols))
+            else:
+                jd = np.asarray(jac.to_dense())[:, perm]
+                jac_out = np.zeros_like(jd)
+                row = 0
+                for bk in self.buckets:
+                    for i, orig in enumerate(bk.orig_indices):
+                        jac_out[offs[orig]:offs[orig] + bk.r] = \
+                            jd[row:row + bk.r]
+                        row += bk.r
         return (float(cost),
                 residuals_out,
                 grad_out,

@@ -162,3 +162,29 @@ def test_problem_options_evaluation_callback():
     assert s.is_solution_usable()
     assert len(calls) > n_before
     np.testing.assert_allclose(a, [1.0], atol=1e-10)
+
+
+def test_evaluate_csr_jacobian():
+    """jacobian_format='csr': the reference returns a CRSMatrix; the CSR
+    must match the dense jacobian exactly, full and subset."""
+    problem, (a, b, c), (rb0, rb1, rb2) = _quad_problem()
+    _, _, _, jd = problem.evaluate(want_jacobian=True)
+    _, _, _, js = problem.evaluate(want_jacobian=True,
+                                   jacobian_format="csr")
+    import scipy.sparse as sp
+    assert sp.issparse(js)
+    np.testing.assert_allclose(js.toarray(), jd, rtol=1e-12)
+    # subset (incl. zero columns for an untouched listed block)
+    _, _, _, jd2 = problem.evaluate(residual_blocks=[rb0],
+                                    parameter_blocks=[b, a],
+                                    want_jacobian=True)
+    _, _, _, js2 = problem.evaluate(residual_blocks=[rb0],
+                                    parameter_blocks=[b, a],
+                                    want_jacobian=True,
+                                    jacobian_format="csr")
+    np.testing.assert_allclose(js2.toarray(), jd2, rtol=1e-12)
+    # structure: rows of rb1 touch only b's columns
+    _, _, _, js3 = problem.evaluate(want_jacobian=True,
+                                    jacobian_format="csr")
+    row = js3.getrow(1).toarray().ravel()   # first rb1 row
+    assert row[0] == 0.0 and row[3] == 0.0 and abs(row[1]) > 0
