@@ -11,12 +11,14 @@ reductions. See SURVEY.md at the repo root for the reference layer map.
 from . import config  # noqa: F401  (enables x64 on import)
 
 from .types import (  # noqa: F401
-    CallbackReturnType, CovarianceAlgorithmType, DoglegType,
+    CallbackReturnType, CovarianceAlgorithmType,
+    DenseLinearAlgebraLibraryType, DoglegType,
     EvaluationCallback,
     IterationSummary, LineSearchDirectionType, LineSearchInterpolationType,
     LineSearchType, LinearSolverType, LoggingType, MinimizerType,
     NonlinearConjugateGradientType, NumericDiffMethodType,
     ParameterBlockOrdering, PreconditionerType, SolverOptions, SolverSummary,
+    SparseLinearAlgebraLibraryType,
     TerminationType, TrustRegionStrategyType, VisibilityClusteringType,
 )
 from .loss import (  # noqa: F401

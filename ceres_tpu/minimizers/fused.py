@@ -286,6 +286,11 @@ def run_fused(program, options, summary):
     summary.num_linear_solver_iterations = int(
         result.total_linear_iterations)
     summary.num_iterations_fused = int(result.iterations)
+    # Evaluator call counts, derived from the device-loop statistics:
+    # one fused linearize per accepted step (+ the initial one), one
+    # candidate residual pass per iteration (+ iteration 0).
+    summary.num_jacobian_evaluations = int(result.successful_steps) + 1
+    summary.num_residual_evaluations = int(result.iterations) + 1
     code = int(result.termination_code)
     term, msg = TERMINATION_BY_CODE.get(
         code, (TerminationType.FAILURE, f"unknown code {code}"))

@@ -269,6 +269,8 @@ def minimize_line_search(program, options, summary: SolverSummary,
         model = None
 
     cost, grad = cost_and_grad(x)
+    summary.num_residual_evaluations += 1
+    summary.num_jacobian_evaluations += 1
     cost = float(cost)
     summary.initial_cost = cost
     grad_norm_sq = float(jnp.vdot(grad, grad))
@@ -338,9 +340,18 @@ def minimize_line_search(program, options, summary: SolverSummary,
             return c, jnp.vdot(g, direction)
 
         want_wolfe = (options.line_search_type == LineSearchType.WOLFE)
+        t_ls = time.time()
         step, f_new, evals = _line_search(phi, cost, dphi0, step0, options,
                                           want_wolfe)
+        # phi evaluations are fused value_and_grad calls: the time is
+        # reported under cost_evaluation, gradient stays 0 (solver.h
+        # split not separable here; see SolverSummary field comment).
+        summary.line_search_total_time_in_seconds += time.time() - t_ls
+        summary.line_search_cost_evaluation_time_in_seconds += \
+            time.time() - t_ls
         summary.num_line_search_steps += evals
+        summary.num_residual_evaluations += evals
+        summary.num_jacobian_evaluations += evals
 
         if step is None:
             summary.termination_type = TerminationType.FAILURE
@@ -351,6 +362,8 @@ def minimize_line_search(program, options, summary: SolverSummary,
         delta = step * direction
         x_new = plus(x, delta)
         new_cost, new_grad = cost_and_grad(x_new)
+        summary.num_residual_evaluations += 1
+        summary.num_jacobian_evaluations += 1
         new_cost = float(new_cost)
         new_grad_max = float(jnp.max(jnp.abs(new_grad)))
         new_grad_norm_sq = float(jnp.vdot(new_grad, new_grad))

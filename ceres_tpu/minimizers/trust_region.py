@@ -258,6 +258,7 @@ def minimize_trust_region(program, options, step_fn: Callable,
     t0 = time.time()
     cost = float(cost_eval(x))
     total_cost_eval_time += time.time() - t0
+    summary.num_residual_evaluations += 1
     if not math.isfinite(cost):
         summary.termination_type = TerminationType.FAILURE
         summary.message = "Initial cost is not finite."
@@ -352,6 +353,8 @@ def minimize_trust_region(program, options, step_fn: Callable,
         total_solver_time += t_solve
         summary.num_linear_solves += 1
         summary.num_linear_solver_iterations += lin_iters
+        summary.num_residual_evaluations += 1   # linearize includes r
+        summary.num_jacobian_evaluations += 1
 
         it = IterationSummary(
             iteration=iteration, cost=cost,
@@ -433,19 +436,24 @@ def minimize_trust_region(program, options, step_fn: Callable,
             it.line_search_function_evaluations = int(h2[2]) + 1
             new_x_norm = float(h2[3])
             step_norm = step_norm * it.step_size
+            summary.num_residual_evaluations += int(h2[2]) + 1
         else:
             x_new, nc, xn = try_step(x, step_out["delta"])
             h2 = jax.device_get((nc, xn))
             new_cost = float(h2[0])
             new_x_norm = float(h2[1])
+            summary.num_residual_evaluations += 1
         # Inner iterations refine the candidate before acceptance
         # (trust_region_minimizer.cc:506 DoInnerIterationsIfNeeded).
         if inner_fn is not None and math.isfinite(new_cost):
+            t_in = time.time()
             x_refined = inner_fn(x_new)
             refined_cost = float(cost_eval(x_refined))
+            summary.num_residual_evaluations += 1
             if math.isfinite(refined_cost) and refined_cost < new_cost:
                 x_new, new_cost = x_refined, refined_cost
             summary.num_inner_iteration_steps += 1
+            summary.inner_iteration_time_in_seconds += time.time() - t_in
         total_cost_eval_time += time.time() - t0
 
         if not math.isfinite(new_cost):

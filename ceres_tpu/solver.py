@@ -431,6 +431,17 @@ def solve(options: SolverOptions, problem,
     summary.linear_solver_type_given = options.linear_solver_type
     summary.preconditioner_type_given = options.preconditioner_type
     summary.line_search_direction_type = options.line_search_direction_type
+    summary.is_constrained = program.has_bounds
+    summary.num_threads_given = options.num_threads
+    summary.num_threads_used = 1   # XLA owns on-device parallelism
+    summary.mixed_precision_solves_used = bool(
+        options.use_mixed_precision_solves)
+    summary.inner_iterations_given = bool(options.use_inner_iterations)
+    summary.inner_iterations_used = bool(options.use_inner_iterations)
+    summary.dense_linear_algebra_library_type = (
+        options.dense_linear_algebra_library_type)
+    summary.sparse_linear_algebra_library_type = (
+        options.sparse_linear_algebra_library_type)
 
     if program.num_effective == 0:
         # Nothing to optimize (all blocks constant / no residuals):
@@ -539,6 +550,21 @@ def _maybe_downgrade_options(options, program, summary):
                 preconditioner_type=PreconditionerType.JACOBI)
             summary.message = (
                 f"No Schur structure detected; using {new_t}. ")
+        if structure is not None:
+            # Schur structure string "r,e,f" (solver.h:1024; the
+            # reference's SchurStructureToString, 'd' = ragged). XLA
+            # shape-specializes every structure, so used == given.
+            rs = {bk.r for bk in program.buckets}
+            fs = {g["t"] for g in structure.f_groups}
+
+            def _dim(vals):
+                return str(next(iter(vals))) if len(vals) == 1 else "d"
+
+            s_str = f"{_dim(rs)},{structure.te},{_dim(fs)}"
+            summary.schur_structure_given = s_str
+            summary.schur_structure_used = s_str
+        if structure is None:
+            pass
         elif (t == LinearSolverType.SPARSE_SCHUR
               and structure.nf > 4096):
             # Dense S is the MXU-native reduced-system form; past a few

@@ -68,6 +68,27 @@ class VisibilityClusteringType(_StrEnum):
     SINGLE_LINKAGE = enum.auto()
 
 
+class DenseLinearAlgebraLibraryType(_StrEnum):
+    """Reference types.h:121-125. Accepted for API parity; every dense
+    factorization here runs through XLA on the device (the CUDA role).
+    The value is echoed into the summary, nothing else."""
+    EIGEN = enum.auto()
+    LAPACK = enum.auto()
+    CUDA = enum.auto()
+
+
+class SparseLinearAlgebraLibraryType(_StrEnum):
+    """Reference types.h:127-144. Accepted for API parity; the sparse
+    direct backend here is the from-scratch native LDL^T
+    (native/ceres_native.cpp) with a scipy fallback, regardless of the
+    requested library."""
+    SUITE_SPARSE = enum.auto()
+    EIGEN_SPARSE = enum.auto()
+    ACCELERATE_SPARSE = enum.auto()
+    CUDA_SPARSE = enum.auto()
+    NO_SPARSE = enum.auto()
+
+
 class LineSearchDirectionType(_StrEnum):
     """Reference types.h:229-307."""
     STEEPEST_DESCENT = enum.auto()
@@ -233,6 +254,13 @@ class SolverOptions:
     spse_tolerance: float = 0.1
     eta: float = 1e-1  # forcing-sequence start (linear_solver.h q/eta)
     dynamic_sparsity: bool = False
+    # Library selectors (solver.h): accepted for parity, echoed into the
+    # summary; dense factorizations run on-device via XLA, the sparse
+    # direct backend is the native LDL^T.
+    dense_linear_algebra_library_type: DenseLinearAlgebraLibraryType = (
+        DenseLinearAlgebraLibraryType.EIGEN)
+    sparse_linear_algebra_library_type: SparseLinearAlgebraLibraryType = (
+        SparseLinearAlgebraLibraryType.SUITE_SPARSE)
 
     # Ordering (None = automatic; a list of sets = user elimination groups,
     # reference ordered_groups.h)
@@ -366,6 +394,41 @@ class SolverSummary:
     num_effective_parameters_reduced: int = 0
     num_residual_blocks_reduced: int = 0
     num_residuals_reduced: int = 0
+
+    # Is the reduced problem bounds constrained (solver.h:975).
+    is_constrained: bool = False
+    # Threads are an XLA concern on TPU; echoed for parity (solver.h:979).
+    num_threads_given: int = 1
+    num_threads_used: int = 1
+    # Evaluator call counts (solver.h num_residual/jacobian_evaluations).
+    # In fused mode these are derived from the device-loop statistics
+    # (one jacobian per accepted step + 1, one residual per iteration + 1).
+    num_residual_evaluations: int = 0
+    num_jacobian_evaluations: int = 0
+    # Inner iterations (solver.h inner_iterations_given/used).
+    inner_iterations_given: bool = False
+    inner_iterations_used: bool = False
+    inner_iteration_time_in_seconds: float = 0.0
+    # Mixed precision (solver.h:1005).
+    mixed_precision_solves_used: bool = False
+    # Schur elimination structure "r,e,f" ('d' = ragged/dynamic); XLA
+    # shape-specializes every structure, so given == used
+    # (solver.h:1024,:1033 — the reference may fall back to <d,d,d>).
+    schur_structure_given: str = ""
+    schur_structure_used: str = ""
+    # Library selectors echoed from the options (solver.h).
+    dense_linear_algebra_library_type: DenseLinearAlgebraLibraryType = (
+        DenseLinearAlgebraLibraryType.EIGEN)
+    sparse_linear_algebra_library_type: SparseLinearAlgebraLibraryType = (
+        SparseLinearAlgebraLibraryType.SUITE_SPARSE)
+    # Line-search phase times (solver.h). Evaluations here are fused
+    # value_and_grad calls: the cost/gradient split is not separable, so
+    # the evaluation time is reported under cost_evaluation and the
+    # gradient entry stays 0 (documented deviation).
+    line_search_cost_evaluation_time_in_seconds: float = 0.0
+    line_search_gradient_evaluation_time_in_seconds: float = 0.0
+    line_search_polynomial_minimization_time_in_seconds: float = 0.0
+    line_search_total_time_in_seconds: float = 0.0
 
     minimizer_type: MinimizerType = MinimizerType.TRUST_REGION
     trust_region_strategy_type: TrustRegionStrategyType = (

@@ -188,3 +188,47 @@ def test_evaluate_csr_jacobian():
                                     jacobian_format="csr")
     row = js3.getrow(1).toarray().ravel()   # first rb1 row
     assert row[0] == 0.0 and row[3] == 0.0 and abs(row[1]) > 0
+
+
+def test_summary_diagnostic_fields():
+    """Solver::Summary parity fields: evaluator call counts, thread echo,
+    is_constrained, mixed precision flag, schur structure string
+    (solver.h:975-1033)."""
+    problem, (a, b, c), _ = _quad_problem()
+    problem.set_parameter_lower_bound(a, 0, -10.0)
+    s = ct.solve(ct.SolverOptions(num_threads=4, max_num_iterations=20),
+                 problem)
+    assert s.is_solution_usable()
+    assert s.is_constrained
+    assert s.num_threads_given == 4 and s.num_threads_used == 1
+    assert s.num_residual_evaluations > 0
+    assert s.num_jacobian_evaluations > 0
+    assert not s.mixed_precision_solves_used
+
+    # line-search summary fields
+    params = np.array([-1.2, 1.0])
+    f = ct.AutoDiffFirstOrderFunction(
+        lambda x: (1.0 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2, 2)
+    s2 = ct.solve_gradient_problem(
+        ct.SolverOptions(minimizer_type=ct.MinimizerType.LINE_SEARCH,
+                         max_num_iterations=300),
+        ct.GradientProblem(f), params)
+    assert s2.is_solution_usable()
+    assert s2.num_jacobian_evaluations >= s2.num_iterations
+    assert s2.line_search_total_time_in_seconds > 0.0
+
+    # schur structure string on a BA-shaped problem
+    from ceres_tpu.io.bal import (build_bal_ceres_problem,
+                                  synthetic_bal_problem)
+    bal = synthetic_bal_problem(num_cameras=3, num_points=40,
+                                num_observations=120, seed=0,
+                                pixel_noise=0.5)
+    bal.perturb(rotation_sigma=0.05, translation_sigma=0.2,
+                point_sigma=0.1, seed=1)
+    prob3, _, _ = build_bal_ceres_problem(bal)
+    s3 = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=30), prob3)
+    assert s3.is_solution_usable()
+    assert s3.schur_structure_given == "2,3,9"
+    assert s3.schur_structure_used == "2,3,9"
