@@ -12,11 +12,11 @@ from . import config  # noqa: F401  (enables x64 on import)
 
 from .types import (  # noqa: F401
     CallbackReturnType, CovarianceAlgorithmType,
-    DenseLinearAlgebraLibraryType, DoglegType,
+    DenseLinearAlgebraLibraryType, DoglegType, DumpFormatType,
     EvaluationCallback,
     IterationSummary, LineSearchDirectionType, LineSearchInterpolationType,
     LineSearchType, LinearSolverType, LoggingType, MinimizerType,
-    NonlinearConjugateGradientType, NumericDiffMethodType,
+    NonlinearConjugateGradientType, NumericDiffMethodType, OrderingType,
     ParameterBlockOrdering, PreconditionerType, SolverOptions, SolverSummary,
     SparseLinearAlgebraLibraryType,
     TerminationType, TrustRegionStrategyType, VisibilityClusteringType,

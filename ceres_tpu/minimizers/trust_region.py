@@ -363,15 +363,31 @@ def minimize_trust_region(program, options, step_fn: Callable,
             linear_solver_iterations=lin_iters,
             step_solver_time_in_seconds=t_solve)
 
-        if dump_fn is not None:
+        dump_this = dump_fn is not None and (
+            not options.trust_region_minimizer_iterations_to_dump
+            or iteration
+            in options.trust_region_minimizer_iterations_to_dump)
+        if dump_this:
             import os as _os
+            from ..types import DumpFormatType
             Jd, rd, gd = jax.device_get(dump_fn(x))
-            np.savez(
-                _os.path.join(dump_dir,
-                              f"ceres_tpu_iteration_{iteration:03d}.npz"),
-                J=Jd, residuals=rd, gradient=gd, x=np.asarray(x),
-                delta=np.asarray(step_out["delta"]),
-                radius=strategy.radius)
+            if (options.trust_region_problem_dump_format_type
+                    == DumpFormatType.CONSOLE):
+                # solver.h CONSOLE: log the inner problem (shapes + norms
+                # here; the dense arrays would flood stdout at scale)
+                print(f"ceres_tpu iteration {iteration}: J {Jd.shape} "
+                      f"|J|_F={np.linalg.norm(Jd):.6e} "
+                      f"|r|={np.linalg.norm(rd):.6e} "
+                      f"|g|={np.linalg.norm(gd):.6e} "
+                      f"radius={strategy.radius:.6e}")
+            else:
+                np.savez(
+                    _os.path.join(
+                        dump_dir,
+                        f"ceres_tpu_iteration_{iteration:03d}.npz"),
+                    J=Jd, residuals=rd, gradient=gd, x=np.asarray(x),
+                    delta=np.asarray(step_out["delta"]),
+                    radius=strategy.radius)
 
         # Gradient convergence (checked on the fresh linearization).
         if grad_max <= options.gradient_tolerance:

@@ -32,7 +32,8 @@ class SparseNormalCholeskyContext:
 
     def __init__(self, program, use_rcm: bool = True,
                  lanes_per_bucket: Optional[List[np.ndarray]] = None,
-                 dynamic: bool = False):
+                 dynamic: bool = False,
+                 ordering: Optional[int] = None):
         """lanes_per_bucket: optional per-bucket arrays of residual-block
         lane indices restricting the pattern to a row subset (the
         SubsetPreconditioner case, subset_preconditioner.h:70); None uses
@@ -91,9 +92,13 @@ class SparseNormalCholeskyContext:
 
         self.dynamic = bool(dynamic)
         self._use_rcm = use_rcm
+        # explicit ordering override (OrderingType knob); None = legacy
+        # use_rcm auto selection
+        self._ordering = ordering
         self._col_of = col_of  # per-superset-entry column, for re-analysis
         self.chol = native.SparseCholesky(n, self.Ap, self.Ai,
-                                          use_rcm=use_rcm)
+                                          use_rcm=use_rcm,
+                                          ordering=ordering)
 
     def host_factor(self, D_sq: np.ndarray, *gram_flats) -> np.ndarray:
         """Assemble + refactor; returns int32 status (0 = ok)."""
@@ -109,8 +114,11 @@ class SparseNormalCholeskyContext:
             # the static path's ORDER_AUTO runs RCM + AMD + two symbolic
             # fills to pick a winner, which is fine once but triples the
             # host cost when repeated every factorization.
-            order = (native.SparseCholesky.ORDER_AMD if self._use_rcm
-                     else native.SparseCholesky.ORDER_NATURAL)
+            if self._ordering == native.SparseCholesky.ORDER_NATURAL:
+                order = native.SparseCholesky.ORDER_NATURAL
+            else:
+                order = (native.SparseCholesky.ORDER_AMD if self._use_rcm
+                         else native.SparseCholesky.ORDER_NATURAL)
             if not keep.all():
                 counts = np.zeros(self.n + 1, dtype=np.int64)
                 np.add.at(counts, self._col_of[keep] + 1, 1)
@@ -138,10 +146,26 @@ class SparseNormalCholeskyContext:
         return self.host_apply(rhs)
 
 
+def _native_ordering(options) -> Optional[int]:
+    """Map the public OrderingType knob to the native backend (see
+    types.OrderingType docstring): NATURAL = identity; AMD and NESDIS
+    both take ORDER_AUTO, which symbolically evaluates RCM and the
+    quotient-graph minimum-degree (AMD role) and keeps the lesser fill
+    — never worse than plain AMD; there is no METIS backend."""
+    from ..types import OrderingType
+    ot = getattr(options, "linear_solver_ordering_type", None)
+    if ot == OrderingType.NATURAL:
+        return native.SparseCholesky.ORDER_NATURAL
+    if ot in (OrderingType.AMD, OrderingType.NESDIS):
+        return native.SparseCholesky.ORDER_AUTO
+    return None
+
+
 def make_sparse_normal_cholesky_solver(program, options):
     """Returns solve(jac, res, D) -> (step, lin_iters), jit-safe."""
     ctx = SparseNormalCholeskyContext(
-        program, dynamic=bool(getattr(options, "dynamic_sparsity", False)))
+        program, dynamic=bool(getattr(options, "dynamic_sparsity", False)),
+        ordering=_native_ordering(options))
     dtype = program.dtype
 
     def solve(jac: BlockJacobian, res: RVec, D):

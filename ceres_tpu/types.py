@@ -68,6 +68,27 @@ class VisibilityClusteringType(_StrEnum):
     SINGLE_LINKAGE = enum.auto()
 
 
+class OrderingType(_StrEnum):
+    """Reference types.h (linear_solver_ordering_type): fill-reducing
+    ordering for the sparse direct factorization. NATURAL = no
+    reordering. AMD routes to the native ORDER_AUTO, which runs the
+    from-scratch RCM and quotient-graph minimum-degree (the AMD role)
+    symbolically and keeps whichever fills less — never worse than plain
+    AMD. NESDIS (METIS nested dissection) has no third-party backend
+    here and maps to the same AUTO selection."""
+    NATURAL = enum.auto()
+    AMD = enum.auto()
+    NESDIS = enum.auto()
+
+
+class DumpFormatType(_StrEnum):
+    """Reference types.h (trust_region_problem_dump_format_type).
+    CONSOLE logs the inner problem; TEXTFILE writes per-iteration files
+    (here: one .npz with J, residuals, gradient, x, delta, radius)."""
+    CONSOLE = enum.auto()
+    TEXTFILE = enum.auto()
+
+
 class DenseLinearAlgebraLibraryType(_StrEnum):
     """Reference types.h:121-125. Accepted for API parity; every dense
     factorization here runs through XLA on the device (the CUDA role).
@@ -257,6 +278,9 @@ class SolverOptions:
     # Library selectors (solver.h): accepted for parity, echoed into the
     # summary; dense factorizations run on-device via XLA, the sparse
     # direct backend is the native LDL^T.
+    # Fill-reducing ordering for the sparse direct path (reorder_program.cc
+    # role; see OrderingType docstring for the native mapping).
+    linear_solver_ordering_type: OrderingType = OrderingType.AMD
     dense_linear_algebra_library_type: DenseLinearAlgebraLibraryType = (
         DenseLinearAlgebraLibraryType.EIGEN)
     sparse_linear_algebra_library_type: SparseLinearAlgebraLibraryType = (
@@ -294,6 +318,12 @@ class SolverOptions:
     # Trust-region problem dumping (solver.h:724-734): directory to write
     # per-iteration (J, D, rhs, x) npz files, or None.
     trust_region_problem_dump_directory: Optional[str] = None
+    # Which iterations to dump (empty = every iteration once a dump
+    # directory is set) and in which format (solver.h:706-734).
+    trust_region_minimizer_iterations_to_dump: Sequence[int] = field(
+        default_factory=tuple)
+    trust_region_problem_dump_format_type: DumpFormatType = (
+        DumpFormatType.TEXTFILE)
 
     # TPU-specific extensions (no reference analog)
     dtype: Any = None                 # None -> config.default_dtype()

@@ -129,3 +129,35 @@ def test_trust_region_problem_dump(tmp_path):
     assert d["J"].shape == (2, 2)
     assert d["residuals"].shape == (2,)
     assert np.isfinite(d["radius"])
+
+
+def test_trust_region_dump_iteration_filter_and_console(tmp_path, capsys):
+    """solver.h:706-734: trust_region_minimizer_iterations_to_dump limits
+    which iterations dump; CONSOLE format logs instead of writing files."""
+    import glob
+    import jax.numpy as jnp
+
+    def f(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    x = np.array([-1.2, 1.0])
+    problem = ct.Problem()
+    problem.add_residual_block(ct.AutoDiffCostFunction(f, 2, [2]), None, x)
+    ct.solve(ct.SolverOptions(
+        max_num_iterations=6, fused_iterations=False,
+        trust_region_problem_dump_directory=str(tmp_path),
+        trust_region_minimizer_iterations_to_dump=[2, 3]), problem)
+    files = sorted(glob.glob(str(tmp_path / "ceres_tpu_iteration_*.npz")))
+    assert [f[-7:-4] for f in files] == ["002", "003"]
+
+    x2 = np.array([-1.2, 1.0])
+    problem2 = ct.Problem()
+    problem2.add_residual_block(ct.AutoDiffCostFunction(f, 2, [2]), None, x2)
+    ct.solve(ct.SolverOptions(
+        max_num_iterations=3, fused_iterations=False,
+        trust_region_problem_dump_directory=str(tmp_path / "console"),
+        trust_region_problem_dump_format_type=ct.DumpFormatType.CONSOLE),
+        problem2)
+    out = capsys.readouterr().out
+    assert "ceres_tpu iteration 1" in out
+    assert not glob.glob(str(tmp_path / "console" / "*.npz"))

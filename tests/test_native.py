@@ -216,3 +216,47 @@ def test_dynamic_sparsity_end_to_end_matches_static():
         assert s.is_solution_usable()
         finals.append(s.final_cost)
     np.testing.assert_allclose(finals[0], finals[1], rtol=1e-8)
+
+
+def test_linear_solver_ordering_type_knob():
+    """OrderingType knob routes the sparse direct path: NATURAL vs AMD
+    give identical solutions; NATURAL forces the identity permutation."""
+    import ceres_tpu as ct
+    from ceres_tpu.solvers.sparse_direct import _native_ordering
+    from ceres_tpu import native
+
+    assert (_native_ordering(ct.SolverOptions(
+        linear_solver_ordering_type=ct.OrderingType.NATURAL))
+        == native.SparseCholesky.ORDER_NATURAL)
+    assert (_native_ordering(ct.SolverOptions(
+        linear_solver_ordering_type=ct.OrderingType.AMD))
+        == native.SparseCholesky.ORDER_AUTO)
+    assert (_native_ordering(ct.SolverOptions(
+        linear_solver_ordering_type=ct.OrderingType.NESDIS))
+        == native.SparseCholesky.ORDER_AUTO)
+
+    def make():
+        rng = np.random.default_rng(3)
+        xs = [np.array([float(i), 0.0]) for i in range(12)]
+        problem = ct.Problem()
+        for i in range(11):
+            obs = float(i) + rng.normal(0, 0.01)
+
+            def rel(a, b, o=obs):
+                return (b - a) - o
+
+            problem.add_residual_block(
+                ct.AutoDiffCostFunction(rel, 2, [2, 2]), None,
+                xs[i], xs[i + 1])
+        problem.set_parameter_block_constant(xs[0])
+        return problem, xs
+
+    results = []
+    for ot in (ct.OrderingType.NATURAL, ct.OrderingType.AMD):
+        problem, xs = make()
+        s = ct.solve(ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+            linear_solver_ordering_type=ot, max_num_iterations=20), problem)
+        assert s.termination_type == ct.TerminationType.CONVERGENCE
+        results.append(np.concatenate(xs))
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-10)
