@@ -60,6 +60,7 @@ def main():
                                cluster_detection_method="deactivate")
 
     import numpy as np
+    from jax.experimental import multihost_utils
     from jax.sharding import Mesh
     import ceres_tpu as ct
     from ceres_tpu.io.bal import (synthetic_bal_problem,
@@ -133,7 +134,7 @@ def main():
         }), flush=True)
     # Let every process drain before teardown (avoids Gloo teardown races
     # while peers still hold open collectives).
-    jax.experimental.multihost_utils.sync_global_devices("done")
+    multihost_utils.sync_global_devices("done")
 
 
 if __name__ == "__main__":

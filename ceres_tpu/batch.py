@@ -51,6 +51,10 @@ def _fused_capable(program, options) -> bool:
             and not options.minimizer_progress_to_stdout
             and not options.use_inner_iterations
             and not options.trust_region_problem_dump_directory
+            and options.evaluation_callback is None
+            and not options.update_state_every_iteration
+            and options.max_solver_time_in_seconds >= 1e9
+            and not options.dynamic_sparsity
             and not program.has_bounds
             and options.mesh is None)
 
@@ -214,10 +218,11 @@ def _validate_same_structure(programs) -> str:
             extra = set(pr.consts_np) ^ set(t.consts_np)
             return f"problem {i}: constant set differs ({sorted(extra)[:4]})"
         for nm, v in t.consts_np.items():
-            sa = [np.asarray(x).shape
+            sa = [(np.asarray(x).shape, np.asarray(x).dtype)
                   for x in jax.tree_util.tree_leaves(v)]
-            sb = [np.asarray(x).shape
+            sb = [(np.asarray(x).shape, np.asarray(x).dtype)
                   for x in jax.tree_util.tree_leaves(pr.consts_np[nm])]
             if sa != sb:
-                return f"problem {i}: constant {nm!r} shape {sb} vs {sa}"
+                return (f"problem {i}: constant {nm!r} "
+                        f"shape/dtype {sb} vs {sa}")
     return None

@@ -365,7 +365,7 @@ def make_fused_ls_solve(program, options):
             model=model_init(),
             restarts=jnp.asarray(0, jnp.int32),
             iteration=jnp.asarray(0, jnp.int32),
-            evals=jnp.asarray(1, jnp.int32),
+            evals=jnp.asarray(0, jnp.int32),
             successful=jnp.asarray(0, jnp.int32),
             code=code0,
         )
@@ -467,7 +467,10 @@ def make_fused_ls_solve(program, options):
                 model=(jax.tree_util.tree_map(keep, new_model, model)
                        if new_model else new_model),
                 restarts=restarts, iteration=it,
-                evals=st["evals"] + evals + 1,
+                # count in-line-search probe evaluations only — the
+                # outer-loop cost_and_grad at x_new is not a line-search
+                # step (host path: line_search.py num_line_search_steps)
+                evals=st["evals"] + evals,
                 successful=st["successful"] + jnp.where(accept, 1, 0),
                 code=code,
             )

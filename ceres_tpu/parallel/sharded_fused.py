@@ -241,9 +241,9 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
     # explicit: shard-local A [ne/P, te, nf] + replicated dense S;
     # implicit (the large-camera regime): matrix-free CG over the
     # shard-local chunk tensors, one psum per CG application.
-    iterative_ = (options.linear_solver_type
-                  == LinearSolverType.ITERATIVE_SCHUR)
-    explicit = (not iterative_) or (
+    iterative = (options.linear_solver_type
+                 == LinearSolverType.ITERATIVE_SCHUR)
+    explicit = (not iterative) or (
         _sharded_explicit_viable(meta, num_shards)
         and not os.environ.get("CERES_TPU_FORCE_IMPLICIT"))
     shards_np, ne_pad = build_chunk_shards(program, meta, num_shards,
@@ -273,8 +273,6 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
     ne, te, nf = meta.ne, meta.te, meta.nf
     grp = meta.f_groups[0]
     kf, tf = grp["kf"], grp["t"]
-    iterative = (options.linear_solver_type
-                 == LinearSolverType.ITERATIVE_SCHUR)
     gtol = options.gradient_tolerance
     ftol = options.function_tolerance
     ptol = options.parameter_tolerance
@@ -314,8 +312,15 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
     def bucket_loss(bk, sh):
         loss = bk.loss
         if "loss_attrs" in sh:
+            attrs = sh["loss_attrs"]
+            if sh["kind"] in ("e", "e0"):
+                # e-bucket rows are evaluated flattened to [nloc*k]; the
+                # chunk-layout [nloc, k, ...] attr planes must match that
+                # row layout (pad lanes are masked out downstream).
+                attrs = {k2: v.reshape((-1,) + v.shape[2:])
+                         for k2, v in attrs.items()}
             loss = object.__new__(type(bk.loss))
-            object.__setattr__(loss, "__dict__", dict(sh["loss_attrs"]))
+            object.__setattr__(loss, "__dict__", dict(attrs))
         return loss
 
     def local_cost(x, shards):

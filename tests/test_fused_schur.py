@@ -798,3 +798,43 @@ def test_cross_bucket_dup_implicit_schur_jacobi():
         assert s.termination_type == ct.TerminationType.CONVERGENCE, name
         rel = abs(s.final_cost - ref.final_cost) / ref.final_cost
         assert rel < 1e-6, (name, rel)
+
+
+def test_sharded_fused_per_row_loss_attrs(bal):
+    """Per-row loss parameters (same loss class, different scalars per
+    residual block -> bk.loss_attrs stacked planes) through the SHARDED
+    fused path: the chunk-layout [nloc, k] attr planes must be flattened
+    to the [nloc*k] row layout the loss evaluation uses. Regression for
+    a trace-time shape mismatch in parallel/sharded_fused.bucket_loss."""
+    from jax.sharding import Mesh
+    from ceres_tpu.examples.snavely import SnavelyReprojectionError
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    def build():
+        problem = ct.Problem()
+        cams = [c.copy() for c in bal.cameras]
+        pts = [p.copy() for p in bal.points]
+        for i in range(bal.num_observations):
+            ox, oy = bal.observations[i]
+            cost = ct.AutoDiffCostFunction(
+                SnavelyReprojectionError(ox, oy), 2, [9, 3])
+            # varying delta per residual block -> stacked loss_attrs
+            problem.add_residual_block(
+                cost, ct.HuberLoss(1.0 + 0.5 * (i % 3)),
+                cams[bal.camera_index[i]], pts[bal.point_index[i]])
+        return problem
+
+    base = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                max_num_iterations=30, function_tolerance=1e-9)
+    s1 = ct.solve(ct.SolverOptions(**base), build())
+    # confirm the per-row attrs actually materialized
+    prog = CompiledProgram.get_cached(build(), ct.SolverOptions(**base))
+    assert any(bk.loss_attrs for bk in prog.buckets), \
+        "test setup no longer produces stacked loss_attrs"
+
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("data",))
+    s2 = ct.solve(ct.SolverOptions(mesh=mesh, **base), build())
+    assert "sharded fused" in s2.message, s2.message
+    rel = abs(s2.final_cost - s1.final_cost) / s1.final_cost
+    assert rel < 1e-6, rel
