@@ -98,24 +98,30 @@ class Covariance:
             s = np.asarray(s)
             max_s = s[0] if s.size else 0.0
             eps = opts.min_reciprocal_condition_number
-            if opts.null_space_rank == 0:
-                if s.size and (s[-1] / max_s) ** 2 < eps:
-                    self._message = (
-                        f"Rank deficient Jacobian: reciprocal condition "
-                        f"number {(s[-1]/max_s)**2:e} < {eps:e}; set "
-                        f"null_space_rank to allow a pseudo-inverse.")
-                    return False
-                keep = np.ones_like(s, dtype=bool)
-            elif opts.null_space_rank < 0:
+            if opts.null_space_rank < 0:
+                # automatic truncation: drop every value failing the
+                # ratio test (covariance_impl.cc:739 automatic_truncation)
                 keep = (s / max_s) ** 2 >= eps
             else:
-                keep = np.ones_like(s, dtype=bool)
-                keep[len(s) - opts.null_space_rank:] = False
+                # drop the null_space_rank smallest unconditionally
+                # (covariance_impl.cc:744 max_rank); if a KEPT value
+                # still fails the ratio test, Compute fails
+                # (covariance_impl.cc:749-767, covariance.h:316-321)
+                keep = np.zeros_like(s, dtype=bool)
+                keep[:max(len(s) - opts.null_space_rank, 0)] = True
+                bad = keep & ((s / max_s) ** 2 < eps)
+                if bad.any():
+                    rcn = float((s[bad][0] / max_s) ** 2)
+                    self._message = (
+                        f"Rank deficient Jacobian: reciprocal condition "
+                        f"number {rcn:e} < {eps:e}; increase "
+                        f"null_space_rank to allow a pseudo-inverse.")
+                    return False
             inv_s2 = np.where(keep, 1.0 / np.maximum(s, 1e-300) ** 2, 0.0)
             V = np.asarray(vt).T
             self._tangent_cov = (V * inv_s2[None, :]) @ V.T
-        else:  # SPARSE_QR -> QR of J on device
-            Q, R = jnp.linalg.qr(J)
+        else:  # SPARSE_QR -> QR of J on device (R factor only)
+            R = jnp.linalg.qr(J, mode="r")
             Rn = np.asarray(R)
             diag = np.abs(np.diag(Rn))
             if diag.min() <= 0 or (diag.min() / diag.max()) < np.sqrt(
@@ -143,14 +149,25 @@ class Covariance:
         x = prog.initial_state()
         n = prog.num_effective
 
-        # distinct second blocks -> their tangent column ranges
+        # distinct second blocks -> their tangent column ranges; pairs
+        # touching a CONSTANT block get a zero block without a solve
+        # (covariance_impl.cc:139-158,:412)
         b_blocks = {}
+        var_pairs, zero_pairs = [], []
         for a, b in covariance_blocks:
-            key = id(b)
-            if key not in b_blocks:
-                off, tb, _ = self._tangent_slice(b)
-                b_blocks[key] = (off, tb)
+            oa, ta, _ = self._tangent_slice(a)
+            ob, tb, _ = self._tangent_slice(b)
+            if oa is None or ob is None:
+                zero_pairs.append((a, ta, b, tb))
+                continue
+            var_pairs.append((a, b))
+            if id(b) not in b_blocks:
+                b_blocks[id(b)] = (ob, tb)
 
+        if not b_blocks:
+            self._block_cov = {(id(a), id(b)): np.zeros((ta, tb))
+                               for a, ta, b, tb in zero_pairs}
+            return True
         cols = np.concatenate([np.arange(off, off + tb)
                                for off, tb in b_blocks.values()])
         col_of_block = {}
@@ -187,14 +204,20 @@ class Covariance:
                 out = out.at[e_cols].set(d_e)
                 return out
 
+            # pad to a full batch multiple (repeat the last column) so
+            # every dispatch shares ONE compiled shape, then trim
+            batch = min(256, len(cols))
+            m = len(cols)
+            m_pad = int(np.ceil(m / batch) * batch)
+            cols_pad = np.concatenate([cols, np.repeat(cols[-1:],
+                                                       m_pad - m)])
             parts = []
-            cols_j = jnp.asarray(cols)
-            batch = 256
+            cols_j = jnp.asarray(cols_pad)
             solve_batch = jax.jit(jax.vmap(solve_one))
-            for s0 in range(0, len(cols), batch):
+            for s0 in range(0, m_pad, batch):
                 parts.append(np.asarray(solve_batch(
                     cols_j[s0:s0 + batch])))
-            X = np.concatenate(parts, axis=0)        # [m, n]
+            X = np.concatenate(parts, axis=0)[:m]    # [m, n]
         else:
             from . import native as _native
             if not _native.available():
@@ -222,7 +245,9 @@ class Covariance:
 
         # extract requested pairs
         self._block_cov = {}
-        for a, b in covariance_blocks:
+        for a, ta, b, tb in zero_pairs:
+            self._block_cov[(id(a), id(b))] = np.zeros((ta, tb))
+        for a, b in var_pairs:
             oa, ta, _ = self._tangent_slice(a)
             p0, tb = col_of_block[id(b)]
             Cab = X[p0:p0 + tb][:, oa:oa + ta].T     # [ta, tb]
@@ -230,12 +255,20 @@ class Covariance:
         return True
 
     def _tangent_slice(self, values):
+        """(tangent offset, tangent size, block); offset is None for a
+        CONSTANT block — its covariance is identically zero
+        (covariance_impl.cc:139-158)."""
         prog = self._program
         key = id(values)
-        if key not in prog.tan_offset:
-            raise KeyError("block is constant or not in problem")
+        if key not in prog.problem._blocks:
+            raise KeyError("parameter block is not in the problem")
         blk = prog.problem._blocks[key]
-        return prog.tan_offset[key], blk.tangent_size, blk
+        # as-if-variable tangent width (Block.tangent_size is 0 when the
+        # block is constant; the zero covariance block keeps full shape)
+        tsz = blk.manifold.tangent_size if blk.manifold else blk.size
+        if key not in prog.tan_offset:
+            return None, tsz, blk
+        return prog.tan_offset[key], tsz, blk
 
     def get_covariance_block_in_tangent_space(self, a, b) -> np.ndarray:
         if self._block_cov is not None:
@@ -251,6 +284,10 @@ class Covariance:
             return C
         oa, ta, _ = self._tangent_slice(a)
         ob, tb, _ = self._tangent_slice(b)
+        if oa is None or ob is None:
+            # either block constant -> zero covariance
+            # (covariance_impl.cc:139-158)
+            return np.zeros((ta, tb))
         return self._tangent_cov[oa:oa + ta, ob:ob + tb]
 
     def get_covariance_matrix_in_tangent_space(self, blocks) -> np.ndarray:

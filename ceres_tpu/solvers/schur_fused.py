@@ -351,8 +351,6 @@ def make_fused_schur_lm_step(program, options, meta):
     if plin is not None:
         keep_chunks = False
 
-    use_jacobi_scaling = options.jacobi_scaling
-
     def _split_scale(scale):
         """Full tangent scale vector -> (s_e [ne, te], s_f [kf, tf])."""
         scale_w = scale.astype(work_dtype)

@@ -255,3 +255,76 @@ def test_line_search_directions_on_quadratic(direction):
         gradient_tolerance=1e-12)
     summary = ct.solve_gradient_problem(opts, gp, params)
     np.testing.assert_allclose(params, [1.0, -2.0, 3.0], atol=1e-4)
+
+
+def test_covariance_null_space_rank_policy_details():
+    """covariance_impl.cc:744-767: null_space_rank k >= 0 drops the k
+    smallest singular values unconditionally, but Compute FAILS if a
+    KEPT value still violates min_reciprocal_condition_number; k beyond
+    the spectrum size drops everything (max_rank clamps at 0)."""
+    x = np.zeros(2)
+
+    def f(v):
+        # rank-1: singular values (s, 0)
+        return jnp.stack([v[0] + v[1], 2.0 * (v[0] + v[1])])
+
+    def build():
+        problem = ct.Problem()
+        problem.add_residual_block(
+            ct.AutoDiffCostFunction(f, 2, [2]), None, x)
+        return problem
+
+    # k=1 removes exactly the null direction -> pseudo-inverse succeeds
+    cov = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.DENSE_SVD,
+        null_space_rank=1))
+    assert cov.compute([(x, x)], build()), cov.message
+    C1 = cov.get_covariance_block(x, x)
+    assert np.all(np.isfinite(C1))
+
+    # rank-1 with THREE columns: k=1 keeps a below-threshold value ->
+    # the reference policy fails Compute
+    y = np.zeros(3)
+
+    def g(v):
+        # 4x3 rank-1 J: singular values (s, ~0, ~0) — k=1 still keeps a
+        # below-threshold value
+        s = v[0] + v[1] + v[2]
+        return jnp.stack([s, 2.0 * s, 3.0 * s, 4.0 * s])
+
+    problem = ct.Problem()
+    problem.add_residual_block(ct.AutoDiffCostFunction(g, 4, [3]), None, y)
+    cov2 = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.DENSE_SVD,
+        null_space_rank=1))
+    assert not cov2.compute([(y, y)], problem)
+    assert "Rank deficient" in cov2.message
+
+    # k > num singular values -> everything dropped -> zero covariance
+    cov3 = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.DENSE_SVD,
+        null_space_rank=99))
+    assert cov3.compute([(x, x)], build()), cov3.message
+    np.testing.assert_allclose(cov3.get_covariance_block(x, x), 0.0)
+
+
+def test_covariance_constant_block_is_zero():
+    """covariance_impl.cc:139-158: pairs touching a CONSTANT parameter
+    block yield a zero covariance block and Compute succeeds."""
+    problem, x, expected = linear_gaussian_problem()
+    z = np.array([1.0, 2.0])
+
+    def h(a, b):
+        return jnp.stack([a[0] - b[0], a[1] - b[1] + b[2]])
+
+    problem.add_residual_block(
+        ct.AutoDiffCostFunction(h, 2, [2, 3]), None, z, x)
+    problem.set_parameter_block_constant(z)
+
+    cov = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.DENSE_SVD))
+    assert cov.compute([(x, x), (z, x), (z, z)], problem), cov.message
+    np.testing.assert_allclose(cov.get_covariance_block(z, x), 0.0)
+    np.testing.assert_allclose(cov.get_covariance_block(z, z), 0.0)
+    assert cov.get_covariance_block(z, z).shape == (2, 2)
+    assert np.all(np.isfinite(cov.get_covariance_block(x, x)))
