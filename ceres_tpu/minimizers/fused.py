@@ -192,7 +192,8 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False):
                 & (jnp.abs(mcc) <= ftol * cost), 2, code)
             code = jnp.where(
                 (code == 0) & candidate_ok & had_success
-                & (step_norm <= ptol * (jnp.linalg.norm(s["x"]) + ptol)),
+                & (step_norm <= ptol * (program.state_norm(s["x"])
+                                        + ptol)),
                 3, code)
             code = jnp.where((code == 0) & (radius < min_radius), 4, code)
             code = jnp.where((code == 0) & (it >= max_iters), 5, code)

@@ -368,7 +368,9 @@ def minimize_line_search(program, options, summary: SolverSummary,
         new_grad_max = float(jnp.max(jnp.abs(new_grad)))
         new_grad_norm_sq = float(jnp.vdot(new_grad, new_grad))
         step_norm = float(jnp.linalg.norm(delta))
-        x_norm = float(jnp.linalg.norm(x_new))
+        x_norm = float(program.state_norm(x_new)
+                       if hasattr(program, "state_norm")
+                       else jnp.linalg.norm(x_new))
         cost_change = cost - new_cost
 
         # Direction update.

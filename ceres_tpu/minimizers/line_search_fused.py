@@ -415,7 +415,9 @@ def make_fused_ls_solve(program, options):
             new_gmax = jnp.max(jnp.abs(new_grad))
             new_gnsq = jnp.vdot(new_grad, new_grad)
             step_norm = jnp.linalg.norm(delta)
-            x_norm = jnp.linalg.norm(x_new)
+            x_norm = (program.state_norm(x_new)
+                      if hasattr(program, "state_norm")
+                      else jnp.linalg.norm(x_new))
             cost_change = cost - new_cost
 
             # direction update (line_search.py:354-373)

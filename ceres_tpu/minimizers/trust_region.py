@@ -183,7 +183,7 @@ def minimize_trust_region(program, options, step_fn: Callable,
         the host pulls one tuple per iteration (each separate scalar pull
         is a full device roundtrip — ~65 ms on a tunneled TPU)."""
         x_new = program.plus(xx, dd)
-        return x_new, program.cost_fn(x_new), jnp.linalg.norm(x_new)
+        return x_new, program.cost_fn(x_new), program.state_norm(x_new)
 
     try_step = program.cached_jit(
         "try_step",
@@ -310,7 +310,7 @@ def minimize_trust_region(program, options, step_fn: Callable,
         summary.final_cost = cost
         return x
 
-    x_norm = float(jnp.linalg.norm(x))
+    x_norm = float(program.state_norm(x))
     reuse_linearization = False
     step_out = None
 
@@ -446,7 +446,7 @@ def minimize_trust_region(program, options, step_fn: Callable,
                 x, step_out["delta"], step_out["cost"],
                 step_out["gradient_full"])
             h2 = jax.device_get((nc, s_used, n_evals,
-                                 jnp.linalg.norm(x_new)))
+                                 program.state_norm(x_new)))
             new_cost = float(h2[0])
             it.step_size = float(h2[1])
             it.line_search_function_evaluations = int(h2[2]) + 1

@@ -317,8 +317,9 @@ class Problem:
         if residual_blocks is None and parameter_blocks is None:
             # include_fixed_blocks: Problem::Evaluate reports residuals for
             # all residual blocks, even all-constant ones.
-            prog = CompiledProgram(self, apply_loss=apply_loss_function,
-                                   include_fixed_blocks=True)
+            prog = CompiledProgram.get_cached(
+                self, apply_loss=apply_loss_function,
+                include_fixed_blocks=True)
             return prog.public_evaluate(want_residuals, want_gradient,
                                         want_jacobian,
                                         jacobian_format=jacobian_format)

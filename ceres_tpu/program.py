@@ -127,20 +127,30 @@ class CompiledProgram:
     """Static compilation of a Problem at a given structure revision."""
 
     @classmethod
-    def get_cached(cls, problem, options=None, apply_loss: bool = True):
+    def get_cached(cls, problem, options=None, apply_loss: bool = True,
+                   include_fixed_blocks: bool = False):
         """Reuse the program (and its jitted executables) across solves as
         long as the problem structure hasn't changed — the reference's
         Preprocessor is re-run per Solve, but XLA executables are the
         expensive artifact here and must persist (context_impl.h's role:
-        ContextImpl owns reusable handles; here the program owns them)."""
-        import dataclasses
+        ContextImpl owns reusable handles; here the program owns them).
+        Keyed per configuration so alternating solve / Problem.Evaluate
+        (different include_fixed_blocks) does not thrash; stale-revision
+        entries are dropped when the problem mutates."""
         dtype = (getattr(options, "dtype", None) or config.default_dtype())
-        key = (problem._revision, str(dtype), apply_loss)
-        cached = getattr(problem, "_compiled_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        prog = cls(problem, options=options, apply_loss=apply_loss)
-        problem._compiled_cache = (key, prog)
+        key = (problem._revision, str(dtype), apply_loss,
+               include_fixed_blocks)
+        cache = getattr(problem, "_compiled_cache", None)
+        if cache is None or not isinstance(cache, dict):
+            cache = {}
+            problem._compiled_cache = cache
+        for k in [k for k in cache if k[0] != problem._revision]:
+            del cache[k]
+        if key in cache:
+            return cache[key]
+        prog = cls(problem, options=options, apply_loss=apply_loss,
+                   include_fixed_blocks=include_fixed_blocks)
+        cache[key] = prog
         return prog
 
     def cached_jit(self, key, builder):
@@ -578,7 +588,22 @@ class CompiledProgram:
                 b.array[:] = xh[o:o + b.size]
 
     def state_norm(self, x):
-        return jnp.linalg.norm(x)
+        """Norm of the VARIABLE part of the ambient state — the
+        reference's x_norm_ is the REDUCED program's parameter vector
+        norm (constant blocks removed, trust_region_preprocessor.cc), so
+        constant blocks must not inflate the parameter-tolerance
+        threshold. All-variable programs (the common case) keep the
+        plain norm — no graph change, compiled-program caches stay
+        valid."""
+        if len(self.variable_blocks) == len(self.used_blocks):
+            return jnp.linalg.norm(x)
+        if "var_amb_mask" not in self.consts_np:
+            mask = np.zeros(self.num_ambient, dtype=np.float64)
+            for b in self.variable_blocks:
+                o = self.amb_offset[id(b.array)]
+                mask[o:o + b.size] = 1.0
+            self.register_const("var_amb_mask", mask)
+        return jnp.linalg.norm(x * self.const("var_amb_mask").astype(x.dtype))
 
     # ------------------------------------------------------------------
     # plus
@@ -873,22 +898,33 @@ class CompiledProgram:
         BA scale)."""
         x = self.initial_state()
         if want_gradient or want_jacobian:
-            cost, grad, jac, res = jax.jit(self.linearize_fn)(x)
+            lin = self.cached_jit(
+                "public_evaluate.lin",
+                lambda: self.jit_with_consts(self.linearize_fn, (x,)))
+            cost, grad, jac, res = lin(x)
         else:
-            cost = jax.jit(self.cost_fn)(x)
+            cost_j = self.cached_jit(
+                "public_evaluate.cost",
+                lambda: self.jit_with_consts(self.cost_fn, (x,)))
+            cost = cost_j(x)
             grad, jac = None, None
             # corrected=True: Problem::Evaluate returns loss-corrected
             # ("robustified") residuals, matching ResidualBlock::Evaluate
             # (residual_block.cc applies the Corrector to residuals). When
             # apply_loss=False the program carries no losses and correction
             # is the identity.
-            res = (jax.jit(lambda xx: self.residuals_fn(xx, corrected=True))(x)
-                   if want_residuals else None)
+            if want_residuals:
+                res_j = self.cached_jit(
+                    "public_evaluate.res",
+                    lambda: self.jit_with_consts(
+                        lambda xx: self.residuals_fn(xx, corrected=True),
+                        (x,)))
+                res = res_j(x)
+            else:
+                res = None
 
         residuals_out = None
         if want_residuals:
-            if res is None:
-                res = self.residuals_fn(x)
             # reorder rows back to insertion order
             out = np.zeros(self.num_rows)
             # per-original-block row offsets

@@ -197,7 +197,7 @@ def make_step_impl(program, options):
             # profile); cost keeps f64 meaning via a residual-only f64
             # pass inside linearize_fn_mixed.
             cost, grad, jac, res = program.linearize_fn_mixed(x)
-            jac64 = res64 = None
+            jac64 = res64 = grad64 = None
             scale = scale.astype(jnp.float32)
         elif mixed:
             # Refinement needs the f64 Jacobian: linearize in f64, run
@@ -216,7 +216,7 @@ def make_step_impl(program, options):
             scale = scale.astype(jnp.float32)
         else:
             cost, grad, jac, res = program.linearize_fn(x)
-            jac64, res64 = jac, res
+            jac64, res64, grad64 = jac, res, None   # grad already f64
         jac_s = jac.scale_columns(scale)
         grad_s = grad * scale
         # LM diagonal (levenberg_marquardt_strategy.cc:80-92).
@@ -231,7 +231,8 @@ def make_step_impl(program, options):
             scale64 = scale.astype(dtype)
             jac64_s = jac64.scale_columns(scale64)
             D64 = D.astype(dtype)
-            b64 = -jac64_s.rmatvec(res64)
+            # J_s^T r = scale * (J^T r) = scale * grad64 (already paid)
+            b64 = -(grad64 * scale64)
             d64 = d.astype(dtype)
             for _ in range(refine_iters):
                 Hd = jac64_s.rmatvec(jac64_s.matvec(d64)) \
@@ -249,10 +250,14 @@ def make_step_impl(program, options):
             Jd = jac_s.matvec(d)
             mcc = -(jnp.vdot(d, grad_s) + 0.5 * Jd.squared_norm())
         delta = (scale * d).astype(dtype)
+        # convergence norms from the f64 gradient when the configuration
+        # paid for one (mixed + refinement): the f32 gradient's ~1e-7
+        # relative noise would defeat tight gradient_tolerance settings
+        g_norms = grad64 if grad64 is not None else grad
         out = {
             "cost": cost,
-            "gradient_max_norm": jnp.max(jnp.abs(grad)).astype(dtype),
-            "gradient_norm": jnp.linalg.norm(grad).astype(dtype),
+            "gradient_max_norm": jnp.max(jnp.abs(g_norms)).astype(dtype),
+            "gradient_norm": jnp.linalg.norm(g_norms).astype(dtype),
             "delta": delta,
             "model_cost_change": mcc.astype(dtype),
             "step_norm": jnp.linalg.norm(delta),
@@ -506,7 +511,8 @@ def solve(options: SolverOptions, problem,
             x = try_solve_sharded(program, options, summary)
             if x is not None:
                 t0 = time.time()
-                program.write_back(x)
+                if summary.is_solution_usable():
+                    program.write_back(x)
                 summary.postprocessor_time_in_seconds = time.time() - t0
                 summary.total_time_in_seconds = time.time() - t_start
                 return summary

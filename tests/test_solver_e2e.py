@@ -281,3 +281,37 @@ def test_manifold_in_solve():
     p = np.asarray(rot.unit_quaternion_rotate_point(
         jnp.asarray(q), jnp.asarray([1.0, 0.0, 0.0])))
     np.testing.assert_allclose(p, [0.0, 1.0, 0.0], atol=1e-8)
+
+
+def test_parameter_tolerance_norm_excludes_constant_blocks():
+    """The reference's x_norm_ is the REDUCED program's state norm
+    (constant blocks removed, trust_region_preprocessor.cc); a huge
+    constant block must not inflate the parameter_tolerance threshold
+    step_norm <= ptol * (x_norm + ptol)."""
+    from ceres_tpu.program import CompiledProgram
+
+    big = np.array([1e8, 1e8])          # constant calibration block
+    x = np.array([3.0, 4.0])
+
+    def f(v, b):
+        return jnp.stack([v[0] - 1.0 + 0.0 * b[0], v[1] - 2.0])
+
+    problem = ct.Problem()
+    problem.add_residual_block(
+        ct.AutoDiffCostFunction(f, 2, [2, 2]), None, x, big)
+    problem.set_parameter_block_constant(big)
+    prog = CompiledProgram(problem)
+    sn = float(prog.state_norm(prog.initial_state()))
+    assert abs(sn - 5.0) < 1e-9, sn     # ||x|| only, not ~1.4e8
+
+    # end-to-end: both loop styles still converge correctly
+    for fused in (True, False):
+        x2 = x.copy()
+        p2 = ct.Problem()
+        p2.add_residual_block(
+            ct.AutoDiffCostFunction(f, 2, [2, 2]), None, x2, big)
+        p2.set_parameter_block_constant(big)
+        s = ct.solve(ct.SolverOptions(max_num_iterations=20,
+                                      fused_iterations=fused), p2)
+        assert s.termination_type == ct.TerminationType.CONVERGENCE
+        np.testing.assert_allclose(x2, [1.0, 2.0], atol=1e-8)
