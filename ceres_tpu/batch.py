@@ -38,7 +38,7 @@ import numpy as np
 from . import program as program_mod
 from .program import CompiledProgram
 from .types import SolverSummary
-from .types import MinimizerType, TerminationType
+from .types import DumpFormatType, MinimizerType, TerminationType
 
 
 def _fused_capable(program, options) -> bool:
@@ -51,6 +51,8 @@ def _fused_capable(program, options) -> bool:
             and not options.minimizer_progress_to_stdout
             and not options.use_inner_iterations
             and not options.trust_region_problem_dump_directory
+            and options.trust_region_problem_dump_format_type
+            != DumpFormatType.CONSOLE
             and options.evaluation_callback is None
             and not options.update_state_every_iteration
             and options.max_solver_time_in_seconds >= 1e9

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import time
+from functools import lru_cache
 from typing import Callable, Optional
 
 import jax
@@ -59,6 +60,32 @@ def _min_quadratic(a_x, a_f, a_g, b_x, b_f, lo, hi):
     return min(max(t, lo), hi)
 
 
+@lru_cache(maxsize=None)
+def _lbfgs_two_loop(use_scaling: bool):
+    """Jitted two-loop recursion over stacked correction pairs
+    (low_rank_inverse_hessian.cc): the rank is static per trace, so the
+    loops unroll into one fused device program."""
+
+    @jax.jit
+    def f(S, Y, rho, g):
+        k = S.shape[0]
+        q = g
+        alphas = []
+        for i in range(k - 1, -1, -1):
+            a = rho[i] * jnp.vdot(S[i], q)
+            alphas.append(a)
+            q = q - a * Y[i]
+        if use_scaling:
+            # Oren's gamma = s'y / y'y scaling of the initial Hessian.
+            q = (jnp.vdot(S[-1], Y[-1]) / jnp.vdot(Y[-1], Y[-1])) * q
+        for i, a in zip(range(k), reversed(alphas)):
+            b = rho[i] * jnp.vdot(Y[i], q)
+            q = q + (a - b) * S[i]
+        return q
+
+    return f
+
+
 class _LBFGS:
     """Two-loop recursion (low_rank_inverse_hessian.cc)."""
 
@@ -83,25 +110,16 @@ class _LBFGS:
         return True
 
     def apply(self, g):
-        q = g
-        alphas = []
-        for s, y, rho in zip(reversed(self.s_list), reversed(self.y_list),
-                             reversed(self.rho_list)):
-            a = rho * float(jnp.vdot(s, q))
-            alphas.append(a)
-            q = q - a * y
-        if self.s_list and self.use_scaling:
-            # Oren's gamma = s'y / y'y scaling of the initial Hessian.
-            y = self.y_list[-1]
-            s = self.s_list[-1]
-            gamma = float(jnp.vdot(s, y)) / float(jnp.vdot(y, y))
-            q = gamma * q
-        for (s, y, rho), a in zip(
-                zip(self.s_list, self.y_list, self.rho_list),
-                reversed(alphas)):
-            b = rho * float(jnp.vdot(y, q))
-            q = q + (a - b) * s
-        return q
+        # ONE jitted device program per rank (<= max_rank compiles of a
+        # tiny graph) instead of 2*rank synchronous host pulls — each
+        # float(vdot) is a full device roundtrip (~65 ms on a tunneled
+        # TPU), which dominated LBFGS iterations regardless of size.
+        if not self.s_list:
+            return g
+        S = jnp.stack(self.s_list)
+        Y = jnp.stack(self.y_list)
+        rho = jnp.asarray(self.rho_list, dtype=g.dtype)
+        return _lbfgs_two_loop(self.use_scaling)(S, Y, rho, g)
 
     def reset(self):
         self.s_list, self.y_list, self.rho_list = [], [], []
@@ -199,8 +217,9 @@ def _line_search(phi, phi0: float, dphi0: float, step0: float, options,
             bracket = (a, f, df, a_prev, f_prev, g_prev)
             break
         a_prev, f_prev, g_prev = a, f, df
-        a = min(a * max_expand, a + (a - 0.0))
-        a *= 1.0  # keep expanding
+        # expand toward the reference's bracketing bound
+        # step_{k+1} <= step_k * max_step_expansion (line_search.cc:641)
+        a = a * max_expand
     if bracket is None:
         # ran out of expansion budget; accept last Armijo-valid point if any
         if f_prev <= phi0 + c1 * a_prev * dphi0 and a_prev > 0:

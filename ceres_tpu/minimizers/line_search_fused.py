@@ -269,7 +269,9 @@ def make_fused_ls_solve(program, options):
             a_prev2 = jnp.where(cont, a, a_prev)
             f_prev2 = jnp.where(cont, f, f_prev)
             g_prev2 = jnp.where(cont, df, g_prev)
-            a2 = jnp.where(cont, jnp.minimum(a * max_expand, 2.0 * a), a)
+            # expand toward the reference's bracketing bound
+            # step_{k+1} <= step_k * max_step_expansion (line_search.cc:641)
+            a2 = jnp.where(cont, a * max_expand, a)
             i2 = jnp.where(cont, i + 1, ls_iters)
             return (a_prev2, f_prev2, g_prev2, a2, i2,
                     jnp.maximum(status, new_status), br, evals)

@@ -117,7 +117,8 @@ def make_projected_line_search_fn(program, options):
     cost(Plus(x, s*delta)); Plus projects onto the bound box, so the search
     enforces feasibility while improving step quality. Backtracks with
     quadratic interpolation (line_search.cc ArmijoLineSearch), all inside one
-    jitted lax.while_loop. Returns (x_new, new_cost, s_used, n_evals)."""
+    jitted lax.while_loop. Returns (x_new, new_cost, s_used, n_evals,
+    state_norm(x_new))."""
     suff = options.line_search_sufficient_function_decrease
     max_iters = options.max_num_line_search_step_size_iterations
     min_step = options.min_line_search_step_size
@@ -153,7 +154,10 @@ def make_projected_line_search_fn(program, options):
         # only rescaled when the search succeeds).
         s_used = jnp.where(success, s, one)
         x_new = program.plus(x, s_used * delta)
-        return x_new, program.cost_fn(x_new), s_used, n_evals
+        # state norm returned from INSIDE the jitted search — an eager
+        # per-iteration norm would dispatch extra device programs
+        return (x_new, program.cost_fn(x_new), s_used, n_evals,
+                program.state_norm(x_new))
 
     return ls
 
@@ -198,15 +202,20 @@ def minimize_trust_region(program, options, step_fn: Callable,
     else:
         pg_norm = None
 
+    from ..types import DumpFormatType
     dump_dir = options.trust_region_problem_dump_directory
+    console_dump = (options.trust_region_problem_dump_format_type
+                    == DumpFormatType.CONSOLE)
     dump_fn = None
-    if dump_dir:
+    if dump_dir or console_dump:
         # Per-iteration inner-problem dump (solver.h:724-734,
         # trust_region_minimizer.cc:383-392 DumpLinearLeastSquaresProblem):
         # the TPU-native format is one .npz per iteration with the dense
-        # Jacobian, residuals, gradient, state, step and radius.
-        import os as _os
-        _os.makedirs(dump_dir, exist_ok=True)
+        # Jacobian, residuals, gradient, state, step and radius. CONSOLE
+        # needs no directory (solver.h: directory only used by TEXTFILE).
+        if dump_dir and not console_dump:
+            import os as _os
+            _os.makedirs(dump_dir, exist_ok=True)
 
         def _dump_arrays(xx):
             cost, grad, jac, res = program.linearize_fn(xx)
@@ -399,6 +408,11 @@ def minimize_trust_region(program, options, step_fn: Callable,
 
         step_is_valid = (math.isfinite(mcc) and mcc > 0.0
                          and math.isfinite(step_norm))
+        if step_is_valid:
+            # the counter tracks CONSECUTIVE invalid steps: any valid
+            # step resets it, accepted or not
+            # (trust_region_minimizer.cc:449)
+            num_consecutive_invalid_steps = 0
         if not step_is_valid:
             # HandleInvalidStep (trust_region_minimizer.cc:464).
             if (math.isfinite(mcc)
@@ -442,11 +456,10 @@ def minimize_trust_region(program, options, step_fn: Callable,
         if proj_ls is not None:
             # Projected line search enforces bounds and improves the step
             # (trust_region_minimizer.cc:101-106).
-            x_new, nc, s_used, n_evals = proj_ls(
+            x_new, nc, s_used, n_evals, xn_new = proj_ls(
                 x, step_out["delta"], step_out["cost"],
                 step_out["gradient_full"])
-            h2 = jax.device_get((nc, s_used, n_evals,
-                                 program.state_norm(x_new)))
+            h2 = jax.device_get((nc, s_used, n_evals, xn_new))
             new_cost = float(h2[0])
             it.step_size = float(h2[1])
             it.line_search_function_evaluations = int(h2[2]) + 1
@@ -468,6 +481,9 @@ def minimize_trust_region(program, options, step_fn: Callable,
             summary.num_residual_evaluations += 1
             if math.isfinite(refined_cost) and refined_cost < new_cost:
                 x_new, new_cost = x_refined, refined_cost
+                # the accepted state changed: the parameter-tolerance
+                # test and next iteration's x_norm must see the refined x
+                new_x_norm = float(program.state_norm(x_new))
             summary.num_inner_iteration_steps += 1
             summary.inner_iteration_time_in_seconds += time.time() - t_in
         total_cost_eval_time += time.time() - t0

@@ -20,7 +20,13 @@ def independent_set_ordering(program) -> List[int]:
     candidate e-blocks. Visits vertices in increasing degree order
     (graph_algorithms.h:98)."""
     problem = program.problem
-    var_keys = {id(b.array) for b in program.variable_blocks}
+    # program order (not a set): id() values differ run-to-run, so ties
+    # must break on the deterministic block order or the e/f partition —
+    # and with it the whole solve structure — changes across runs of the
+    # same problem (the reference visits blocks in program order).
+    ordered_keys = [id(b.array) for b in program.variable_blocks]
+    var_keys = set(ordered_keys)
+    pos = {k: i for i, k in enumerate(ordered_keys)}
     adj = {k: set() for k in var_keys}
     for rb in problem._residual_records():
         ks = [k for k in rb.param_keys if k in var_keys]
@@ -28,7 +34,7 @@ def independent_set_ordering(program) -> List[int]:
             for j in range(i + 1, len(ks)):
                 adj[ks[i]].add(ks[j])
                 adj[ks[j]].add(ks[i])
-    order = sorted(var_keys, key=lambda k: len(adj[k]))
+    order = sorted(ordered_keys, key=lambda k: (len(adj[k]), pos[k]))
     chosen: Set[int] = set()
     blocked: Set[int] = set()
     for k in order:

@@ -138,8 +138,9 @@ class CompiledProgram:
         (different include_fixed_blocks) does not thrash; stale-revision
         entries are dropped when the problem mutates."""
         dtype = (getattr(options, "dtype", None) or config.default_dtype())
+        from .solvers.schur import _ordering_cache_key
         key = (problem._revision, str(dtype), apply_loss,
-               include_fixed_blocks)
+               include_fixed_blocks, _ordering_cache_key(options))
         cache = getattr(problem, "_compiled_cache", None)
         if cache is None or not isinstance(cache, dict):
             cache = {}

@@ -22,7 +22,8 @@ import numpy as np
 
 from .minimizers.trust_region import minimize_trust_region
 from .program import CompiledProgram
-from .types import (LinearSolverType, MinimizerType, PreconditionerType,
+from .types import (DumpFormatType, LinearSolverType, MinimizerType,
+                    PreconditionerType,
                     SolverOptions, SolverSummary, TerminationType,
                     TrustRegionStrategyType, DoglegType)
 from .solvers import dense as dense_solvers
@@ -488,6 +489,8 @@ def solve(options: SolverOptions, problem,
                           and not options.minimizer_progress_to_stdout
                           and not options.use_inner_iterations
                           and not options.trust_region_problem_dump_directory
+                          and options.trust_region_problem_dump_format_type
+                          != DumpFormatType.CONSOLE
                           and options.evaluation_callback is None
                           and not options.update_state_every_iteration
                           # a finite wall-clock budget needs the host

@@ -51,9 +51,13 @@ def conjugate_gradients(
     def init():
         z0 = apply_preconditioner(r0)
         rho0 = jnp.vdot(r0, z0)
+        # Q at the INITIAL point (conjugate_gradients_solver.h:157-159
+        # Q0 = -x'(b + r)); nonzero for warm starts (SPSE), so the first
+        # iteration's forcing-sequence test measures actual progress.
+        Q_init = 0.5 * jnp.vdot(x0, r0 + b).astype(b.dtype)
         return (x0, r0, z0, z0, rho0,
                 jnp.asarray(0, jnp.int32),
-                jnp.asarray(0.0, dtype=b.dtype),   # Q_{i-1}
+                Q_init,                            # Q_{i-1}
                 jnp.asarray(False))
 
     def cond(state):
@@ -68,10 +72,17 @@ def conjugate_gradients(
         bad = (pAp <= 0) | ~jnp.isfinite(pAp)
         alpha = jnp.where(bad, 0.0, rho / jnp.where(pAp == 0, 1.0, pAp))
         x_new = x + alpha * p
-        # Residual refresh (reference residual_reset_period).
+        # Residual refresh (reference residual_reset_period). lax.cond,
+        # NOT jnp.where: where evaluates both branches, paying a second
+        # full operator apply EVERY iteration — the exact cost the
+        # reference's comment warns "would double the complexity of the
+        # CG algorithm" (conjugate_gradients_solver.h:231-236). Under
+        # vmap (batched solves) cond lowers to select and both branches
+        # run — no worse than where was.
         i1 = i + 1
-        r_new = jnp.where((i1 % residual_reset_period) == 0,
-                          b - apply_A(x_new), r - alpha * Ap)
+        r_new = lax.cond((i1 % residual_reset_period) == 0,
+                         lambda: b - apply_A(x_new),
+                         lambda: r - alpha * Ap)
         z_new = apply_preconditioner(r_new)
         rho_new = jnp.vdot(r_new, z_new)
         beta = rho_new / jnp.where(rho == 0, 1.0, rho)

@@ -87,11 +87,10 @@ def make_subset_preconditioner_factory(program, options):
                 continue
             Js = b.J[bk_lanes]
             grams.append(jnp.einsum("nrt,nru->ntu", Js, Js))
-        nonempty = [g for g in grams]
         token = jax.pure_callback(
             lambda d_sq, *gs: ctx.host_factor(d_sq, *gs),
             jax.ShapeDtypeStruct((), jnp.int32),
-            (D * D).astype(jnp.float64), *nonempty,
+            (D * D).astype(jnp.float64), *grams,
             vmap_method="sequential")
 
         def apply(v):

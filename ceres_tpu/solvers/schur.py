@@ -161,17 +161,38 @@ class SchurMeta:
         return jnp.asarray(local[bs.chunk_rows].astype(np.int32))
 
 
+def _ordering_cache_key(options):
+    """Content key of a user elimination ordering: the compiled program
+    is shared across Solve calls with different options (program.py
+    get_cached), so the cached meta must be invalidated when the user
+    changes linear_solver_ordering between solves."""
+    o = getattr(options, "linear_solver_ordering", None)
+    if o is None:
+        return None
+    return tuple(sorted((g, tuple(sorted(d.keys())))
+                        for g, d in o._groups.items()))
+
+
 def detect_schur_structure(program, options) -> Optional[SchurMeta]:
     """Partition variable blocks into e-blocks (eliminated, group 0) and
     f-blocks. Returns None when no usable structure exists (the caller then
     downgrades the solver, trust_region_preprocessor.cc:75-107)."""
+    okey = _ordering_cache_key(options)
     cached = getattr(program, "_schur_meta", "missing")
     if cached != "missing":
-        return cached
+        if getattr(program, "_schur_meta_okey", None) == okey:
+            return cached
+        # Ordering changed on a shared program: the bound schur constants
+        # and compiled executables were built for the OLD partition —
+        # purge them (rare; solve() normally gets a per-ordering program
+        # via get_cached's key).
+        program._jit_cache.clear()
+        program._device_consts.clear()
     meta = _detect_schur_structure(program, options)
     if meta is not None:
         meta.bind(program)
     program._schur_meta = meta
+    program._schur_meta_okey = okey
     return meta
 
 
@@ -206,7 +227,11 @@ def _detect_schur_structure(program, options):
     te = sizes.most_common(1)[0][0]
     e_set = {k for k in e_set if block_of[k].tangent_size == te}
 
-    # Per-bucket slot purity: every (bucket, slot) must be all-e or all-f.
+    # Per-bucket slot purity: every (bucket, slot) must be all-e or
+    # all-f; AND a bucket may not have two pure-e slots (two e-blocks per
+    # residual, schur_eliminator.h). A demotion under either rule can
+    # break the other in a different bucket, so BOTH run inside one
+    # fixpoint — a post-hoc demotion pass would leave mixed slots behind.
     changed = True
     while changed and e_set:
         changed = False
@@ -223,22 +248,20 @@ def _detect_schur_structure(program, options):
                         if f:
                             e_set.discard(rb_key)
                     changed = True
-    if not e_set:
-        return None
-
-    # A bucket may not have two pure-e slots (two e-blocks per residual).
-    for bk in program.buckets:
-        e_slots = []
-        for si, sl in enumerate(bk.slots):
-            if sl.variable:
-                keys = bk_slot_keys(program, bk, si)
-                if keys and keys[0] in e_set:
-                    e_slots.append(si)
-        if len(e_slots) > 1:
-            # demote all but the first e slot
-            for si in e_slots[1:]:
-                for k in bk_slot_keys(program, bk, si):
-                    e_set.discard(k)
+        for bk in program.buckets:
+            e_slots = []
+            for si, sl in enumerate(bk.slots):
+                if sl.variable:
+                    keys = bk_slot_keys(program, bk, si)
+                    if keys and keys[0] in e_set:
+                        e_slots.append(si)
+            if len(e_slots) > 1:
+                # demote all but the first e slot
+                for si in e_slots[1:]:
+                    for k in bk_slot_keys(program, bk, si):
+                        if k in e_set:
+                            e_set.discard(k)
+                            changed = True
     if not e_set:
         return None
 
@@ -870,13 +893,23 @@ class SchurOps:
         return out
 
     def _make_block_diag_preconditioner(self, subtract_cross: bool):
-        factors = [(cols, jnp.linalg.cholesky(acc))
-                   for cols, acc in self._block_diag_S(subtract_cross)]
+        # Invert the blocks ONCE at construction; the per-CG-iteration
+        # apply is then a broadcast matmul instead of batched tiny
+        # triangular solves (the same invert-once pattern as inv_ete and
+        # preconditioners.py _block_jacobi_inverses — triangular solves
+        # inside the CG body cost milliseconds per application on TPU).
+        inverses = []
+        for cols, acc in self._block_diag_S(subtract_cross):
+            chol = jnp.linalg.cholesky(acc)
+            eye = jnp.broadcast_to(jnp.eye(acc.shape[-1], dtype=acc.dtype),
+                                   acc.shape)
+            inverses.append((cols, _batched_cho_solve(chol, eye)))
 
         def apply(v):
             out = jnp.zeros_like(v)
-            for cols, chol in factors:
-                out = out.at[cols].set(_batched_cho_solve(chol, v[cols]))
+            for cols, inv in inverses:
+                out = out.at[cols].set(
+                    jnp.einsum("ntu,nu->nt", inv, v[cols]))
             return out
 
         return apply

@@ -86,9 +86,7 @@ class SparseNormalCholeskyContext:
         # Per-bucket maps: flattened Gram index -> CSC position.
         self.maps = [np.searchsorted(uniq, k).astype(np.int64)
                      for k in key_parts]
-        diag_keys = np.arange(n, dtype=np.int64) * n + np.arange(
-            n, dtype=np.int64)
-        self.diag_pos = np.searchsorted(uniq, diag_keys).astype(np.int64)
+        self.diag_pos = np.searchsorted(uniq, diag).astype(np.int64)
 
         self.dynamic = bool(dynamic)
         self._use_rcm = use_rcm

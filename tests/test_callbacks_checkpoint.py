@@ -161,3 +161,22 @@ def test_trust_region_dump_iteration_filter_and_console(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "ceres_tpu iteration 1" in out
     assert not glob.glob(str(tmp_path / "console" / "*.npz"))
+
+
+def test_console_dump_needs_no_directory(capsys):
+    """solver.h: the dump directory is only used by TEXTFILE; CONSOLE
+    logging works without one (and routes to the host loop)."""
+    import jax.numpy as jnp
+
+    def f(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    x = np.array([-1.2, 1.0])
+    problem = ct.Problem()
+    problem.add_residual_block(ct.AutoDiffCostFunction(f, 2, [2]), None, x)
+    ct.solve(ct.SolverOptions(
+        max_num_iterations=2,
+        trust_region_problem_dump_format_type=ct.DumpFormatType.CONSOLE),
+        problem)
+    out = capsys.readouterr().out
+    assert "ceres_tpu iteration 1" in out

@@ -138,3 +138,28 @@ def test_conjugate_gradients_spd(rng):
                                  r_tolerance=1e-14)
     np.testing.assert_allclose(np.asarray(result.x), np.linalg.solve(A, b),
                                rtol=1e-8)
+
+
+def test_cg_warm_start_q_termination():
+    """Q_{0} must be Q(x0), not 0 (conjugate_gradients_solver.h:157-159):
+    a warm start at the exact solution terminates via the Q test on the
+    first iteration instead of running extra operator applies."""
+    from ceres_tpu.solvers.cg import conjugate_gradients
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(12, 12))
+    A = M @ M.T + 12 * np.eye(12)
+    b = rng.normal(size=12)
+    x_star = np.linalg.solve(A, b)
+    Aj = jnp.asarray(A)
+
+    res = conjugate_gradients(lambda v: Aj @ v, jnp.asarray(b),
+                              jnp.asarray(x_star), q_tolerance=0.1,
+                              max_iterations=50)
+    assert int(res.num_iterations) <= 2, int(res.num_iterations)
+    np.testing.assert_allclose(np.asarray(res.x), x_star, rtol=1e-8)
+
+    # cold start still converges to the solution
+    res2 = conjugate_gradients(lambda v: Aj @ v, jnp.asarray(b),
+                               jnp.zeros(12), q_tolerance=0.0,
+                               r_tolerance=1e-12, max_iterations=100)
+    np.testing.assert_allclose(np.asarray(res2.x), x_star, rtol=1e-6)

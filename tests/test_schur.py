@@ -288,3 +288,31 @@ def test_ba_config_matrix_extended(solver_type, precond, mixed):
                 f"diverge from DENSE_QR")
     np.testing.assert_allclose(s.final_cost, ref_summary.final_cost,
                                rtol=1e-4)
+
+
+def test_schur_meta_invalidated_on_ordering_change():
+    """The compiled program is shared across Solve calls; changing
+    options.linear_solver_ordering between solves must re-run structure
+    detection, not reuse the stale e/f partition."""
+    problem, cams, pts = small_ba()
+    prog = CompiledProgram.get_cached(problem, ct.SolverOptions())
+    meta_auto = detect_schur_structure(prog, ct.SolverOptions())
+    assert meta_auto is not None
+    ne_auto = meta_auto.ne
+
+    # user ordering: eliminate CAMERAS instead of points
+    ordering = ct.ParameterBlockOrdering()
+    for c in cams:
+        ordering.add_element_to_group(c, 0)
+    for p in pts:
+        ordering.add_element_to_group(p, 1)
+    opts2 = ct.SolverOptions(linear_solver_ordering=ordering)
+    prog2 = CompiledProgram.get_cached(problem, opts2)
+    meta_user = detect_schur_structure(prog2, opts2)
+    assert meta_user is not None
+    assert meta_user.ne == len(cams) != ne_auto
+
+    # back to automatic: the original partition again (not the stale one)
+    prog3 = CompiledProgram.get_cached(problem, ct.SolverOptions())
+    meta_again = detect_schur_structure(prog3, ct.SolverOptions())
+    assert meta_again is not None and meta_again.ne == ne_auto
