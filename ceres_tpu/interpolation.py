@@ -39,6 +39,10 @@ class Grid1D:
         self.end = end if end is not None else begin + self.data.shape[0]
 
     def __call__(self, n):
+        # clamp to the DECLARED range [begin, end) first
+        # (cubic_interpolation.h Grid1D: n is clamped to [begin_, end_-1]
+        # — end may be tighter than the backing array), then to the array
+        n = jnp.clip(n, self.begin, self.end - 1)
         idx = jnp.clip(n - self.begin, 0, self.data.shape[0] - 1)
         return self.data[idx]
 
@@ -86,6 +90,10 @@ class Grid2D:
                         else col_begin + self.data.shape[1])
 
     def __call__(self, r, c):
+        # declared [row_begin, row_end) x [col_begin, col_end) first,
+        # then the backing array extent (cubic_interpolation.h Grid2D)
+        r = jnp.clip(r, self.row_begin, self.row_end - 1)
+        c = jnp.clip(c, self.col_begin, self.col_end - 1)
         ri = jnp.clip(r - self.row_begin, 0, self.data.shape[0] - 1)
         ci = jnp.clip(c - self.col_begin, 0, self.data.shape[1] - 1)
         return self.data[ri, ci]

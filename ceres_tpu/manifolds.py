@@ -113,7 +113,9 @@ class SubsetManifold(Manifold):
     def plus(self, x, delta):
         if self._free.size == 0:
             return x
-        return x.at[self._free].add(delta)
+        # jnp.asarray: the public API hands users numpy-owned blocks,
+        # which have no .at
+        return jnp.asarray(x).at[self._free].add(delta)
 
     def minus(self, y, x):
         if self._free.size == 0:
@@ -153,7 +155,10 @@ class QuaternionManifold(Manifold):
         small = sq < 1e-12
         sn = jnp.sqrt(jnp.where(small, 1.0, sq))
         w = q[..., :1]
-        atan = jnp.where(w < 0, jnp.arctan2(-sn, -w), jnp.arctan2(sn, w))
+        # theta = atan2(|u|, w) with NO sign flip (manifold.cc:105
+        # QuaternionMinusImpl): the log distinguishes the double cover,
+        # so Minus(Plus(x, d), x) = d holds for |d| up to pi, not pi/2.
+        atan = jnp.arctan2(sn, w)
         k = jnp.where(small, 1.0 / jnp.where(w == 0, 1.0, w), atan / sn)
         return q[..., 1:] * k
 
@@ -287,7 +292,8 @@ class LineManifold(Manifold):
         # Origin displacement lives in the direction's tangent hyperplane,
         # mapped through the direction's householder frame (line_manifold.h).
         v, beta = householder_vector(direction)
-        y = jnp.concatenate([0.5 * do, jnp.zeros_like(do[..., :1])], axis=-1)
+        # y = [delta_o, 0] with NO half factor (line_manifold.h:212)
+        y = jnp.concatenate([do, jnp.zeros_like(do[..., :1])], axis=-1)
         origin_new = origin + _apply_householder(v, beta, y)
         direction_new = self._sphere.plus(direction, dd)
         return jnp.concatenate([origin_new, direction_new], axis=-1)
@@ -297,8 +303,9 @@ class LineManifold(Manifold):
         xo, xd = x[..., :n], x[..., n:]
         yo, yd = y[..., :n], y[..., n:]
         v, beta = householder_vector(xd)
+        # head of H (y_o - x_o), no doubling (line_manifold.h:265-267)
         h = _apply_householder(v, beta, yo - xo)
-        do = 2.0 * h[..., : n - 1]
+        do = h[..., : n - 1]
         dd = self._sphere.minus(yd, xd)
         return jnp.concatenate([do, dd], axis=-1)
 

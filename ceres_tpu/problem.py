@@ -330,6 +330,26 @@ class Problem:
         # in the view IS the requested row/column order.
         sel_res = (list(residual_blocks) if residual_blocks is not None
                    else self.residual_blocks())
+        # Cache the (view, program) per subset signature: repeat
+        # evaluations of the same subset (e.g. evaluate_residual_block in
+        # a loop) must not re-trace and re-compile (the reference call is
+        # microseconds). Revision covers structure/constancy/manifold
+        # mutations; values are read fresh from the user arrays.
+        sig = (self._revision, bool(apply_loss_function),
+               tuple(rb.index for rb in sel_res),
+               None if parameter_blocks is None
+               else tuple(id(pb) for pb in parameter_blocks))
+        cache = getattr(self, "_subset_eval_cache", None)
+        if cache is None:
+            cache = self._subset_eval_cache = {}
+        for k in [k for k in cache if k[0] != self._revision]:
+            del cache[k]
+        cached_view = cache.get(sig)
+        if cached_view is not None:
+            return self._finish_subset_evaluate(
+                cached_view[0], cached_view[1], parameter_blocks,
+                want_residuals, want_gradient, want_jacobian,
+                jacobian_format)
         view = Problem()
         listed_keys = None
         if parameter_blocks is not None:
@@ -357,6 +377,16 @@ class Problem:
                     listed_keys is not None and k not in listed_keys)
         prog = CompiledProgram(view, apply_loss=apply_loss_function,
                                include_fixed_blocks=True)
+        if len(cache) >= 256:       # bound growth over many subsets
+            cache.pop(next(iter(cache)))
+        cache[sig] = (view, prog)
+        return self._finish_subset_evaluate(
+            view, prog, parameter_blocks, want_residuals, want_gradient,
+            want_jacobian, jacobian_format)
+
+    def _finish_subset_evaluate(self, view, prog, parameter_blocks,
+                                want_residuals, want_gradient,
+                                want_jacobian, jacobian_format):
         cost, res, grad, jac = prog.public_evaluate(
             want_residuals, want_gradient, want_jacobian,
             jacobian_format=jacobian_format)

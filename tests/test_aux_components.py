@@ -328,3 +328,34 @@ def test_covariance_constant_block_is_zero():
     np.testing.assert_allclose(cov.get_covariance_block(z, z), 0.0)
     assert cov.get_covariance_block(z, z).shape == (2, 2)
     assert np.all(np.isfinite(cov.get_covariance_block(x, x)))
+
+
+def test_grid_declared_end_clamps_reads():
+    """cubic_interpolation.h Grid1D/Grid2D clamp indices to the DECLARED
+    [begin, end) range, which may be tighter than the backing array."""
+    from ceres_tpu.interpolation import (Grid1D, CubicInterpolator,
+                                         Grid2D, BiCubicInterpolator)
+    g = Grid1D(np.arange(10.0), begin=0, end=5)
+    assert float(np.asarray(g(7)).squeeze()) == 4.0    # clamped to end-1
+    ci = CubicInterpolator(g)
+    v = float(np.asarray(ci.evaluate(3.5)))
+    assert v <= 4.0 + 1e-9, v                          # never reads data[5:]
+
+    data2 = np.arange(36.0).reshape(6, 6)
+    g2 = Grid2D(data2, row_begin=0, row_end=3, col_begin=0, col_end=3)
+    assert float(np.asarray(g2(5, 5)).squeeze()) == data2[2, 2]
+    bi = BiCubicInterpolator(g2)
+    assert np.isfinite(float(np.asarray(bi.evaluate(2.0, 2.0))))
+
+
+def test_subset_evaluate_cached_across_calls():
+    """evaluate_residual_block in a loop must reuse the compiled subset
+    program (problem_impl.cc Evaluate is microseconds per call)."""
+    problem, x, _ = linear_gaussian_problem()
+    rbs = problem.residual_blocks()
+    c1 = problem.evaluate(residual_blocks=[rbs[0]])[0]
+    c2 = problem.evaluate(residual_blocks=[rbs[0]])[0]
+    assert c1 == c2
+    assert len(problem._subset_eval_cache) == 1
+    problem.evaluate(residual_blocks=[rbs[1]])
+    assert len(problem._subset_eval_cache) == 2

@@ -98,3 +98,46 @@ def test_sphere_norm_preserved():
     y = np.asarray(m.plus(jnp.asarray(x), jnp.asarray(d)))
     np.testing.assert_allclose(np.linalg.norm(y), np.linalg.norm(x),
                                rtol=1e-12)
+
+
+def test_quaternion_minus_plus_identity_beyond_half_pi():
+    """manifold.cc:105 QuaternionMinusImpl uses atan2(|u|, w) with NO
+    sign flip, so Minus(Plus(x, d), x) = d holds for |d| up to pi (the
+    log distinguishes the quaternion double cover). Regression: the old
+    flip broke this beyond |d| = pi/2."""
+    m = ct.QuaternionManifold()
+    x = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    for d in ([2.0, 0.0, 0.0], [0.0, 1.9, 0.0], [1.2, 1.2, 1.2],
+              [2.9, 0.4, 0.0]):
+        d = jnp.asarray(d)
+        y = m.plus(x, d)
+        np.testing.assert_allclose(np.asarray(m.minus(y, x)),
+                                   np.asarray(d), atol=1e-12)
+
+    me = ct.EigenQuaternionManifold()
+    xe = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    d = jnp.asarray([2.0, 0.3, -0.4])
+    ye = me.plus(xe, d)
+    np.testing.assert_allclose(np.asarray(me.minus(ye, xe)),
+                               np.asarray(d), atol=1e-12)
+
+
+def test_line_manifold_origin_tangent_scale():
+    """line_manifold.h:212,:265: the origin displacement is H [delta_o, 0]
+    with no 1/2 factor — the householder map is orthogonal, so the origin
+    moves by exactly |delta_o|."""
+    m = ct.LineManifold(3)
+    x = jnp.asarray([1.0, 2.0, 3.0, 0.0, 0.0, 1.0])   # origin + unit dir
+    delta = jnp.asarray([0.3, -0.7, 0.0, 0.0])        # origin-only move
+    y = m.plus(x, delta)
+    moved = float(jnp.linalg.norm(y[:3] - x[:3]))
+    np.testing.assert_allclose(moved, float(jnp.linalg.norm(delta[:2])),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.minus(y, x)),
+                               np.asarray(delta), atol=1e-12)
+
+
+def test_subset_manifold_accepts_numpy():
+    m = ct.SubsetManifold(4, [1, 3])
+    out = m.plus(np.array([1.0, 2.0, 3.0, 4.0]), np.array([0.1, 0.2]))
+    np.testing.assert_allclose(np.asarray(out), [1.1, 2.0, 3.2, 4.0])
