@@ -24,7 +24,13 @@ PyObject* g_mod = nullptr;  // ceres_tpu.c_api
 
 bool EnsurePython() {
   if (g_mod) return true;
-  if (!Py_IsInitialized()) Py_Initialize();
+  if (!Py_IsInitialized()) {
+    Py_Initialize();
+    // Release the GIL the initializing thread implicitly holds:
+    // otherwise any API call from a DIFFERENT thread deadlocks inside
+    // PyGILState_Ensure (Py_Initialize leaves the caller owning it).
+    PyEval_SaveThread();
+  }
   PyGILState_STATE gil = PyGILState_Ensure();
   g_mod = PyImport_ImportModule("ceres_tpu.c_api");
   if (!g_mod) PyErr_Print();
@@ -32,6 +38,8 @@ bool EnsurePython() {
   return g_mod != nullptr;
 }
 
+// NOTE: `args` must be built while HOLDING the GIL. PyGILState_Ensure is
+// reentrant, so wrappers take the GIL, build args, and call this.
 long long CallLL(const char* fn, PyObject* args) {
   PyGILState_STATE gil = PyGILState_Ensure();
   long long out = -1;
@@ -45,6 +53,10 @@ long long CallLL(const char* fn, PyObject* args) {
       PyErr_Print();
     }
     Py_DECREF(f);
+  } else {
+    // report and CLEAR the AttributeError: leaving an exception pending
+    // poisons the next unrelated Python C-API call
+    PyErr_Print();
   }
   Py_XDECREF(args);
   PyGILState_Release(gil);
@@ -59,14 +71,21 @@ int ceres_init(void) { return EnsurePython() ? 0 : 1; }
 
 ceres_problem_t* ceres_create_problem(void) {
   if (!EnsurePython()) return nullptr;
-  long long pid = CallLL("create_problem", PyTuple_New(0));
+  // build the argument tuple under the GIL (argument expressions run
+  // BEFORE the callee's PyGILState_Ensure)
+  PyGILState_STATE gil = PyGILState_Ensure();
+  PyObject* args = PyTuple_New(0);
+  long long pid = CallLL("create_problem", args);
+  PyGILState_Release(gil);
   return reinterpret_cast<ceres_problem_t*>(static_cast<intptr_t>(pid));
 }
 
 void ceres_free_problem(ceres_problem_t* problem) {
   if (!EnsurePython()) return;
-  CallLL("free_problem",
-         Py_BuildValue("(L)", (long long)(intptr_t)problem));
+  PyGILState_STATE gil = PyGILState_Ensure();
+  PyObject* args = Py_BuildValue("(L)", (long long)(intptr_t)problem);
+  CallLL("free_problem", args);
+  PyGILState_Release(gil);
 }
 
 ceres_residual_block_id_t* ceres_problem_add_residual_block(

@@ -44,6 +44,19 @@ def _np_angle_axis_to_quaternion(aa):
     return np.concatenate([w, aa * k], axis=-1)
 
 
+def _np_quaternion_to_angle_axis(q):
+    """Inverse of _np_angle_axis_to_quaternion (w-first)."""
+    w = q[..., :1]
+    v = q[..., 1:]
+    sn_sq = np.sum(v * v, axis=-1, keepdims=True)
+    small = sn_sq[..., 0] < 1e-24
+    sn = np.sqrt(np.where(small[..., None], 1.0, sn_sq))
+    theta = 2.0 * np.arctan2(sn, w)
+    k = np.where(small[..., None], 2.0 / np.where(w == 0, 1.0, w),
+                 theta / sn)
+    return v * k
+
+
 class BALProblem:
     """cameras: [ncam, 9] (angle-axis 3, t 3, f, k1, k2) or [ncam, 10]
     (quaternion w-first 4, t 3, f, k1, k2) when use_quaternions.
@@ -78,24 +91,20 @@ class BALProblem:
         """Parse the BAL text format (bal_problem.cc:88-132)."""
         with open(path) as f:
             tokens = f.read().split()
-        it = iter(tokens)
-        ncam, npts, nobs = int(next(it)), int(next(it)), int(next(it))
-        cam_idx = np.zeros(nobs, dtype=np.int64)
-        pt_idx = np.zeros(nobs, dtype=np.int64)
-        obs = np.zeros((nobs, 2))
-        for i in range(nobs):
-            cam_idx[i] = int(next(it))
-            pt_idx[i] = int(next(it))
-            obs[i, 0] = float(next(it))
-            obs[i, 1] = float(next(it))
-        cams = np.zeros((ncam, 9))
-        for i in range(ncam):
-            for j in range(9):
-                cams[i, j] = float(next(it))
-        pts = np.zeros((npts, 3))
-        for i in range(npts):
-            for j in range(3):
-                pts[i, j] = float(next(it))
+        ncam, npts, nobs = (int(tokens[0]), int(tokens[1]),
+                            int(tokens[2]))
+        # vectorized parse: token-by-token Python loops cost tens of
+        # seconds on the big BAL sets (venice: ~25M tokens)
+        body = np.asarray(tokens[3:3 + 4 * nobs + 9 * ncam + 3 * npts],
+                          dtype=np.float64)
+        head = body[:4 * nobs].reshape(nobs, 4)
+        cam_idx = head[:, 0].astype(np.int64)
+        pt_idx = head[:, 1].astype(np.int64)
+        obs = head[:, 2:4].copy()
+        o = 4 * nobs
+        cams = body[o:o + 9 * ncam].reshape(ncam, 9).copy()
+        o += 9 * ncam
+        pts = body[o:o + 3 * npts].reshape(npts, 3).copy()
         problem = cls(cams, pts, cam_idx, pt_idx, obs)
         if use_quaternions:
             problem = problem.to_quaternions()
@@ -118,7 +127,12 @@ class BALProblem:
         self.points = scale * (self.points - median)
         # camera center c = -R' t; t = -R (c - median) * scale
         if self.use_quaternions:
-            raise NotImplementedError("normalize before quaternion repack")
+            aa = _np_quaternion_to_angle_axis(self.cameras[:, :4])
+            t = self.cameras[:, 4:7]
+            centers = _np_angle_axis_rotate(-aa, -t)
+            new_centers = scale * (centers - median)
+            self.cameras[:, 4:7] = _np_angle_axis_rotate(aa, -new_centers)
+            return
         aa = self.cameras[:, :3]
         t = self.cameras[:, 3:6]
         centers = _np_angle_axis_rotate(-aa, -t)
@@ -131,6 +145,20 @@ class BALProblem:
         rng = np.random.default_rng(seed)
         if point_sigma > 0:
             self.points += rng.normal(0, point_sigma, self.points.shape)
+        if self.use_quaternions:
+            # layout [q4 | t3 | f,k1,k2]: translation lives at 4:7 and
+            # rotation noise applies in angle-axis, re-packed to a unit
+            # quaternion (bal_problem.cc Perturb via
+            # CameraToAngleAxisAndCenter)
+            if translation_sigma > 0:
+                self.cameras[:, 4:7] += rng.normal(
+                    0, translation_sigma, (self.num_cameras, 3))
+            if rotation_sigma > 0:
+                aa = _np_quaternion_to_angle_axis(self.cameras[:, :4])
+                aa += rng.normal(0, rotation_sigma,
+                                 (self.num_cameras, 3))
+                self.cameras[:, :4] = _np_angle_axis_to_quaternion(aa)
+            return
         if translation_sigma > 0:
             self.cameras[:, 3:6] += rng.normal(
                 0, translation_sigma, (self.num_cameras, 3))
@@ -200,16 +228,38 @@ def synthetic_bal_problem(num_cameras: int, num_points: int,
 
     # observation structure: contiguous camera windows per point, remainder
     # spread over the first points so the total matches exactly
+    if num_observations > num_points * num_cameras:
+        raise ValueError(
+            f"num_observations={num_observations} exceeds the "
+            f"num_points*num_cameras={num_points * num_cameras} distinct "
+            f"(point, camera) pairs")
     base = max(1, num_observations // num_points)
     rem = max(0, num_observations - base * num_points)
     cam_idx = []
     pt_idx = []
+    starts = np.zeros(num_points, dtype=np.int64)
+    counts = np.zeros(num_points, dtype=np.int64)
     for p in range(num_points):
         start = rng.integers(0, num_cameras)
+        starts[p] = start
         k = min(base + (1 if p < rem else 0), num_cameras)
+        counts[p] = k
         for j in range(k):
             cam_idx.append((start + j) % num_cameras)
             pt_idx.append(p)
+    # per-point windows clamp at num_cameras; top up by widening other
+    # points' windows so the requested total is met EXACTLY (no RNG use:
+    # unclamped shapes — every existing benchmark — stay byte-identical)
+    deficit = num_observations - len(cam_idx)
+    p = 0
+    while deficit > 0:
+        if counts[p] < num_cameras:
+            cam_idx.append(int((starts[p] + counts[p]) % num_cameras))
+            pt_idx.append(p)
+            counts[p] += 1
+            deficit -= 1
+        else:
+            p += 1
     cam_idx = np.asarray(cam_idx[:num_observations], dtype=np.int64)
     pt_idx = np.asarray(pt_idx[:num_observations], dtype=np.int64)
 

@@ -114,7 +114,6 @@ int ct_amd_order(int32_t n, const int64_t* Ap, const int32_t* Ai,
   std::make_heap(heap.begin(), heap.end(), heap_less);
 
   std::vector<int32_t> mark(n, -1);
-  std::vector<int32_t> stamp_elem;  // per-element visit stamps
   int32_t order_pos = 0;
 
   while (order_pos < n) {

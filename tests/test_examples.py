@@ -134,3 +134,70 @@ def test_ransac_homography_batched():
     true_inliers[out] = False
     assert (mask & ~true_inliers).sum() == 0
     assert mask.sum() >= 0.8 * (n - n_out)
+
+
+def test_bal_quaternion_perturb_and_normalize():
+    """bal_problem.cc Perturb/Normalize must respect the quaternion
+    layout [q4 | t3 | f,k1,k2]: rotation noise in angle-axis (unit
+    quaternion preserved), translation at columns 4:7."""
+    from ceres_tpu.io.bal import synthetic_bal_problem
+    bal = synthetic_bal_problem(3, 40, 120, seed=2, pixel_noise=0.5)
+    q = bal.to_quaternions()
+    f_before = q.cameras[:, 7].copy()
+    q.perturb(rotation_sigma=0.05, translation_sigma=0.1,
+              point_sigma=0.01, seed=5)
+    norms = np.linalg.norm(q.cameras[:, :4], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-12)   # still unit
+    np.testing.assert_allclose(q.cameras[:, 7], f_before)  # f untouched
+
+    # perturbing the aa problem and converting is geometry-equivalent to
+    # perturbing the quaternion problem with the same seed
+    bal2 = synthetic_bal_problem(3, 40, 120, seed=2, pixel_noise=0.5)
+    bal2.perturb(rotation_sigma=0.05, translation_sigma=0.1,
+                 point_sigma=0.01, seed=5)
+    q2 = bal2.to_quaternions()
+    dots = np.abs(np.sum(q2.cameras[:, :4] * q.cameras[:, :4], axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-10)
+    np.testing.assert_allclose(q2.cameras[:, 4:7], q.cameras[:, 4:7],
+                               atol=1e-12)
+
+    q.normalize()    # must handle quaternions without raising
+    np.testing.assert_allclose(
+        np.linalg.norm(q.cameras[:, :4], axis=1), 1.0, atol=1e-12)
+
+
+def test_synthetic_bal_exact_observation_count():
+    from ceres_tpu.io.bal import synthetic_bal_problem
+    # clamped regime: nobs/npts exceeds ncam, windows saturate and the
+    # top-up must still deliver the exact requested count
+    bal = synthetic_bal_problem(num_cameras=2, num_points=10,
+                                num_observations=18, seed=0)
+    assert bal.num_observations == 18
+    pairs = set(zip(bal.camera_index.tolist(), bal.point_index.tolist()))
+    assert len(pairs) == 18              # all distinct (point, cam) pairs
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        synthetic_bal_problem(num_cameras=2, num_points=10,
+                              num_observations=100, seed=0)
+
+
+def test_bal_file_roundtrip_parse(tmp_path):
+    """Vectorized from_file equals the documented BAL text layout."""
+    from ceres_tpu.io.bal import BALProblem, synthetic_bal_problem
+    bal = synthetic_bal_problem(3, 20, 60, seed=1)
+    lines = [f"{bal.num_cameras} {bal.num_points} {bal.num_observations}"]
+    for i in range(bal.num_observations):
+        lines.append(f"{bal.camera_index[i]} {bal.point_index[i]} "
+                     f"{bal.observations[i,0]!s} {bal.observations[i,1]!s}")
+    for c in bal.cameras:
+        lines.extend(str(float(v)) for v in c)
+    for p in bal.points:
+        lines.extend(str(float(v)) for v in p)
+    f = tmp_path / "p.txt"
+    f.write_text("\n".join(lines) + "\n")
+    loaded = BALProblem.from_file(str(f))
+    np.testing.assert_array_equal(loaded.camera_index, bal.camera_index)
+    np.testing.assert_array_equal(loaded.point_index, bal.point_index)
+    np.testing.assert_allclose(loaded.observations, bal.observations)
+    np.testing.assert_allclose(loaded.cameras, bal.cameras)
+    np.testing.assert_allclose(loaded.points, bal.points)
