@@ -78,6 +78,24 @@ class NumericDiffFirstOrderFunction(FirstOrderFunction):
     def cost_and_gradient(self, x):
         from .types import NumericDiffMethodType
         c = self.cost(x)
+        if self._method == NumericDiffMethodType.RIDDERS:
+            # Ridders extrapolation, reusing the vectorized stencil from
+            # cost.py (numeric_diff.h EvaluateRiddersJacobianColumn) on
+            # the cost viewed as a 1-residual functor.
+            if not hasattr(self, "_ridders_jfn"):
+                from .cost import NumericDiffCostFunction
+                fn = self._functor
+                nd = NumericDiffCostFunction(
+                    lambda xx: jnp.reshape(jnp.asarray(fn(xx)), (1,)),
+                    method=NumericDiffMethodType.RIDDERS,
+                    num_residuals=1,
+                    parameter_block_sizes=[self.num_parameters],
+                    options=self._options)
+                rfn = nd.make_residual_fn()
+                jfn = nd.jacobian_of(rfn, 0)
+                self._ridders_jfn = (nd.block_data(), jfn)
+            data, jfn = self._ridders_jfn
+            return c, jfn(data, (x,))[0]
         step = self._options.relative_step_size * jnp.maximum(
             jnp.abs(x), 1.0)
         eye = jnp.eye(x.shape[0], dtype=x.dtype)

@@ -70,43 +70,60 @@ def make_inner_iteration_fn(program, options):
     all independent sets, batched per set."""
     if options.inner_iteration_ordering is not None:
         ordering = options.inner_iteration_ordering
+        if not is_ordering_valid(program, ordering):
+            # the reference fails Solve when a user group is not an
+            # independent set (coordinate_descent_minimizer.h:76 —
+            # coupled blocks stepped simultaneously ignore their cross
+            # term and can diverge)
+            raise ValueError(
+                "inner_iteration_ordering is invalid: each group must be "
+                "an independent set (no two blocks of a group may share "
+                "a residual block)")
         groups = [[program.problem._as_key(e) if not isinstance(e, int)
                    else e for e in ordering.group_elements(g)]
                   for g in ordering.groups_sorted()]
     else:
         groups = create_ordering(program)
 
-    # per set: tangent-column mask [num_eff]
-    masks = []
-    for keys in groups:
-        m = np.zeros(program.num_effective)
-        for k in keys:
-            if k in program.tan_offset:
-                o = program.tan_offset[k]
-                t = program.problem._blocks[k].tangent_size
-                m[o:o + t] = 1.0
-        masks.append(m)
-
     jgroups = program.groups
     damping = 1e-9
 
+    # Per set, per manifold group: which block rows belong to the set
+    # (static). Solving only those rows does 1/num_sets of the per-pass
+    # factorization work — blocks outside the set are held fixed anyway.
+    off_to_key = {off: k for k, off in program.tan_offset.items()}
+    set_plans = []
+    for keys in groups:
+        keyset = set(keys)
+        plan = []
+        for gi, g in enumerate(jgroups):
+            first_cols = np.asarray(g.tan_cols)[:, 0]
+            sel = np.asarray(
+                [i for i, c in enumerate(first_cols)
+                 if off_to_key.get(int(c)) in keyset], dtype=np.int64)
+            if sel.size:
+                plan.append((gi, sel))
+        if plan:
+            set_plans.append(plan)
+
     def inner(x):
-        for m in masks:
-            mask = jnp.asarray(m, dtype=program.dtype)
+        for plan in set_plans:
             _, grad, jac, _ = program.linearize_fn(x)
             diag_blocks = block_diag_jtj(jac, jgroups)
             delta = jnp.zeros_like(grad)
-            for g, H in zip(jgroups, diag_blocks):
-                cols = jnp.asarray(g.tan_cols)           # [k, t]
+            for gi, sel in plan:
+                g = jgroups[gi]
+                cols = jnp.asarray(np.asarray(g.tan_cols)[sel])  # [kb, t]
                 t = g.tangent_size
+                H = diag_blocks[gi][jnp.asarray(sel)]
                 Hd = H + damping * jnp.eye(t, dtype=H.dtype)[None]
-                gb = grad[cols][..., None]               # [k, t, 1]
+                gb = grad[cols][..., None]               # [kb, t, 1]
                 L = jnp.linalg.cholesky(Hd)
                 y = jax.scipy.linalg.solve_triangular(L, -gb, lower=True)
                 d = jax.scipy.linalg.solve_triangular(
                     jnp.swapaxes(L, -1, -2), y, lower=False)[..., 0]
                 delta = delta.at[cols].set(d)
-            x = program.plus(x, delta * mask)
+            x = program.plus(x, delta)
         return x
 
     return inner

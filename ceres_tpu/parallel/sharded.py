@@ -176,32 +176,19 @@ def make_sharded_lm_step(program, options, mesh: Mesh, axis: str = "data"):
         def apply_A(v):
             return local_matvec(outs, shards, scale * v) * scale + D2 * v
 
-        # PCG (all-device-synchronous; dots on replicated vectors)
-        def cg_cond(state):
-            _, _, _, _, rho, i, done = state
-            return (~done) & (i < max_cg)
-
-        def cg_body(state):
-            xk, rk, zk, pk, rho, i, done = state
-            Ap = apply_A(pk)
-            pAp = jnp.vdot(pk, Ap)
-            alpha = rho / jnp.where(pAp == 0, 1.0, pAp)
-            xk = xk + alpha * pk
-            rk = rk - alpha * Ap
-            zk = precond(rk)
-            rho_new = jnp.vdot(rk, zk)
-            beta = rho_new / jnp.where(rho == 0, 1.0, rho)
-            pk = zk + beta * pk
-            Q1 = 0.5 * jnp.vdot(xk, rk + b)
-            done = (pAp <= 0) | (jnp.abs(rho_new) < 1e-300)
-            return (xk, rk, zk, pk, rho_new, i + 1, done)
-
-        z0 = precond(b)
-        state0 = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0),
-                  jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        xk, rk, _, _, _, iters, _ = jax.lax.while_loop(cg_cond, cg_body,
-                                                       state0)
-        d = xk
+        # PCG: the shared implementation (solvers/cg.py) — all-device-
+        # synchronous since the operator psums and the dots run on
+        # replicated vectors. Reuse brings the reference termination
+        # rules (eta/Q-tolerance, r-tolerance, indefiniteness guard) the
+        # old inline copy dropped — without eta every LM step burned the
+        # full max_linear_solver_iterations.
+        from ..solvers.cg import conjugate_gradients
+        result = conjugate_gradients(
+            apply_A, b, jnp.zeros_like(b), apply_preconditioner=precond,
+            max_iterations=max_cg, q_tolerance=eta,
+            min_iterations=options.min_linear_solver_iterations)
+        d = result.x
+        iters = result.num_iterations
 
         Jd_sq = jnp.vdot(d, local_matvec(outs, shards, scale * d) * scale)
         mcc = -(jnp.vdot(d, -b) + 0.5 * Jd_sq)

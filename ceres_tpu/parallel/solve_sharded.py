@@ -181,6 +181,7 @@ def _solve_sharded_cgnr_host_loop(program, options, summary, mesh, axis):
     summary.num_successful_steps = ok_steps
     summary.num_unsuccessful_steps = bad_steps
     summary.num_linear_solves = it
+    summary.num_iterations_fused = it
     summary.termination_type = term
     summary.message = msg + " (sharded CGNR host loop)"
     return np.asarray(x)

@@ -444,6 +444,18 @@ def solve(options: SolverOptions, problem,
         options.use_mixed_precision_solves)
     summary.inner_iterations_given = bool(options.use_inner_iterations)
     summary.inner_iterations_used = bool(options.use_inner_iterations)
+    if (options.use_inner_iterations
+            and options.inner_iteration_ordering is not None):
+        from .minimizers.coordinate_descent import is_ordering_valid
+        if not is_ordering_valid(program, options.inner_iteration_ordering):
+            # solver.cc rejects a non-independent inner ordering up front
+            # (coordinate_descent_minimizer.h:76 IsOrderingValid)
+            summary.termination_type = TerminationType.FAILURE
+            summary.message = (
+                "Invalid inner_iteration_ordering: each group must be an "
+                "independent set (no two blocks of a group may share a "
+                "residual block).")
+            return summary
     summary.dense_linear_algebra_library_type = (
         options.dense_linear_algebra_library_type)
     summary.sparse_linear_algebra_library_type = (

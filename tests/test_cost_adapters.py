@@ -166,3 +166,45 @@ def test_numeric_diff_first_order_function():
         ct.GradientProblem(f), params)
     assert s.is_solution_usable(), s.message
     np.testing.assert_allclose(params, [3.0, -1.0], atol=1e-5)
+
+
+def test_numeric_diff_first_order_ridders():
+    """numeric_diff_first_order_function.h supports RIDDERS; the gradient
+    must come from Ridders extrapolation accuracy, not a plain central
+    stencil. Regression: RIDDERS silently fell into CENTRAL."""
+    from ceres_tpu.gradient_problem import NumericDiffFirstOrderFunction
+    from ceres_tpu.types import NumericDiffMethodType
+
+    def f(x):
+        return jnp.exp(x[0]) + jnp.sin(3.0 * x[1]) * x[0]
+
+    fn = NumericDiffFirstOrderFunction(
+        f, 2, method=NumericDiffMethodType.RIDDERS)
+    import jax as _jax
+    x = jnp.asarray([0.4, -0.8])
+    c, g = fn.cost_and_gradient(x)
+    g_true = _jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_true),
+                               rtol=1e-9)
+
+
+def test_invalid_inner_iteration_ordering_rejected():
+    """coordinate_descent_minimizer.h:76 IsOrderingValid: two blocks of
+    one group sharing a residual block must fail the Solve up front."""
+    x = np.array([1.0])
+    y = np.array([2.0])
+
+    def f(a, b):
+        return jnp.stack([a[0] * b[0] - 1.0])
+
+    problem = ct.Problem()
+    problem.add_residual_block(
+        ct.AutoDiffCostFunction(f, 1, [1, 1]), None, x, y)
+    bad = ct.ParameterBlockOrdering()
+    bad.add_element_to_group(x, 0)
+    bad.add_element_to_group(y, 0)       # same group, shared residual
+    s = ct.solve(ct.SolverOptions(
+        use_inner_iterations=True, inner_iteration_ordering=bad,
+        max_num_iterations=5), problem)
+    assert s.termination_type == ct.TerminationType.FAILURE
+    assert "independent set" in s.message
