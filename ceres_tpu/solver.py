@@ -165,9 +165,10 @@ def make_step_impl(program, options):
         from .solvers.schur import detect_schur_structure
         from .solvers.schur_fused import (fused_schur_supported,
                                           make_fused_schur_lm_step)
+        from .solvers.schur_sparse import use_sparse_schur
         meta = detect_schur_structure(program, options)
-        if meta is not None and fused_schur_supported(program, options,
-                                                      meta):
+        if (meta is not None and not use_sparse_schur(meta, options)
+                and fused_schur_supported(program, options, meta)):
             return make_fused_schur_lm_step(program, options, meta)
     linear_solve = _make_linear_solver(program, options)
     dtype = program.dtype
@@ -550,6 +551,11 @@ def solve(options: SolverOptions, problem,
     return summary
 
 
+def _sparse_schur_ok(structure, options):
+    from .solvers.schur_sparse import sparse_schur_supported
+    return sparse_schur_supported(structure)
+
+
 def _maybe_downgrade_options(options, program, summary):
     """Option-interaction rewriting (trust_region_preprocessor.cc:75-107):
     Schur-type solvers downgrade when no elimination structure exists."""
@@ -587,12 +593,14 @@ def _maybe_downgrade_options(options, program, summary):
         if structure is None:
             pass
         elif (t == LinearSolverType.SPARSE_SCHUR
-              and structure.nf > 4096):
+              and structure.nf > 4096
+              and not _sparse_schur_ok(structure, options)):
             # Dense S is the MXU-native reduced-system form; past a few
             # thousand cameras its O(nf^2) memory/factorization loses to
-            # PCG on the (implicit) complement. The reference factorizes a
-            # sparse S there (schur_complement_solver.cc:291); the
-            # TPU-native analog of that regime is ITERATIVE_SCHUR.
+            # the block-sparse host LDL^T (schur_sparse.py — the
+            # schur_complement_solver.cc:291 regime) when the structure
+            # supports it, and otherwise to PCG on the implicit
+            # complement: ITERATIVE_SCHUR, rewritten here.
             options = dataclasses.replace(
                 options, linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
                 preconditioner_type=(

@@ -993,6 +993,11 @@ def make_schur_solver(program, options):
                                          meta.cluster_mask_diag)
 
     from .cg import conjugate_gradients
+    from .schur_sparse import (use_sparse_schur, get_sparse_schur_context,
+                               sparse_schur_reduced_solve)
+
+    sparse_ctx = (get_sparse_schur_context(meta, program, options)
+                  if use_sparse_schur(meta, options) else None)
 
     mixed = options.use_mixed_precision_solves
 
@@ -1023,9 +1028,18 @@ def make_schur_solver(program, options):
 
         if solver_type in (LinearSolverType.DENSE_SCHUR,
                            LinearSolverType.SPARSE_SCHUR):
-            S, rhs = ops.explicit_S_and_rhs(b_e, b_f)
-            c, lower = jsl.cho_factor(S)
-            y = jsl.cho_solve((c, lower), rhs)
+            if sparse_ctx is not None:
+                # True block-sparse reduced system: device-assembled
+                # co-visibility pair blocks, host LDL^T
+                # (schur_complement_solver.cc:291 regime — see
+                # schur_sparse.py).
+                rhs = ops.rhs(b_e, b_f)
+                y = sparse_schur_reduced_solve(meta, ops, sparse_ctx,
+                                               rhs, ops.D_f)
+            else:
+                S, rhs = ops.explicit_S_and_rhs(b_e, b_f)
+                c, lower = jsl.cho_factor(S)
+                y = jsl.cho_solve((c, lower), rhs)
             iters = jnp.asarray(1, dtype=jnp.int32)
         else:
             rhs = ops.rhs(b_e, b_f)

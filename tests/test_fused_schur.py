@@ -751,7 +751,7 @@ def _cross_dup_bal_problem():
     same (camera, point) pair has rows in two different buckets (the
     cross-bucket duplicate case for the implicit SCHUR_JACOBI)."""
     from ceres_tpu.examples.snavely import SnavelyReprojectionError
-    bal = synthetic_bal_problem(num_cameras=3, num_points=60,
+    bal = synthetic_bal_problem(num_cameras=3, num_points=100,
                                 num_observations=200, seed=4,
                                 pixel_noise=0.5)
     bal.perturb(rotation_sigma=0.02, translation_sigma=0.1,
