@@ -18,12 +18,15 @@ summation trick helps.
 import os
 import sys
 
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
-os.environ["JAX_PLATFORMS"] = "cpu"
+_ON_TPU = "tpu" in sys.argv[1:]
+if not _ON_TPU:
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -57,7 +60,10 @@ def run(label, mixed):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    # `tpu` anywhere in argv runs on the attached device (the hardware
+    # gap-isolation mode); remaining arg selects the variant.
+    args = [a for a in sys.argv[1:] if a != "tpu"]
+    which = args[0] if args else "all"
     if which in ("all", "f64"):
         run("f64", mixed=False)
     if which in ("all", "mixed"):

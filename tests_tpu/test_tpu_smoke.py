@@ -192,6 +192,32 @@ def test_implicit_fused_iterative_schur_on_device():
     assert rel < 1e-5, rel
 
 
+def test_sparse_schur_on_device(monkeypatch):
+    """Block-sparse SPARSE_SCHUR (schur_sparse.py): device pair-block
+    assembly + host LDL^T round-trip per iteration, forced at small size,
+    must reach the dense-S final cost on hardware."""
+    def build():
+        bal = synthetic_bal_problem(num_cameras=8, num_points=1000,
+                                    num_observations=4000, seed=9,
+                                    pixel_noise=1.0)
+        bal.perturb(rotation_sigma=0.05, translation_sigma=0.3,
+                    point_sigma=0.1, seed=10)
+        return build_bal_ceres_problem(bal)[0]
+
+    opts = dict(max_num_iterations=40, function_tolerance=1e-9,
+                use_mixed_precision_solves=False)
+    s_ref = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR, **opts),
+        build())
+    monkeypatch.setenv("CERES_TPU_FORCE_SPARSE_SCHUR", "1")
+    s = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.SPARSE_SCHUR, **opts),
+        build())
+    assert s.termination_type == ct.TerminationType.CONVERGENCE
+    rel = abs(s.final_cost - s_ref.final_cost) / s_ref.final_cost
+    assert rel < 1e-8, rel
+
+
 def test_fused_line_search_on_device():
     """Whole L-BFGS + Wolfe loop as one device dispatch
     (minimizers/line_search_fused.py)."""
