@@ -95,9 +95,11 @@ def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
     # Build the solve from the template; building the step structure for
     # the OTHER programs as well makes their lazily-registered constants
     # (Schur meta, camera chunks, ...) available for stacking.
-    fn = make_fused_tr_solve(template, options, freeze_done=True)
+    fn = make_fused_tr_solve(template, options, freeze_done=True,
+                             batched=True)
     for pr in programs[1:]:
-        make_fused_tr_solve(pr, options, freeze_done=True)
+        make_fused_tr_solve(pr, options, freeze_done=True,
+                            batched=True)
 
     # ---- structural validation ----
     err = _validate_same_structure(programs)

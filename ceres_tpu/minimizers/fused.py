@@ -64,7 +64,8 @@ class FusedResult(NamedTuple):
                    total_linear_iterations=int(s[7]))
 
 
-def make_fused_tr_solve(program, options, freeze_done: bool = False):
+def make_fused_tr_solve(program, options, freeze_done: bool = False,
+                        batched: bool = False):
     """Returns a raw (unjitted) fused solve: x0 -> FusedResult.
 
     freeze_done=True makes the loop body a no-op for a state whose
@@ -74,7 +75,7 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False):
     finished element would keep taking (tiny) steps."""
     from ..solver import make_scale_impl, make_step_impl
 
-    step_impl = make_step_impl(program, options)
+    step_impl = make_step_impl(program, options, batched=batched)
     scale_impl = make_scale_impl(program, options)
     dtype = program.dtype
     gtol = options.gradient_tolerance

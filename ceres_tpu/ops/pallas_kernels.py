@@ -33,6 +33,16 @@ def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
+def _bind32(call, *args):
+    """Trace a pallas_call with x64 scoped OFF. Under jax_enable_x64 the
+    pallas grid/index-map plumbing emits i64 scalars the Mosaic TPU
+    compiler cannot legalize ("failed to legalize operation
+    'func.return'" on an i64); the kernels here are f32, so scoping x64
+    off around the bind changes nothing numerically."""
+    with jax.enable_x64(False):
+        return call(*args)
+
+
 def pallas_enabled() -> bool:
     return bool(os.environ.get("CERES_TPU_PALLAS"))
 
@@ -83,7 +93,8 @@ def bucket_jtjv(J, vb, tile_n: int = 512):
             flops=4 * n_pad * r * t,
             bytes_accessed=(n_pad * r * t + 2 * n_pad * t) * J.dtype.itemsize,
             transcendentals=0),
-    )(Jf, vb)
+    )
+    out = _bind32(out, Jf, vb)
     return out[:n]
 
 
@@ -199,7 +210,8 @@ def chol_solve_small(S, b):
         cost_estimate=pl.CostEstimate(
             flops=P * P * m // 3, bytes_accessed=4 * P * P,
             transcendentals=m),
-    )(Sp, bp)
+    )
+    y = _bind32(y, Sp, bp)
     return y[0, :m]
 
 
@@ -230,5 +242,6 @@ def bucket_gram_blocks(J, tile_n: int = 512):
         out_specs=pl.BlockSpec((tile_n, t * t), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
-    )(Jf)
+    )
+    out = _bind32(out, Jf)
     return out[:n].reshape(n, t, t)

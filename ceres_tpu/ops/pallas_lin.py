@@ -500,7 +500,7 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
                                              memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.SMEM)
-    call = pl.pallas_call(
+    raw_call = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
@@ -527,6 +527,16 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         ],
         interpret=interp,
     )
+
+    def call(*a):
+        # Trace the pallas_call with x64 scoped OFF: under jax_enable_x64
+        # the pallas grid/index-map plumbing emits i64 scalars the Mosaic
+        # TPU compiler cannot legalize ("failed to legalize operation
+        # 'func.return'" on an i64). The kernel itself is pure f32, so
+        # scoping x64 off around the bind changes nothing numerically;
+        # the surrounding f64 solve is untouched.
+        with jax.enable_x64(False):
+            return raw_call(*a)
 
     # Probe-compile the kernel through the real Mosaic backend ONCE per
     # shape: a front-end that traces fine can still be rejected by the
@@ -558,6 +568,9 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
                 print("ceres_tpu: pallas lin-phase kernel rejected by the "
                       f"TPU kernel compiler ({type(e).__name__}); using "
                       "the generic fused lin phase", file=sys.stderr)
+                if os.environ.get("CERES_TPU_PALLAS_DEBUG"):
+                    import traceback
+                    traceback.print_exc()
                 ok = False
             _PROBE_CACHE[shape_key] = ok
         if not ok:

@@ -209,6 +209,28 @@ class CompiledProgram:
 
         jitted = jax.jit(bound)
 
+        from .utils.hostsplit import backend_supports_callbacks, split_jit
+        if not backend_supports_callbacks():
+            # Backends without host send/recv (e.g. tunneled single-chip
+            # PJRT plugins) cannot compile jax.pure_callback. The sparse
+            # direct solvers and the C-API cost shim are host stages by
+            # design (the reference factors on CPU too); split the traced
+            # program at its top-level callbacks into device segments
+            # with the host work run eagerly between them — identical
+            # semantics, one extra dispatch per segment.
+            def _ex(v):
+                return jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(np.shape(a),
+                                                   np.asarray(a).dtype),
+                    v)
+            example_consts = tuple(_ex(self.consts_np[n]) for n in names)
+            try:
+                split = split_jit(bound, (example_consts, *example_args))
+            except Exception:
+                split = None
+            if split is not None:
+                jitted = split
+
         def call(*args):
             consts = tuple(self._device_const(n) for n in names)
             return jitted(consts, *args)

@@ -151,8 +151,12 @@ def make_step_fn(program, options):
     return call
 
 
-def make_step_impl(program, options):
-    """Raw (unjitted) step closure — also the body of the fused solve."""
+def make_step_impl(program, options, batched: bool = False):
+    """Raw (unjitted) step closure — also the body of the fused solve.
+
+    batched=True means the caller will vmap the step over a problem axis
+    (batch.py); the pallas lin-phase front-end has no batching rule, so
+    the fused step is built without it."""
     import os as _os
     if (options.trust_region_strategy_type
             == TrustRegionStrategyType.LEVENBERG_MARQUARDT
@@ -169,7 +173,8 @@ def make_step_impl(program, options):
         meta = detect_schur_structure(program, options)
         if (meta is not None and not use_sparse_schur(meta, options)
                 and fused_schur_supported(program, options, meta)):
-            return make_fused_schur_lm_step(program, options, meta)
+            return make_fused_schur_lm_step(program, options, meta,
+                                            batched=batched)
     linear_solve = _make_linear_solver(program, options)
     dtype = program.dtype
     use_jacobi_scaling = options.jacobi_scaling

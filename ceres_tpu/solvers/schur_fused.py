@@ -234,7 +234,7 @@ def _spd_solve_dense(S, rhs):
     return jsl.cho_solve((c, lower), rhs)
 
 
-def make_fused_schur_lm_step(program, options, meta):
+def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
     """Returns lm_step(x, radius) -> out dict (same contract as
     solver.make_step_impl's lm_step)."""
     from ..loss import correct_residuals_and_jacobian
@@ -343,8 +343,8 @@ def make_fused_schur_lm_step(program, options, meta):
     # Gram blocks, so the chunk tensors are never materialized.
     plin = None
     from ..ops.pallas_lin import pallas_lin_supported, make_pallas_lin
-    if pallas_lin_supported(program, options, meta, explicit, mixed,
-                            f64_rhs):
+    if not batched and pallas_lin_supported(program, options, meta,
+                                            explicit, mixed, f64_rhs):
         # None when the VMEM fit or the Mosaic probe compile fails —
         # the generic lin phase then serves both minimizer loops.
         plin = make_pallas_lin(program, options, meta)

@@ -32,7 +32,7 @@ run ab_pallas_lin 1800 python scripts/ab_pallas_lin.py
 # 3. large BA scaling (1024 cam / 200k pts / 1M obs) — now routes to
 #    fused implicit; was 2.8 s/LM-iter via the host-loop fallback
 if [ "${1:-}" != "--skip-large" ]; then
-  run ba_scaling_large 3600 python benchmarks/ba_scaling_benchmark.py --large
+  run ba_scaling_large 3600 python -m benchmarks.ba_scaling_benchmark --large
 fi
 
 # 4. TPU smoke tier (incl. new sparse-schur, batch, implicit tests)
