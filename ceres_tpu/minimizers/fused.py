@@ -276,9 +276,15 @@ def run_fused(program, options, summary):
     x_dev, stats_dev = solve(program.initial_state())
     # ONE host transfer for the whole result: per-leaf pulls cost a tunnel
     # roundtrip each (~65 ms on the remote TPU), so the summary scalars
-    # come back packed in a single f64 vector alongside x.
-    x_host, stats = jax.device_get((x_dev, stats_dev))
-    result = FusedResult.unpack(x_host, stats)
+    # come back packed in a single f64 vector alongside x. With deferred
+    # write-back only the tiny stats vector is downloaded (one fixed-cost
+    # roundtrip); x stays device-resident until summary.write_back().
+    if options.defer_parameter_writeback:
+        stats = jax.device_get(stats_dev)
+        result = FusedResult.unpack(x_dev, stats)
+    else:
+        x_host, stats = jax.device_get((x_dev, stats_dev))
+        result = FusedResult.unpack(x_host, stats)
     summary.minimizer_time_in_seconds = time.time() - t0
     summary.initial_cost = float(result.initial_cost)
     summary.final_cost = float(result.cost)

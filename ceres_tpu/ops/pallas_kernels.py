@@ -34,11 +34,17 @@ def _use_interpret():
 
 
 def _bind32(call, *args):
-    """Trace a pallas_call with x64 scoped OFF. Under jax_enable_x64 the
-    pallas grid/index-map plumbing emits i64 scalars the Mosaic TPU
-    compiler cannot legalize ("failed to legalize operation
-    'func.return'" on an i64); the kernels here are f32, so scoping x64
-    off around the bind changes nothing numerically."""
+    """Trace a pallas_call with x64 scoped OFF — but only when actually
+    targeting Mosaic. Under jax_enable_x64 the pallas grid/index-map
+    plumbing emits i64 scalars the Mosaic TPU compiler cannot legalize
+    ("failed to legalize operation 'func.return'" on an i64); the TPU
+    kernels here are f32, so scoping x64 off around the bind changes
+    nothing numerically on device. In interpret mode (CPU tests) Mosaic
+    is not involved and the scope must stay ON: disabling it makes the
+    traced kernel body compute f32 values against the caller's f64 refs
+    ("Invalid dtype for swap"), which is exactly the round-2 breakage."""
+    if _use_interpret():
+        return call(*args)
     with jax.enable_x64(False):
         return call(*args)
 

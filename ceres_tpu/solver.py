@@ -533,7 +533,10 @@ def solve(options: SolverOptions, problem,
             if x is not None:
                 t0 = time.time()
                 if summary.is_solution_usable():
-                    program.write_back(x)
+                    if options.defer_parameter_writeback:
+                        summary._pending_writeback = (program, x)
+                    else:
+                        program.write_back(x)
                 summary.postprocessor_time_in_seconds = time.time() - t0
                 summary.total_time_in_seconds = time.time() - t_start
                 return summary
@@ -550,7 +553,10 @@ def solve(options: SolverOptions, problem,
     # ---- postprocess ----
     t0 = time.time()
     if summary.is_solution_usable():
-        program.write_back(x)
+        if options.defer_parameter_writeback:
+            summary._pending_writeback = (program, x)
+        else:
+            program.write_back(x)
     summary.postprocessor_time_in_seconds = time.time() - t0
     summary.total_time_in_seconds = time.time() - t_start
     return summary

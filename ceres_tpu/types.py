@@ -329,12 +329,22 @@ class SolverOptions:
     dtype: Any = None                 # None -> config.default_dtype()
     mesh: Any = None                  # jax.sharding.Mesh for multi-chip solve
     fused_iterations: bool = False    # run whole TR loop in one lax.while_loop
+    # Leave the solved state device-resident: Solve() fills the summary
+    # from the packed device stats but does NOT download the parameter
+    # vector or touch the user's numpy arrays; call
+    # summary.write_back() to materialize them. For serving/retry loops
+    # on a remote device the parameter download (~60 ms/solve over a
+    # tunnel) is pure waste when the next consumer is another device
+    # program.
+    defer_parameter_writeback: bool = False
 
     def cache_key(self):
         """Hashable signature of every option that affects compiled
         executables (excludes callbacks/mesh/host-side-only knobs)."""
         parts = []
         for f in dataclasses.fields(self):
+            if f.name == "defer_parameter_writeback":
+                continue   # host-side result handling; same executable
             v = getattr(self, f.name)
             if f.name == "residual_blocks_for_subset_preconditioner":
                 v = (tuple(sorted(rb.index for rb in v))
@@ -488,6 +498,18 @@ class SolverSummary:
     @property
     def num_iterations(self) -> int:
         return len(self.iterations) or self.num_iterations_fused
+
+    def write_back(self):
+        """Materialize a deferred solution: download the device-resident
+        parameter vector and copy it into the user's numpy arrays. No-op
+        when the solve already wrote back (the default) or produced no
+        usable solution. Returns self."""
+        pending = getattr(self, "_pending_writeback", None)
+        if pending is not None:
+            program, x = pending
+            self._pending_writeback = None
+            program.write_back(x)
+        return self
 
     def is_solution_usable(self) -> bool:
         return self.termination_type in (TerminationType.CONVERGENCE,
