@@ -148,6 +148,7 @@ class Covariance:
 
         x = prog.initial_state()
         n = prog.num_effective
+        opts = self.options
 
         # distinct second blocks -> their tangent column ranges; pairs
         # touching a CONSTANT block get a zero block without a solve
@@ -188,6 +189,22 @@ class Covariance:
                 self._message = ("Rank deficient normal equations in the "
                                  "Schur covariance path (gauge freedom?); "
                                  "hold a gauge or use DENSE_SVD.")
+                return False
+            # Rank policy (covariance.h:281-329 semantics): the Cholesky
+            # diagonal squares to the pivots of S, so (min/max)^2 is a
+            # cheap reciprocal-condition estimate of the reduced normal
+            # equations. NEAR-singular S (gauge freedom damped only by
+            # rounding) must fail like the dense path, not return
+            # garbage covariances.
+            cd = np.abs(np.asarray(jnp.diagonal(c)))
+            rcn = float((cd.min() / cd.max()) ** 2) if cd.size else 0.0
+            if rcn < opts.min_reciprocal_condition_number:
+                self._message = (
+                    f"Rank deficient normal equations: reciprocal "
+                    f"condition number estimate {rcn:e} < "
+                    f"{opts.min_reciprocal_condition_number:e} "
+                    f"(Schur covariance path). Hold a gauge, or use "
+                    f"DENSE_SVD with null_space_rank.")
                 return False
             e_cols = meta.c("e_cols", meta.e_cols)
             f_global = meta.c("f_global", meta.f_global_cols)
@@ -233,6 +250,19 @@ class Covariance:
             if int(status) != 0:
                 self._message = ("Rank deficient normal equations in the "
                                  "sparse covariance path.")
+                return False
+            # Rank policy from the LDL^T inertia (covariance.h:281-329):
+            # the normal equations are SPSD, so any negative pivot or a
+            # tiny pivot ratio is numerical rank deficiency.
+            dmin, dmax, nneg = ctx.chol.diag_stats()
+            rcn = dmin / dmax if dmax > 0 else 0.0
+            if nneg > 0 or rcn < opts.min_reciprocal_condition_number:
+                self._message = (
+                    f"Rank deficient normal equations: LDL^T inertia "
+                    f"({nneg} negative pivots), reciprocal condition "
+                    f"number estimate {rcn:e} < "
+                    f"{opts.min_reciprocal_condition_number:e}. Use "
+                    f"DENSE_SVD with null_space_rank.")
                 return False
             X = np.zeros((len(cols), n))
             for i, colv in enumerate(cols):

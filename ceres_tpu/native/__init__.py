@@ -68,6 +68,8 @@ def _load():
         lib.ct_chol_solve.restype = i32
         lib.ct_chol_destroy.argtypes = [ctypes.c_void_p]
         lib.ct_chol_destroy.restype = None
+        lib.ct_chol_diag_stats.argtypes = [ctypes.c_void_p, p_f64]
+        lib.ct_chol_diag_stats.restype = None
         lib.ct_scatter_add.argtypes = [p_f64, p_i64, p_f64, i64]
         lib.ct_scatter_add.restype = None
         _lib = lib
@@ -140,6 +142,14 @@ class SparseCholesky:
         self._lib.ct_chol_solve(
             self._h, np.ascontiguousarray(b, dtype=np.float64), x)
         return x
+
+    def diag_stats(self):
+        """(min |D|, max |D|, #negative D) of the last successful factor —
+        the LDL^T inertia/conditioning surface for the rank policy
+        (reference covariance.h:281-329 failure semantics)."""
+        out = np.empty(3, dtype=np.float64)
+        self._lib.ct_chol_diag_stats(self._h, out)
+        return float(out[0]), float(out[1]), int(out[2])
 
     def __del__(self):
         try:

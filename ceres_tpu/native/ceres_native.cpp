@@ -20,6 +20,7 @@
 //        ceres_native.cpp
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -400,6 +401,28 @@ void* ct_chol_create(int32_t n, const int64_t* Ap, const int32_t* Ai,
 int64_t ct_chol_nnz(void* handle) {
   auto* h = static_cast<CholHandle*>(handle);
   return h->Lp[h->n];
+}
+
+// Diagnostics of the last successful LDL^T factor (rank policy,
+// reference covariance.h:281-329 semantics): out[0] = min |D|,
+// out[1] = max |D|, out[2] = count of negative D entries (inertia). For
+// the SPD normal equations any negative pivot or a tiny |D|min/|D|max
+// ratio signals numerical rank deficiency.
+void ct_chol_diag_stats(void* handle, double* out3) {
+  auto* h = static_cast<CholHandle*>(handle);
+  const int32_t n = h->n;
+  double dmin = 0.0, dmax = 0.0;
+  int64_t nneg = 0;
+  for (int32_t k = 0; k < n; ++k) {
+    const double d = h->D[k];
+    const double a = std::fabs(d);
+    if (k == 0 || a < dmin) dmin = a;
+    if (k == 0 || a > dmax) dmax = a;
+    if (d < 0.0) ++nneg;
+  }
+  out3[0] = dmin;
+  out3[1] = dmax;
+  out3[2] = static_cast<double>(nneg);
 }
 
 // Numeric LDL^T refactorization. Ax: values aligned with the (Ap, Ai)

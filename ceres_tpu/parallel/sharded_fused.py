@@ -75,6 +75,49 @@ def _sharded_explicit_viable(meta, num_shards: int) -> bool:
             and meta.ne * meta.te * meta.nf <= 1.5e8 * max(num_shards, 1))
 
 
+def collective_footprint(meta, options, n_devices: int,
+                         cg_iterations: int = 0,
+                         dtype_bytes: int = 4) -> dict:
+    """EXACT per-LM-iteration collective volume of the sharded fused
+    solve, analytically from the problem structure (the CPU-mesh proxy
+    cannot measure hardware scaling, so the claim "the communication
+    pattern adds no superlinear cost" gets this number instead).
+
+    Counts follow the module docstring's exchange list:
+      explicit mode — psum #1 (cost + F^T F blockdiag + g_f + ge stats),
+      psum #2 (S correction (kf·tf)^2 + rhs kf·tf), norm psum (3),
+      all_gather of the e-part of the step [ne, te], candidate-cost
+      psum (1);
+      implicit mode — one [kf, tf] psum per CG application plus the
+      reduced-rhs psum, instead of psum #2.
+    Bytes are the logical payload per device per collective (ring
+    all-reduce moves ~2x(P-1)/P of this over the wire; the factor is
+    topology-dependent and excluded).
+    """
+    grp = meta.f_groups[0]
+    kf, tf, ne, te = grp["kf"], grp["t"], meta.ne, meta.te
+    nf = kf * tf
+    iterative = (options is not None and options.linear_solver_type
+                 == LinearSolverType.ITERATIVE_SCHUR)
+    psum1 = (1 + kf * tf * tf + kf * tf + 2) * dtype_bytes
+    norms = 3 * dtype_bytes
+    cand = 1 * dtype_bytes
+    gather = ne * te * dtype_bytes
+    out = {"n_devices": int(n_devices), "ne": ne, "nf": nf}
+    if iterative and cg_iterations:
+        per_cg = kf * tf * dtype_bytes
+        out.update(psum_count=3 + 1 + cg_iterations,
+                   psum_bytes=psum1 + norms + cand
+                   + (1 + cg_iterations) * per_cg,
+                   allgather_count=1, allgather_bytes=gather)
+    else:
+        psum2 = (nf * nf + nf) * dtype_bytes
+        out.update(psum_count=4, psum_bytes=psum1 + psum2 + norms + cand,
+                   allgather_count=1, allgather_bytes=gather)
+    out["total_bytes"] = out["psum_bytes"] + out["allgather_bytes"]
+    return out
+
+
 def _cam_chunks_per_shard(fids, mask, kf: int, num_shards: int):
     """Per-shard camera-chunk index layout for the implicit reductions.
 

@@ -838,3 +838,23 @@ def test_sharded_fused_per_row_loss_attrs(bal):
     assert "sharded fused" in s2.message, s2.message
     rel = abs(s2.final_cost - s1.final_cost) / s1.final_cost
     assert rel < 1e-6, rel
+
+
+def test_sparse_covariance_rank_policy_free_gauge():
+    """A BA problem with NO gauge fixed has a 7-dimensional null space;
+    the scalable covariance path must return False with the reference's
+    rank-deficiency semantics (covariance.h:281-329), not garbage blocks."""
+    from ceres_tpu.covariance import Covariance, CovarianceOptions
+    from ceres_tpu.types import CovarianceAlgorithmType
+
+    bal = synthetic_bal_problem(num_cameras=6, num_points=800,
+                                num_observations=4000, seed=11,
+                                pixel_noise=0.5)
+    problem, cams, pts = build_bal_ceres_problem(bal)
+    assert 6 * 9 + 800 * 3 > 2000       # scalable-path threshold
+
+    cov = Covariance(CovarianceOptions(
+        algorithm_type=CovarianceAlgorithmType.SPARSE_QR))
+    ok = cov.compute([(cams[1], cams[1])], problem)
+    assert not ok
+    assert "Rank deficient" in cov.message, cov.message

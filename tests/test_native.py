@@ -260,3 +260,40 @@ def test_linear_solver_ordering_type_knob():
         assert s.termination_type == ct.TerminationType.CONVERGENCE
         results.append(np.concatenate(xs))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-10)
+
+
+def test_sparse_cholesky_diag_stats_rank_policy():
+    """LDL^T inertia/conditioning surface for the covariance rank policy
+    (reference covariance.h:281-329 failure semantics)."""
+    import scipy.sparse as sp
+    # well-conditioned SPD: no negative pivots, healthy ratio
+    A = _random_spd(100, 0.05, 3)
+    chol = native.SparseCholesky(100, A.indptr, A.indices)
+    assert chol.factor(A.data) == 0
+    dmin, dmax, nneg = chol.diag_stats()
+    assert nneg == 0 and dmin > 0 and dmin / dmax > 1e-10
+
+    # NEAR-singular SPD (rank deficiency damped only by epsilon): factor
+    # succeeds but the pivot ratio exposes the deficiency
+    B = sp.eye(10, format="csc")
+    B = B.tolil()
+    B[5, 5] = 1e-18
+    B = B.tocsc()
+    B.sort_indices()
+    chol2 = native.SparseCholesky(10, B.indptr, B.indices,
+                                  ordering=native.SparseCholesky.ORDER_NATURAL)
+    assert chol2.factor(B.data) == 0
+    dmin, dmax, nneg = chol2.diag_stats()
+    assert nneg == 0
+    assert dmin / dmax < 1e-14        # fails the rank policy threshold
+
+    # indefinite matrix: negative pivot count > 0
+    C = sp.eye(10, format="csc").tolil()
+    C[3, 3] = -1.0
+    C = C.tocsc()
+    C.sort_indices()
+    chol3 = native.SparseCholesky(10, C.indptr, C.indices,
+                                  ordering=native.SparseCholesky.ORDER_NATURAL)
+    assert chol3.factor(C.data) == 0
+    _, _, nneg = chol3.diag_stats()
+    assert nneg == 1

@@ -110,3 +110,33 @@ def test_sharded_schur_full_solve_trajectory():
         max_num_iterations=5), problem2)
     assert cost is not None
     np.testing.assert_allclose(cost, s.final_cost, rtol=5e-2)
+
+
+def test_collective_footprint_analytic():
+    """Exact per-iteration collective volume (PERF.md mesh-proxy table)."""
+    from ceres_tpu.parallel.sharded_fused import collective_footprint
+    from ceres_tpu.solvers.schur import detect_schur_structure
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.io.bal import (synthetic_bal_problem,
+                                  build_bal_ceres_problem)
+
+    bal = synthetic_bal_problem(4, 60, 200, seed=3, pixel_noise=0.5)
+    problem, _, _ = build_bal_ceres_problem(bal)
+    opts = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR)
+    prog = CompiledProgram.get_cached(problem, opts)
+    meta = detect_schur_structure(prog, opts)
+    fp = collective_footprint(meta, opts, 8)
+    kf, tf, ne, te = 4, 9, meta.ne, meta.te
+    nf = kf * tf
+    assert fp["psum_count"] == 4
+    assert fp["psum_bytes"] == 4 * (
+        (1 + kf * tf * tf + kf * tf + 2) + (nf * nf + nf) + 3 + 1)
+    assert fp["allgather_bytes"] == 4 * ne * te
+    assert fp["total_bytes"] == fp["psum_bytes"] + fp["allgather_bytes"]
+
+    opts_i = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR)
+    fpi = collective_footprint(meta, opts_i, 8, cg_iterations=10)
+    assert fpi["psum_count"] == 14
+    assert fpi["psum_bytes"] < fp["psum_bytes"]  # no nf^2 psum
