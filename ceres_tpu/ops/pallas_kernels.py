@@ -50,7 +50,48 @@ def _bind32(call, *args):
 
 
 def pallas_enabled() -> bool:
+    """Explicit opt-in (CERES_TPU_PALLAS=1) — forces the kernels even on
+    non-f32 data; see jtjv_default_on for the TPU auto-enable."""
+    if os.environ.get("CERES_TPU_NO_PALLAS"):
+        return False
     return bool(os.environ.get("CERES_TPU_PALLAS"))
+
+
+_JTJV_PROBE_CACHE: dict = {}
+
+
+def jtjv_default_on(jac) -> bool:
+    """Auto-enable the single-pass J^T(Jv) kernel in the CGNR loop: TPU
+    backend, every bucket f32 (the mixed-precision pipeline — the
+    kernels are f32), every bucket shape accepted by Mosaic (probed once
+    per shape, host-side; a rejected shape keeps the two-einsum path
+    rather than failing the solve compile). The HBM win is reading J
+    once instead of twice per CG iteration (cgnr_solver.cc reads A twice
+    there too)."""
+    if os.environ.get("CERES_TPU_NO_PALLAS"):
+        return False
+    if pallas_enabled():
+        return True
+    if jax.default_backend() != "tpu" or not all(
+            b.J.dtype == jnp.float32 for b in jac.buckets):
+        return False
+    for b in jac.buckets:
+        n, r, t = b.J.shape
+        key = (r, t, jax.default_backend())
+        ok = _JTJV_PROBE_CACHE.get(key)
+        if ok is None:
+            try:
+                jax.jit(bucket_jtjv).lower(
+                    jax.ShapeDtypeStruct((max(n, 1), r, t), jnp.float32),
+                    jax.ShapeDtypeStruct((max(n, 1), t), jnp.float32),
+                ).compile()
+                ok = True
+            except Exception:
+                ok = False
+            _JTJV_PROBE_CACHE[key] = ok
+        if not ok:
+            return False
+    return True
 
 
 def _jtjv_kernel(j_ref, vb_ref, u_ref, *, r: int, t: int):

@@ -272,6 +272,7 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                                        _precond_from_blocks,
                                        _sj_chunk_blocks,
                                        _sj_cross_pair_blocks,
+                                       _sj_reduce_to_blocks,
                                        detect_cross_bucket_dups,
                                        chunk_has_dup_cams,
                                        _outer_rt, _rvec_rt)
@@ -647,11 +648,10 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                             continue
                         Ge_s = _outer_rt(Je_s, Jf_s)     # [n,k,te,tf]
                         M = _einsum("nij,nkjt->nkit", inv_ete, Ge_s)
-                        contrib = _sj_chunk_blocks(Ge_s, M, fids, dup)
-                        corr = corr + jnp.sum(
-                            contrib.reshape(-1, tf * tf)[camr]
-                            * camm[..., None],
-                            axis=1).reshape(kf, tf, tf)
+                        contribT = _sj_chunk_blocks(Ge_s, M, fids, dup)
+                        corr = corr + _sj_reduce_to_blocks(
+                            contribT, camr, camm,
+                            Ge_s.shape[1], Ge_s.shape[0], tf)
                     # cross-BUCKET duplicate (cam, point) pairs: the S
                     # diagonal couples the buckets' Ge contributions
                     # (shard-local — a point lives on exactly one shard)
@@ -659,13 +659,13 @@ def make_sharded_fused_solve(program, options, meta, mesh: Mesh,
                     for i1, i2 in cross_pairs:
                         _, Je1, Jf1, fid1, camr1, camm1, _ = es[i1]
                         _, Je2, Jf2, fid2, _, _, _ = es[i2]
-                        cross = _sj_cross_pair_blocks(
-                            _outer_rt(Je1, Jf1), _outer_rt(Je2, Jf2),
+                        Ge1 = _outer_rt(Je1, Jf1)
+                        crossT = _sj_cross_pair_blocks(
+                            Ge1, _outer_rt(Je2, Jf2),
                             inv_ete, fid1, fid2)
-                        corr = corr + jnp.sum(
-                            cross.reshape(-1, tf * tf)[camr1]
-                            * camm1[..., None],
-                            axis=1).reshape(kf, tf, tf)
+                        corr = corr + _sj_reduce_to_blocks(
+                            crossT, camr1, camm1,
+                            Ge1.shape[1], Ge1.shape[0], tf)
                     blocks = blocks - jax.lax.psum(corr, axis)
                 precond = _precond_from_blocks(blocks, kf, tf)
 

@@ -789,6 +789,25 @@ class CompiledProgram:
             return r, jnp.zeros(r.shape + (0,), dtype=r.dtype)
 
         if bk.jac_mode == "ad":
+            # Shape-driven Pallas specialization (ops/pallas_linearize.py,
+            # the reference's generated-specializations role): registered
+            # hot shapes (SE3 pose graph) linearize in one VMEM kernel on
+            # the f32 (mixed) pass. Probe-compiled at build; clean jacfwd
+            # fallback.
+            if row_arrays is None and cast_dtype == jnp.float32:
+                from .ops.pallas_linearize import (
+                    make_pallas_bucket_linearize, pallas_linearize_supported)
+                if pallas_linearize_supported(self, bk):
+                    cache = getattr(self, "_plinz_cache", None)
+                    if cache is None:
+                        cache = self._plinz_cache = {}
+                    if id(bk) not in cache:
+                        cache[id(bk)] = make_pallas_bucket_linearize(
+                            self, bk)
+                    lin = cache[id(bk)]
+                    if lin is not None:
+                        return lin(x)
+
             def per_block(data, *ps):
                 def g(deltas):
                     plussed = list(ps)

@@ -110,12 +110,14 @@ def solve_cgnr(jac, res, D, apply_preconditioner=None,
                r_tolerance: float = 0.0, min_iterations: int = 0):
     """CGNR: CG on the normal equations (J^T J + D^T D) d = -J^T r
     (cgnr_solver.cc; math doc cgnr_linear_operator semantics z = A^T A x +
-    D^T D x). Fully matrix-free over the bucketed BlockJacobian. With
-    CERES_TPU_PALLAS=1 the J^T J v product runs as a fused Pallas kernel
-    that reads J from HBM once per iteration instead of twice."""
-    from ..ops.pallas_kernels import jac_normal_matvec, pallas_enabled
+    D^T D x). Fully matrix-free over the bucketed BlockJacobian. On TPU
+    with f32 buckets (mixed precision) the J^T J v product runs as a
+    fused Pallas kernel that reads J from HBM once per iteration instead
+    of twice (auto-enabled, Mosaic-probed; CERES_TPU_NO_PALLAS opts out,
+    CERES_TPU_PALLAS=1 forces it elsewhere)."""
+    from ..ops.pallas_kernels import jac_normal_matvec, jtjv_default_on
 
-    if pallas_enabled():
+    if jtjv_default_on(jac):
         def apply_A(v):
             return jac_normal_matvec(jac, v) + (D * D) * v
     else:

@@ -77,8 +77,47 @@ def make_subset_preconditioner_factory(program, options):
     for bk in program.buckets:
         lanes.append(np.nonzero(np.isin(bk.orig_indices, subset_idx))[0]
                      .astype(np.int32))
-    ctx = SparseNormalCholeskyContext(program, lanes_per_bucket=lanes)
     dtype = program.dtype
+
+    # Device-dense variant: the host LDL^T needs a pure_callback INSIDE
+    # the CG loop (the backsolve), which callback-less PJRT backends (the
+    # axon v5e) cannot run and utils/hostsplit.py cannot split (callbacks
+    # inside lax control flow have no sequential spelling). For moderate
+    # column counts the subset normal matrix is factored ON DEVICE once
+    # per linearization (lax Cholesky, outside the loop) and applied as
+    # two triangular solves per CG iteration — no host round trips at
+    # all. Selected automatically on callback-less backends; forceable
+    # with CERES_TPU_SUBSET_DEVICE=1.
+    import os as _os
+    from ..utils.hostsplit import backend_supports_callbacks
+    device_dense = (program.num_effective <= 4096
+                    and (_os.environ.get("CERES_TPU_SUBSET_DEVICE")
+                         or not backend_supports_callbacks()))
+    if device_dense:
+        import jax.scipy.linalg as jsl
+        n = program.num_effective
+
+        def make_dense(jac: BlockJacobian, D):
+            M = jnp.zeros((n, n), dtype=jac.buckets[0].J.dtype)
+            for bk_lanes, b in zip(lanes, jac.buckets):
+                if bk_lanes.size == 0:
+                    continue
+                Js = b.J[bk_lanes]
+                G = jnp.einsum("nrt,nru->ntu", Js, Js)
+                cols = b.all_cols[bk_lanes]
+                M = M.at[cols[:, :, None], cols[:, None, :]].add(G)
+            M = M + jnp.diag((D * D).astype(M.dtype))
+            c, lower = jsl.cho_factor(M)
+
+            def apply(v):
+                return jsl.cho_solve((c, lower),
+                                     v.astype(c.dtype)).astype(dtype)
+
+            return apply
+
+        return make_dense
+
+    ctx = SparseNormalCholeskyContext(program, lanes_per_bucket=lanes)
 
     def make(jac: BlockJacobian, D):
         grams = []

@@ -814,22 +814,23 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
                             continue
                         Ge_s = _outer_rt(Je_s, Jf_s)     # [ne,k,te,tf]
                         M = _einsum("nij,nkjt->nkit", inv_ete, Ge_s)
-                        contrib = _sj_chunk_blocks(Ge_s, M, fids, dup)
-                        flat = contrib.reshape(-1, tf, tf)
-                        blocks = blocks - jnp.sum(
-                            flat[camr] * camm[..., None, None], axis=1)
+                        contribT = _sj_chunk_blocks(Ge_s, M, fids, dup)
+                        blocks = blocks - _sj_reduce_to_blocks(
+                            contribT, camr, camm,
+                            Ge_s.shape[1], Ge_s.shape[0], tf)
                     # cross-BUCKET duplicate (cam, point) pairs: the S
                     # diagonal couples the buckets' Ge contributions
                     es = [t for t in sstore if t[0] == "e"]
                     for i1, i2 in cross_pairs:
                         _, Je1, Jf1, fid1, camr1, camm1, _ = es[i1]
                         _, Je2, Jf2, fid2, _, _, _ = es[i2]
-                        cross = _sj_cross_pair_blocks(
-                            _outer_rt(Je1, Jf1), _outer_rt(Je2, Jf2),
+                        Ge1 = _outer_rt(Je1, Jf1)
+                        crossT = _sj_cross_pair_blocks(
+                            Ge1, _outer_rt(Je2, Jf2),
                             inv_ete, fid1, fid2)
-                        blocks = blocks - jnp.sum(
-                            cross.reshape(-1, tf, tf)[camr1]
-                            * camm1[..., None, None], axis=1)
+                        blocks = blocks - _sj_reduce_to_blocks(
+                            crossT, camr1, camm1,
+                            Ge1.shape[1], Ge1.shape[0], tf)
                 precond = _precond_from_blocks(blocks, kf, tf)
 
             from .cg import conjugate_gradients
@@ -1011,22 +1012,42 @@ def _build_cam_chunks(program, local, chunk_rows, chunk_mask, name, kf):
 
 
 def _sj_chunk_blocks(Ge_s, M, fids, dup: bool):
-    """Per-lane [n, k, tf, tf] contributions to the S block diagonal:
-    Ge^T inv(EtE) Ge. With dup=True (some camera observes the same point
-    through more than one row) the within-chunk cross terms between
-    same-camera lanes are included via a k^2 pass, keeping the
-    SCHUR_JACOBI blocks the exact diagonal of S; without duplicates the
-    per-lane form is already exact. Shared by the single-device and
-    sharded implicit assemblies."""
+    """Per-lane contributions to the S block diagonal, TRANSPOSED:
+    returns [tf*tf, k, ne] (row t*tf+v) with the long row axis TRAILING.
+    A [n, k, tf, tf] result tiles its LAST TWO dims to (8, 128) on TPU —
+    a 25x padding expansion that OOM'd the 1M-observation implicit config
+    (16.4 G demanded of a 16 G v5e); with (k, ne) trailing the pad is
+    ~k->8 only. Math: Ge^T inv(EtE) Ge per lane; with dup=True (some
+    camera observes the same point through more than one row) the
+    within-chunk cross terms between same-camera lanes are included via
+    a k^2 pass, keeping the SCHUR_JACOBI blocks the exact diagonal of S.
+    Shared by the single-device and sharded implicit assemblies."""
+    ne, k, u, tf = Ge_s.shape
+    Ge_t = Ge_s.transpose(2, 3, 1, 0)                    # [u, t, k, ne]
     if not dup:
-        return _einsum("nkut,nkuv->nktv", Ge_s, M)
-    tf = Ge_s.shape[-1]
-    out = jnp.zeros(Ge_s.shape[:2] + (tf, tf), dtype=Ge_s.dtype)
-    for k2 in range(Ge_s.shape[1]):
-        eq = (fids == fids[:, k2:k2 + 1]).astype(Ge_s.dtype)   # [n, k]
-        out = out + eq[..., None, None] * _einsum(
-            "nkut,nuv->nktv", Ge_s, M[:, k2])
-    return out
+        M_t = M.transpose(2, 3, 1, 0)                    # [u, v, k, ne]
+        C = _einsum("utkn,uvkn->tvkn", Ge_t, M_t)
+        return C.reshape(tf * tf, k, ne)
+    out = None
+    for k2 in range(k):
+        eq = (fids == fids[:, k2:k2 + 1]).astype(Ge_s.dtype)   # [ne, k]
+        M2_t = M[:, k2].transpose(1, 2, 0)               # [u, v, ne]
+        C = _einsum("utkn,uvn->tvkn", Ge_t, M2_t)
+        C = C * eq.T[None, None]
+        out = C if out is None else out + C
+    return out.reshape(tf * tf, k, ne)
+
+
+def _sj_reduce_to_blocks(contribT, camr, camm, k, ne, tf):
+    """Camera-chunk reduction of transposed lane contributions:
+    [tf*tf, k, ne] -> [kf, tf, tf]. camr holds row indices in the
+    original n-major lane order (n*k + lane), remapped here to the
+    transposed lane-major order (lane*ne + n)."""
+    camr2 = (camr % k) * ne + camr // k
+    flat = contribT.reshape(tf * tf, k * ne)
+    taken = jnp.take(flat, camr2.reshape(-1), axis=1).reshape(
+        (tf * tf,) + camr.shape)
+    return jnp.sum(taken * camm[None], axis=2).T.reshape(-1, tf, tf)
 
 
 def _sj_cross_pair_blocks(Ge1_s, Ge2_s, inv_ete, fids1, fids2):
@@ -1035,16 +1056,22 @@ def _sj_cross_pair_blocks(Ge1_s, Ge2_s, inv_ete, fids1, fids2):
     buckets (e.g. two loss functions on one observation), the S diagonal
     block has cross terms between the buckets' Ge contributions —
     A_c = sum_rows Ge_row sums ACROSS buckets before the congruence.
-    Returns the [ne, k1, tf, tf] contribution C + C^T with
+    Returns the TRANSPOSED [tf*tf, k1, ne] contribution C + C^T with
     C[n, k1] = sum_{k2 : fids2[n,k2] == fids1[n,k1]}
                Ge1[n,k1]^T inv_ete[n] Ge2[n,k2]
     to be camera-chunk-reduced with BUCKET 1's layout (each unordered
-    cross pair is counted exactly once there). Pad lanes contribute
-    zero (Ge tensors are chunk-masked)."""
-    MG2 = _einsum("nuv,nlvt->nlut", inv_ete, Ge2_s)      # [ne,k2,te,tf]
+    cross pair is counted exactly once there; use _sj_reduce_to_blocks).
+    Pad lanes contribute zero (Ge tensors are chunk-masked)."""
+    ne, k1, u, tf = Ge1_s.shape
+    Ge1_t = Ge1_s.transpose(2, 3, 1, 0)                  # [u, t, k1, ne]
+    Ge2_t = Ge2_s.transpose(2, 3, 1, 0)                  # [v?, t, k2, ne]
+    inv_t = inv_ete.transpose(1, 2, 0)                   # [u, v, ne]
+    MG2_t = _einsum("uvn,vtln->utln", inv_t, Ge2_t)      # [u, t, k2, ne]
     eq = (fids1[:, :, None] == fids2[:, None, :]).astype(Ge1_s.dtype)
-    C = _einsum("nkut,nlum,nkl->nktm", Ge1_s, MG2, eq)   # [ne,k1,tf,tf]
-    return C + jnp.swapaxes(C, -1, -2)
+    eq_t = eq.transpose(1, 2, 0)                         # [k1, k2, ne]
+    C = _einsum("utkn,umln,kln->tmkn", Ge1_t, MG2_t, eq_t)
+    C = C + C.transpose(1, 0, 2, 3)
+    return C.reshape(tf * tf, k1, ne)
 
 
 def detect_cross_bucket_dups(e_entries):

@@ -29,6 +29,10 @@ run bench 1800 python bench.py
 # 2. Pallas lin-phase A/B (record number in PERF.md afterwards)
 run ab_pallas_lin 1800 python scripts/ab_pallas_lin.py
 
+# 2b. shape-driven specializations beyond Snavely: SE3 pose-graph
+#     linearize kernel + FoE CGNR J^T(Jv) kernel
+run ab_pallas_shapes 2400 python scripts/ab_pallas_shapes.py
+
 # 3. large BA scaling (1024 cam / 200k pts / 1M obs) — now routes to
 #    fused implicit; was 2.8 s/LM-iter via the host-loop fallback
 if [ "${1:-}" != "--skip-large" ]; then

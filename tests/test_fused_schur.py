@@ -257,17 +257,21 @@ def test_sj_chunk_blocks_exact_with_duplicate_cameras():
             ref[c] += A_c.T @ np.asarray(inv[n]) @ A_c
 
     M = jnp.einsum("nij,nkjt->nkit", inv, Ge)
-    contrib = _sj_chunk_blocks(Ge, M, fids, dup=True)   # [ne,k,tf,tf]
+    # transposed layout [tf*tf, k, ne] (TPU tile-padding fix): view back
+    # as [ne, k, tf, tf] for the dense check
+    contribT = _sj_chunk_blocks(Ge, M, fids, dup=True)
+    assert contribT.shape == (tf * tf, k, ne)
+    contrib = np.asarray(contribT).reshape(tf, tf, k, ne).transpose(
+        3, 2, 0, 1)
     got = np.zeros((kf, tf, tf))
     for n in range(ne):
         for kk in range(k):
-            got[fids_np[n, kk]] += np.asarray(contrib[n, kk])
+            got[fids_np[n, kk]] += contrib[n, kk]
     np.testing.assert_allclose(got, ref, rtol=1e-10)
 
     lanewise = _sj_chunk_blocks(Ge, M, fids, dup=False)
-    assert not np.allclose(
-        np.asarray(jnp.sum(contrib, axis=(0, 1))),
-        np.asarray(jnp.sum(lanewise, axis=(0, 1))))
+    assert not np.allclose(np.asarray(jnp.sum(contribT, axis=(1, 2))),
+                           np.asarray(jnp.sum(lanewise, axis=(1, 2))))
 
 
 def test_sharded_mesh_int_option(bal):
@@ -732,17 +736,24 @@ def test_sj_cross_pair_blocks_exact():
                     A_c += np.asarray(Ge2[n, kk])
             ref[c] += A_c.T @ np.asarray(inv[n]) @ A_c
 
+    def untranspose(cT, kk_, ne_):
+        # [tf*tf, k, ne] -> [ne, k, tf, tf]
+        return np.asarray(cT).reshape(tf, tf, kk_, ne_).transpose(
+            3, 2, 0, 1)
+
     got = np.zeros((kf, tf, tf))
     for Ge, f_np, f in ((Ge1, f1_np, f1), (Ge2, f2_np, f2)):
         M = jnp.einsum("nij,nkjt->nkit", inv, Ge)
-        contrib = _sj_chunk_blocks(Ge, M, f, dup=True)
+        contrib = untranspose(_sj_chunk_blocks(Ge, M, f, dup=True),
+                              f_np.shape[1], ne)
         for n in range(ne):
             for kk in range(f_np.shape[1]):
-                got[f_np[n, kk]] += np.asarray(contrib[n, kk])
-    cross = _sj_cross_pair_blocks(Ge1, Ge2, inv, f1, f2)
+                got[f_np[n, kk]] += contrib[n, kk]
+    cross = untranspose(_sj_cross_pair_blocks(Ge1, Ge2, inv, f1, f2),
+                        k1, ne)
     for n in range(ne):
         for kk in range(k1):
-            got[f1_np[n, kk]] += np.asarray(cross[n, kk])
+            got[f1_np[n, kk]] += cross[n, kk]
     np.testing.assert_allclose(got, ref, rtol=1e-9)
 
 

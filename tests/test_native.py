@@ -297,3 +297,35 @@ def test_sparse_cholesky_diag_stats_rank_policy():
     assert chol3.factor(C.data) == 0
     _, _, nneg = chol3.diag_stats()
     assert nneg == 1
+
+
+def test_subset_preconditioner_device_dense_matches_host():
+    """Device-dense SUBSET variant (callback-less backends: factor the
+    subset normal matrix on device once per linearization, triangular
+    solves per CG iteration — no pure_callback anywhere, the axon-v5e
+    gap from round 2). Must converge to the host-LDL^T path's optimum."""
+    import os
+    import ceres_tpu as ct
+    from ceres_tpu.io.g2o import synthetic_pose_graph_2d
+    from ceres_tpu.examples.slam import build_pose_graph_2d_problem
+
+    poses, constraints, gt = synthetic_pose_graph_2d(num_poses=60, seed=4)
+
+    def run():
+        pr, pos, yaws = build_pose_graph_2d_problem(poses, constraints)
+        rbs = pr.residual_blocks()[:59]
+        return ct.solve(ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.CGNR,
+            preconditioner_type=ct.PreconditionerType.SUBSET,
+            residual_blocks_for_subset_preconditioner=rbs,
+            max_num_iterations=60), pr)
+
+    os.environ["CERES_TPU_SUBSET_DEVICE"] = "1"
+    try:
+        s_dev = run()
+    finally:
+        del os.environ["CERES_TPU_SUBSET_DEVICE"]
+    s_host = run()
+    assert s_dev.is_solution_usable()
+    np.testing.assert_allclose(s_dev.final_cost, s_host.final_cost,
+                               rtol=1e-6)

@@ -233,3 +233,96 @@ def test_fused_line_search_on_device():
         ct.GradientProblem(Rosen(2)), params)
     assert s.is_solution_usable(), s.message
     np.testing.assert_allclose(params, [1.0, 1.0], atol=1e-5)
+
+
+def test_subset_preconditioner_device_on_tpu():
+    """SUBSET preconditioner on the callback-less axon backend: the
+    device-dense variant (factor once on device, triangular solves in the
+    CG loop) closes the round-2 gap where the host-LDL^T callback could
+    not run at all (subset_preconditioner.h:70 role)."""
+    from ceres_tpu.io.g2o import synthetic_pose_graph_2d
+    from ceres_tpu.examples.slam import build_pose_graph_2d_problem
+
+    poses, constraints, _ = synthetic_pose_graph_2d(num_poses=60, seed=4)
+    pr, _, _ = build_pose_graph_2d_problem(poses, constraints)
+    rbs = pr.residual_blocks()[:59]
+    s = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.CGNR,
+        preconditioner_type=ct.PreconditionerType.SUBSET,
+        residual_blocks_for_subset_preconditioner=rbs,
+        max_num_iterations=60), pr)
+    assert s.is_solution_usable(), s.message
+
+    pr2, _, _ = build_pose_graph_2d_problem(poses, constraints)
+    s2 = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.CGNR,
+        preconditioner_type=ct.PreconditionerType.JACOBI,
+        max_num_iterations=60), pr2)
+    np.testing.assert_allclose(s.final_cost, s2.final_cost, rtol=1e-3)
+
+
+def test_pose3d_linearize_kernel_on_device():
+    """SE3 pose-graph Pallas linearize specialization compiles through
+    Mosaic and matches the jacfwd path on hardware."""
+    import jax.numpy as jnp
+    from ceres_tpu.examples.slam import build_pose_graph_3d_problem
+    from ceres_tpu.io.g2o import synthetic_pose_graph_3d
+    from ceres_tpu.ops.pallas_linearize import (
+        make_pallas_bucket_linearize, pallas_linearize_supported)
+    from ceres_tpu.program import CompiledProgram
+
+    poses, constraints, _ = synthetic_pose_graph_3d(num_poses=50, seed=4,
+                                                    loop_every=5)
+    problem, _, _ = build_pose_graph_3d_problem(poses, constraints)
+    prog = CompiledProgram(problem)
+    bks = [bk for bk in prog.buckets
+           if pallas_linearize_supported(prog, bk)]
+    assert bks, "pose3d bucket not matched by the kernel registry"
+    bk = bks[0]
+    lin = make_pallas_bucket_linearize(prog, bk)
+    assert lin is not None, "Mosaic rejected the pose3d linearize kernel"
+    import os as _os
+    import jax as _jax
+    x = prog.initial_state()
+    bound = prog.jit_with_consts(lambda xx: lin(xx), (x,))
+    r_got, J_got = _jax.device_get(bound(x))
+    # reference: the jacfwd path (kernel disabled for the ref trace)
+    _os.environ["CERES_TPU_NO_PALLAS_LINEARIZE"] = "1"
+    try:
+        r_ref, J_ref = _jax.device_get(_jax.jit(
+            lambda xx: prog._bucket_linearize(
+                bk, xx, cast_dtype=jnp.float32))(x))
+    finally:
+        del _os.environ["CERES_TPU_NO_PALLAS_LINEARIZE"]
+    np.testing.assert_allclose(r_got, r_ref, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(J_got, J_ref, rtol=3e-3, atol=3e-3)
+
+
+def test_cgnr_jtjv_kernel_on_device():
+    """Single-pass J^T(Jv) CGNR kernel auto-enables on TPU for f32
+    buckets and matches the two-einsum path."""
+    import jax as _jax
+    import jax.numpy as jnp
+    from ceres_tpu.ops.pallas_kernels import (jac_normal_matvec,
+                                              jtjv_default_on)
+
+    bal = synthetic_bal_problem(num_cameras=4, num_points=300,
+                                num_observations=1200, seed=3,
+                                pixel_noise=0.5)
+    problem, _, _ = build_bal_ceres_problem(bal)
+    from ceres_tpu.program import CompiledProgram
+    prog = CompiledProgram(problem)
+    x = prog.initial_state()
+    v_np = np.random.default_rng(0).standard_normal(prog.num_effective)
+    gate = []
+
+    def both(xx):
+        _, _, jac, _ = prog.linearize_fn_mixed(xx)
+        gate.append(jtjv_default_on(jac))
+        v = jnp.asarray(v_np, dtype=jnp.float32)
+        return jac_normal_matvec(jac, v), jac.rmatvec(jac.matvec(v))
+
+    bound = prog.jit_with_consts(both, (x,))
+    got, ref = _jax.device_get(bound(x))
+    assert gate and gate[0], "jtjv kernel did not auto-enable on TPU"
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
