@@ -75,6 +75,12 @@ def jtjv_default_on(jac) -> bool:
     if jax.default_backend() != "tpu" or not all(
             b.J.dtype == jnp.float32 for b in jac.buckets):
         return False
+    # The single-pass win is HBM traffic on J; below ~64 MB of J the CG
+    # iteration is gather/launch-bound and the kernel measures a small
+    # LOSS (FoE 96x96 A/B: 0.95x). Auto-enable only when J is large.
+    j_bytes = sum(int(np.prod(b.J.shape)) * 4 for b in jac.buckets)
+    if j_bytes < 64 * 1024 * 1024:
+        return False
     for b in jac.buckets:
         n, r, t = b.J.shape
         key = (r, t, jax.default_backend())

@@ -18,23 +18,34 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _time_chained(fn, x, reps=32):
-    """Median of 3 chained-fori timings of a jitted x->scalar fn."""
+def _time_chained(fn, x, reps=64):
+    """Median of 3 chained-fori timings of a jitted x->scalar fn.
+
+    Execution is forced by PULLING the scalar result (device_get): on the
+    axon backend block_until_ready alone does not force a re-dispatch of
+    an identical in-flight call, and the tunnel's fixed pull cost is
+    measured separately and subtracted."""
     import jax
     import jax.numpy as jnp
 
-    def chain(x0):
+    def chain(x0, eps):
         def body(_, c):
-            return c + fn(x0 + c * 1e-30)
+            return c + fn(x0 * (1.0 + eps) + c * 1e-30)
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
     run = jax.jit(chain)
-    jax.block_until_ready(run(x))
+    trivial = jax.jit(lambda x0, eps: (x0[0] * eps).astype(jnp.float32))
+    jax.device_get(run(x, 0.0))
+    jax.device_get(trivial(x, 0.0))
     ts = []
-    for _ in range(3):
+    for i in range(3):
+        eps = 1e-13 * (i + 1)
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
-        ts.append((time.perf_counter() - t0) / reps)
+        jax.device_get(trivial(x, eps))
+        base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(run(x, eps))
+        ts.append(max(time.perf_counter() - t0 - base, 0.0) / reps)
     return sorted(ts)[1]
 
 
@@ -60,10 +71,14 @@ def ab_pose3d(num_poses=4000):
             problem, _, _ = build_pose_graph_3d_problem(poses, constraints)
             prog = CompiledProgram(problem)
             x = prog.initial_state()
+            # the bucket the kernel covers (the all-variable one; the
+            # gauge-fixed pose's constant-slot bucket keeps jacfwd)
+            bk = max(prog.buckets, key=lambda b: b.n)
 
-            def lin_cost(xx, _p=prog):
-                _, g, _, _ = _p.linearize_fn_mixed(xx)
-                return jnp.sum(g).astype(jnp.float32)
+            def lin_cost(xx, _p=prog, _bk=bk):
+                r, J = _p._bucket_linearize(_bk, xx,
+                                            cast_dtype=jnp.float32)
+                return (jnp.sum(J) + jnp.sum(r)).astype(jnp.float32)
 
             bound = prog.jit_with_consts(lin_cost, (x,))
             dt = _time_chained(lambda xx: bound(xx), x)

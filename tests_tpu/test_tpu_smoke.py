@@ -322,7 +322,14 @@ def test_cgnr_jtjv_kernel_on_device():
         v = jnp.asarray(v_np, dtype=jnp.float32)
         return jac_normal_matvec(jac, v), jac.rmatvec(jac.matvec(v))
 
-    bound = prog.jit_with_consts(both, (x,))
-    got, ref = _jax.device_get(bound(x))
-    assert gate and gate[0], "jtjv kernel did not auto-enable on TPU"
+    import os as _os
+    _os.environ["CERES_TPU_PALLAS"] = "1"   # force past the 64 MB gate
+    try:
+        bound = prog.jit_with_consts(both, (x,))
+        got, ref = _jax.device_get(bound(x))
+    finally:
+        del _os.environ["CERES_TPU_PALLAS"]
+    # the auto-gate must be ON at this point only because of the force;
+    # at this tiny J size the traffic threshold alone keeps it off
+    assert gate and gate[0]
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
