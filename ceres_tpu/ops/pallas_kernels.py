@@ -100,46 +100,56 @@ def jtjv_default_on(jac) -> bool:
     return True
 
 
-def _jtjv_kernel(j_ref, vb_ref, u_ref, *, r: int, t: int):
-    """One row tile: u = J^T (J v) with J read once.
+def _jtjv_kernel(jt_ref, vb_ref, u_ref, *, r: int, t: int):
+    """One row tile: u = J^T (J v) with J read once, in PLANE layout —
+    channels on sublanes, rows on lanes (the jetlib convention). The
+    earlier [TILE_N, r*t] row-major form needed an in-kernel reshape of
+    the minor dims, which the Mosaic TPU compiler rejects for small r*t.
 
-    j_ref:  [TILE_N, r*t]   flattened block Jacobians
-    vb_ref: [TILE_N, t]     gathered v values per block
-    u_ref:  [TILE_N, t]     output contributions (scattered by caller)
+    jt_ref: [r*t, T]  flattened block Jacobians, channel-major
+    vb_ref: [t, T]    gathered v values per block
+    u_ref:  [t, T]    output contributions (scattered by caller)
     """
-    J = j_ref[:]                                    # [TN, r*t]
-    vb = vb_ref[:]                                  # [TN, t]
-    TN = J.shape[0]
-    J3 = J.reshape(TN, r, t)
-    # w = sum_t J[n,r,t] * v[n,t]  (VPU broadcast-multiply + reduce)
-    w = jnp.sum(J3 * vb[:, None, :], axis=2)        # [TN, r]
-    # u = sum_r J[n,r,t] * w[n,r]
-    u_ref[:] = jnp.sum(J3 * w[:, :, None], axis=1)  # [TN, t]
+    w = []
+    for rr in range(r):
+        acc = None
+        for c in range(t):
+            term = jt_ref[rr * t + c, :] * vb_ref[c, :]
+            acc = term if acc is None else acc + term
+        w.append(acc)
+    for c in range(t):
+        acc = None
+        for rr in range(r):
+            term = jt_ref[rr * t + c, :] * w[rr]
+            acc = term if acc is None else acc + term
+        u_ref[c, :] = acc
 
 
-def bucket_jtjv(J, vb, tile_n: int = 512):
+def bucket_jtjv(J, vb, tile_n: int = 2048):
     """u[n, t] = J_n^T (J_n vb_n) for a bucket of block Jacobians.
 
-    J: [n, r, t]; vb: [n, t] (already gathered). Pads n to the tile size.
+    J: [n, r, t]; vb: [n, t] (already gathered). Rows are padded to the
+    lane tile and live on lanes inside the kernel.
     """
     n, r, t = J.shape
     n_pad = int(np.ceil(n / tile_n) * tile_n)
-    Jf = J.reshape(n, r * t)
+    JT = J.reshape(n, r * t).T                       # [r*t, n]
+    vbT = vb.T                                       # [t, n]
     if n_pad != n:
-        Jf = jnp.pad(Jf, ((0, n_pad - n), (0, 0)))
-        vb = jnp.pad(vb, ((0, n_pad - n), (0, 0)))
+        JT = jnp.pad(JT, ((0, 0), (0, n_pad - n)))
+        vbT = jnp.pad(vbT, ((0, 0), (0, n_pad - n)))
 
     out = pl.pallas_call(
         functools.partial(_jtjv_kernel, r=r, t=t),
-        out_shape=jax.ShapeDtypeStruct((n_pad, t), J.dtype),
+        out_shape=jax.ShapeDtypeStruct((t, n_pad), J.dtype),
         grid=(n_pad // tile_n,),
         in_specs=[
-            pl.BlockSpec((tile_n, r * t), lambda i: (i, 0),
+            pl.BlockSpec((r * t, tile_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, t), lambda i: (i, 0),
+            pl.BlockSpec((t, tile_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n, t), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((t, tile_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -147,8 +157,8 @@ def bucket_jtjv(J, vb, tile_n: int = 512):
             bytes_accessed=(n_pad * r * t + 2 * n_pad * t) * J.dtype.itemsize,
             transcendentals=0),
     )
-    out = _bind32(out, Jf, vb)
-    return out[:n]
+    out = _bind32(out, JT, vbT)
+    return out[:, :n].T
 
 
 def jac_normal_matvec(jac, v, use_pallas: bool = True):
