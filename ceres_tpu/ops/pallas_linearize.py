@@ -14,6 +14,9 @@ Registered shapes:
   * SE3 pose graph (pose_graph_3d_error_term.h:71): r=6, blocks
     [3, 4(quat), 3, 4(quat)] -> tangent 12, EigenQuaternionManifold
     seeding d(exp(delta) * q)/d(delta) at 0.
+  * SE2 pose graph (pose_graph_2d_error_term.h:60): r=3, blocks
+    [2, 1(angle), 2, 1(angle)] -> tangent 6; the angle manifold's Plus
+    has derivative 1, so its slots seed like Euclidean ones.
 The Snavely BA family has a deeper Schur-fused specialization in
 ops/pallas_lin.py (it also emits the eliminator tensors); this module
 serves solvers that consume the plain bucket Jacobian (CGNR,
@@ -35,7 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .jetlib import _Jet, _jc, _jvar, _p, _jadd, _jsub, _jneg, _jmul
+from .jetlib import (_Jet, _jc, _jvar, _p, _jadd, _jsub, _jneg, _jmul,
+                     _jsincos)
 
 __all__ = ["pallas_linearize_supported", "make_pallas_bucket_linearize"]
 
@@ -153,10 +157,91 @@ def _pose3d_match(program, bk):
     return True
 
 
+def _jnormangle(jet):
+    """normalize_angle with jets (examples/slam.py; reference
+    normalize_angle.h): value wrapped to (-pi, pi], derivative 1."""
+    v = jnp.arctan2(jnp.sin(jet.v), jnp.cos(jet.v))
+    return _Jet(v, dict(jet.d))
+
+
+def _pose2d_emit(slot_jets, data):
+    """PoseGraph2dErrorTerm with jets (examples/slam.py; reference
+    pose_graph_2d_error_term.h:60):
+      r = sqrt_info * [ R(yaw_a)^T (p_b - p_a) - t_ab ;
+                        normalize(yaw_b - yaw_a - yaw_ab) ]."""
+    p_a, yaw_a, p_b, yaw_b = slot_jets
+    t_ab = data["t_ab"]                    # 2 planes
+    yaw_ab = data["yaw_ab"][0]             # 1 plane
+    sqrt_info = data["sqrt_information"]   # 9 planes row-major
+    s, c = _jsincos(yaw_a[0])
+    d = [_jsub(p_b[i], p_a[i]) for i in range(2)]
+    local = [_jadd(_jmul(c, d[0]), _jmul(s, d[1])),
+             _jsub(_jmul(c, d[1]), _jmul(s, d[0]))]
+    dyaw = _jsub(_jsub(yaw_b[0], yaw_a[0]), _jc(yaw_ab))
+    r3 = [_jsub(local[0], _jc(t_ab[0])),
+          _jsub(local[1], _jc(t_ab[1])),
+          _jnormangle(dyaw)]
+    out = []
+    for i in range(3):
+        acc = None
+        for j in range(3):
+            term = _jmul(_jc(sqrt_info[i * 3 + j]), r3[j])
+            acc = term if acc is None else _jadd(acc, term)
+        out.append(acc)
+    return out
+
+
+def _is_angle_manifold(m) -> bool:
+    """Behavioral probe (host, concrete numpy): an AutoDiffManifold whose
+    plus is normalize_angle(x + d). Lambda identity cannot be checked
+    structurally, so check the 2-pi wrapping on sample points."""
+    from ..manifolds import AutoDiffManifold
+    if type(m) is not AutoDiffManifold or m.ambient_size != 1 \
+            or m.tangent_size != 1:
+        return False
+    try:
+        rng = np.random.default_rng(0)
+        for _ in range(4):
+            x = rng.uniform(-10, 10, size=1)
+            d = rng.uniform(-10, 10, size=1)
+            got = np.asarray(m.plus(jnp.asarray(x), jnp.asarray(d)))
+            want = np.arctan2(np.sin(x + d), np.cos(x + d))
+            if not np.allclose(got, want, atol=1e-9):
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def _pose2d_match(program, bk):
+    sizes = [sl.amb_size for sl in bk.slots]
+    if bk.r != 3 or sizes != [2, 1, 2, 1]:
+        return False
+    for i, sl in enumerate(bk.slots):
+        if not sl.variable:
+            return False
+        if i % 2 == 1:
+            if not _is_angle_manifold(sl.manifold):
+                return False
+        elif sl.manifold is not None:
+            return False
+    if set(bk.data.keys()) != {"t_ab", "yaw_ab", "sqrt_information"}:
+        return False
+    return True
+
+
 _REGISTRY = {
     "PoseGraph3dErrorTerm": dict(match=_pose3d_match, emit=_pose3d_emit,
                                  data_fields=(("t_ab", 3), ("q_ab", 4),
                                               ("sqrt_information", 36))),
+    # the angle manifold's Plus has derivative 1, so its slots seed like
+    # Euclidean ones (the kernel's value chain re-normalizes via
+    # _jnormangle inside the residual)
+    "PoseGraph2dErrorTerm": dict(match=_pose2d_match, emit=_pose2d_emit,
+                                 data_fields=(("t_ab", 2), ("yaw_ab", 1),
+                                              ("sqrt_information", 9)),
+                                 seed_kinds=("euclid", "euclid",
+                                             "euclid", "euclid")),
 }
 
 
@@ -239,11 +324,15 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
         return None
     n, R = bk.n, bk.r
     slot_meta, p0, ch0 = [], 0, 0
-    for sl in bk.slots:
+    seed_kinds = spec.get("seed_kinds")
+    for i, sl in enumerate(bk.slots):
         from ..manifolds import EigenQuaternionManifold
-        kind = ("eigen_quaternion"
-                if type(sl.manifold) is EigenQuaternionManifold
-                else "euclid")
+        if seed_kinds is not None:
+            kind = seed_kinds[i]
+        else:
+            kind = ("eigen_quaternion"
+                    if type(sl.manifold) is EigenQuaternionManifold
+                    else "euclid")
         slot_meta.append((kind, p0, sl.amb_size, ch0))
         p0 += sl.amb_size
         ch0 += sl.tangent_size

@@ -97,3 +97,31 @@ def test_pose3d_solve_with_kernel_matches(pose3d_program):
     assert abs(s_kernel.final_cost - s_plain.final_cost) <= \
         1e-4 * max(1.0, s_plain.final_cost), \
         (s_kernel.final_cost, s_plain.final_cost)
+
+
+def test_pose2d_kernel_matches_jacfwd():
+    from ceres_tpu.examples.slam import build_pose_graph_2d_problem
+    from ceres_tpu.io.g2o import synthetic_pose_graph_2d
+    from ceres_tpu.ops.pallas_linearize import make_pallas_bucket_linearize
+
+    poses, constraints, _ = synthetic_pose_graph_2d(num_poses=40, seed=6)
+    problem, _, _ = build_pose_graph_2d_problem(poses, constraints)
+    prog = CompiledProgram(problem)
+    bks = _supported_bucket(prog)
+    assert bks, "pose2d bucket not matched by the kernel registry"
+    bk = bks[0]
+    x = prog.initial_state()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(np.asarray(x) + 0.1 * rng.standard_normal(x.shape))
+    r_ref, J_ref = prog._bucket_linearize(bk, x, cast_dtype=jnp.float32)
+
+    def run():
+        lin = make_pallas_bucket_linearize(prog, bk)
+        assert lin is not None
+        return lin(x.astype(jnp.float32))
+
+    r_got, J_got = _with_interpret(run)
+    np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(J_got), np.asarray(J_ref),
+                               rtol=2e-4, atol=2e-4)
