@@ -169,7 +169,7 @@ def main():
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:
         log(f"compilation cache unavailable: {e}")
     import ceres_tpu as ct

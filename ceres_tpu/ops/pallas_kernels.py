@@ -86,6 +86,9 @@ def jtjv_default_on(jac) -> bool:
         key = (r, t, jax.default_backend())
         ok = _JTJV_PROBE_CACHE.get(key)
         if ok is None:
+            from ..utils import probecache
+            ok = probecache.get(("jtjv",) + key)
+        if ok is None:
             try:
                 jax.jit(bucket_jtjv).lower(
                     jax.ShapeDtypeStruct((max(n, 1), r, t), jnp.float32),
@@ -94,7 +97,9 @@ def jtjv_default_on(jac) -> bool:
                 ok = True
             except Exception:
                 ok = False
-            _JTJV_PROBE_CACHE[key] = ok
+            from ..utils import probecache
+            probecache.put(("jtjv",) + key, ok)
+        _JTJV_PROBE_CACHE[key] = ok
         if not ok:
             return False
     return True

@@ -345,6 +345,11 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
                      jax.default_backend())
         ok = _PROBE_CACHE.get(shape_key)
         if ok is None:
+            # disk-backed result (warm starts skip the probe compile,
+            # which costs seconds through the remote compile helper)
+            from ..utils import probecache
+            ok = probecache.get(("plin",) + shape_key)
+        if ok is None:
             try:
                 probe_args = [
                     jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
@@ -365,7 +370,9 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
                     import traceback
                     traceback.print_exc()
                 ok = False
-            _PROBE_CACHE[shape_key] = ok
+            from ..utils import probecache
+            probecache.put(("plin",) + shape_key, ok)
+        _PROBE_CACHE[shape_key] = ok
         if not ok:
             return None
 

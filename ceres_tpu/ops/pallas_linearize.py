@@ -405,6 +405,9 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
                      R, nt, tile, GS, jax.default_backend())
         ok = _PROBE_CACHE.get(shape_key)
         if ok is None:
+            from ..utils import probecache
+            ok = probecache.get(shape_key)
+        if ok is None:
             try:
                 probe = [
                     jax.ShapeDtypeStruct((P_in, GS, tile), jnp.float32),
@@ -422,7 +425,9 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
                     import traceback
                     traceback.print_exc()
                 ok = False
-            _PROBE_CACHE[shape_key] = ok
+            from ..utils import probecache
+            probecache.put(shape_key, ok)
+        _PROBE_CACHE[shape_key] = ok
         if not ok:
             return None
 

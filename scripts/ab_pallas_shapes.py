@@ -49,7 +49,7 @@ def _time_chained(fn, x, reps=64):
     return sorted(ts)[1]
 
 
-def ab_pose3d(num_poses=4000):
+def ab_pose3d(num_poses=20000):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -150,7 +150,7 @@ def ab_foe(size=96):
 def main():
     import jax
     print("devices:", jax.devices(), flush=True)
-    num_poses = 4000
+    num_poses = 20000
     img = 96
     if "--poses" in sys.argv:
         num_poses = int(sys.argv[sys.argv.index("--poses") + 1])

@@ -39,3 +39,34 @@ def test_jac_normal_matvec(rng):
     expect = jac.rmatvec(jac.matvec(v))
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=1e-10)
+
+
+def test_probe_cache_roundtrip(tmp_path):
+    """Disk-backed Mosaic probe cache (utils/probecache): atomic write,
+    corrupt-file tolerance, cross-'process' (fresh memory) hit."""
+    import jax
+    from ceres_tpu.utils import probecache
+
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        probecache._MEM.clear()
+        probecache._LOADED = False
+        assert probecache.get(("k", 1, 2)) is None
+        probecache.put(("k", 1, 2), True)
+        probecache.put(("k", 3, 4), False)
+        # simulate a fresh process
+        probecache._MEM.clear()
+        probecache._LOADED = False
+        assert probecache.get(("k", 1, 2)) is True
+        assert probecache.get(("k", 3, 4)) is False
+        # corrupt file is ignored
+        with open(str(tmp_path) + "/ct_probe_cache.json", "w") as f:
+            f.write("{broken")
+        probecache._MEM.clear()
+        probecache._LOADED = False
+        assert probecache.get(("k", 1, 2)) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+        probecache._MEM.clear()
+        probecache._LOADED = False
