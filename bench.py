@@ -15,20 +15,24 @@ the perturbed start, matching the anchor run's iteration count, so
 wall-to-convergence is an apples-to-apples comparison.
 
 Reported (extras in the JSON line):
-  value              median measured wall of 5 solves run with
+  value              median measured wall of 3 solves on the DEFAULT
+                     eager-writeback path — preprocessor + minimizer +
+                     postprocessor, with the final parameter vector
+                     downloaded and written back to user memory, exactly
+                     what the reference anchor's Solve() timing includes
+                     (solver.cc:650-653 CopyParameterBlockStateToUserState
+                     is part of Solve). vs_baseline is apples-to-apples.
+  serving_wall_s     median measured wall of 5 solves run with
                      defer_parameter_writeback=True: the solve is complete
                      (converged; summary filled from the packed device
                      stats) with the parameter vector left device-resident
                      — the serving configuration, where the next consumer
-                     of x is another device program. The parameter
-                     download costs ~60 ms over the tunnel and is timed
-                     separately (writeback_s) plus as a full eager-path
-                     solve (wall_writeback_s).
+                     of x is another device program (secondary metric;
+                     vs_baseline_serving).
   per_iter_s         last solve's minimizer time / LM iterations
   lm_iterations      LM iterations of the last solve
   writeback_s        summary.write_back() wall (x download + host scatter)
-  wall_writeback_s   one timed solve on the DEFAULT eager-writeback path
-                     (preprocessor+minimizer+postprocessor)
+  wall_writeback_s   same as value (kept for cross-round comparability)
   bytes_per_iter /   XLA cost model of one fused LM step (linearize +
   flops_per_iter     scale + damp + solve) — per-iteration HBM traffic
   hbm_util_pct       achieved HBM bandwidth vs the v5e's 819 GB/s at the
@@ -109,18 +113,24 @@ def run_config(ct, problem, cams, pts, cam0, pt0, make_options, label):
     t0 = time.time()
     summary.write_back()
     writeback_s = time.time() - t0
-    # one timed solve on the default path (x downloaded + written back
-    # inside the solve) for the with-writeback wall
-    reset()
-    s_wb = ct.solve(make_options(), problem)
-    wall_writeback = (s_wb.minimizer_time_in_seconds
-                      + s_wb.preprocessor_time_in_seconds
-                      + s_wb.postprocessor_time_in_seconds)
-    assert abs(s_wb.final_cost - summary.final_cost) \
-        <= 1e-9 * max(1.0, abs(summary.final_cost)), \
-        "deferred and eager solves disagree on final cost"
+    # PRIMARY metric: timed solves on the default path (x downloaded +
+    # written back inside the solve) — what the reference anchor times.
+    wb_times = []
+    for trial in range(3):
+        reset()
+        s_wb = ct.solve(make_options(), problem)
+        wb_times.append(s_wb.minimizer_time_in_seconds
+                        + s_wb.preprocessor_time_in_seconds
+                        + s_wb.postprocessor_time_in_seconds)
+        log(f"[{label}] eager-writeback solve {trial}: "
+            f"{wb_times[-1]:.4f}s, {s_wb.num_iterations} iters, "
+            f"{s_wb.termination_type}")
+        assert abs(s_wb.final_cost - summary.final_cost) \
+            <= 1e-9 * max(1.0, abs(summary.final_cost)), \
+            "deferred and eager solves disagree on final cost"
+    wall_writeback = sorted(wb_times)[len(wb_times) // 2]
     log(f"[{label}] write_back(): {writeback_s:.4f}s; eager-writeback "
-        f"solve: {wall_writeback:.4f}s")
+        f"median: {wall_writeback:.4f}s")
     return (sorted(times)[len(times) // 2], summary, warmup,
             writeback_s, wall_writeback)
 

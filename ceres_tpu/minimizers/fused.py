@@ -117,7 +117,8 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
                 lambda sd: jnp.zeros(sd.shape, sd.dtype),
                 jax.eval_shape(step_impl.linearize_carry, x0,
                                se_sd, sf_sd,
-                               jax.ShapeDtypeStruct((), jnp.bool_)))
+                               jax.ShapeDtypeStruct((), jnp.bool_),
+                               jax.ShapeDtypeStruct((), dtype)))
         else:
             # Jacobi scaling fixed at iteration 0 for the whole solve.
             scale0 = scale_impl(x0)
@@ -128,11 +129,15 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
 
         def body(s):
             if split:
+                # s["cost"] is the f64 cost at s["x"] (iteration 0: the
+                # outside-the-loop cost0; later: the accepted candidate's
+                # cost) — carried into the linearize so the lin phase
+                # skips its own f64 residual pass.
                 art = jax.lax.cond(
                     s["relin"],
                     lambda _: step_impl.linearize_carry(
                         s["x"], s["art"]["s_e"], s["art"]["s_f"],
-                        s["iter"] == 0),
+                        s["iter"] == 0, s["cost"]),
                     lambda _: s["art"],
                     operand=None)
                 out = step_impl.solve_from(art, s["radius"])

@@ -95,10 +95,13 @@ def jtjv_default_on(jac) -> bool:
                     jax.ShapeDtypeStruct((max(n, 1), t), jnp.float32),
                 ).compile()
                 ok = True
-            except Exception:
+            except Exception as e:
                 ok = False
+                probe_err = e
             from ..utils import probecache
-            probecache.put(("jtjv",) + key, ok)
+            probecache.put(("jtjv",) + key, ok,
+                           transient=(not ok and probecache
+                                      .is_transient_error(probe_err)))
         _JTJV_PROBE_CACHE[key] = ok
         if not ok:
             return False

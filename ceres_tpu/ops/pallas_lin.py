@@ -370,8 +370,11 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
                     import traceback
                     traceback.print_exc()
                 ok = False
+                probe_err = e
             from ..utils import probecache
-            probecache.put(("plin",) + shape_key, ok)
+            probecache.put(("plin",) + shape_key, ok,
+                           transient=(not ok and probecache
+                                      .is_transient_error(probe_err)))
         _PROBE_CACHE[shape_key] = ok
         if not ok:
             return None

@@ -425,8 +425,11 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
                     import traceback
                     traceback.print_exc()
                 ok = False
+                probe_err = e
             from ..utils import probecache
-            probecache.put(shape_key, ok)
+            probecache.put(shape_key, ok,
+                           transient=(not ok and probecache
+                                      .is_transient_error(probe_err)))
         _PROBE_CACHE[shape_key] = ok
         if not ok:
             return None

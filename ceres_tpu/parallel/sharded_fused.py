@@ -93,7 +93,14 @@ def collective_footprint(meta, options, n_devices: int,
     Bytes are the logical payload per device per collective (ring
     all-reduce moves ~2x(P-1)/P of this over the wire; the factor is
     topology-dependent and excluded).
+
+    Single-f-group only, matching the sharded fused path itself
+    (fused_structure_ok requires len(f_groups) == 1) — asserted so the
+    'exact' claim can never silently under-count a multi-group problem.
     """
+    assert len(meta.f_groups) == 1, (
+        "collective_footprint is exact only for the single-f-group "
+        "structure the sharded fused path supports")
     grp = meta.f_groups[0]
     kf, tf, ne, te = grp["kf"], grp["t"], meta.ne, meta.te
     nf = kf * tf

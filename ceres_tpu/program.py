@@ -606,7 +606,20 @@ class CompiledProgram:
             # at one C-level concatenate (~1 ms at 22k blocks vs ~20 ms
             # for a Python-level gather loop). axis=None flattens each
             # block at call time, so current contents are always read.
-            parts = self._init_parts = [b.array for b in self.used_blocks]
+            # The fast path REQUIRES used_blocks iteration order to equal
+            # amb_offset order with no holes — verified here once (not
+            # just by total size) so any future reorder falls back to the
+            # explicit-offset loop instead of silently permuting x0.
+            off = 0
+            contiguous = True
+            for b in self.used_blocks:
+                if self.amb_offset[id(b.array)] != off:
+                    contiguous = False
+                    break
+                off += b.size
+            parts = [b.array for b in self.used_blocks] \
+                if contiguous and off == self.num_ambient else []
+            self._init_parts = parts
         if parts:
             x0 = np.concatenate(parts, axis=None)
             if x0.dtype != np.float64:

@@ -389,18 +389,26 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
             return _lin_phase_pallas(x, s_e, s_f, None)
         return _lin_phase_generic(x, s_e, s_f, None)
 
-    def _lin_phase_carry(x, s_e, s_f, first):
+    def _lin_phase_carry(x, s_e, s_f, first, known_cost=None):
+        # known_cost: f64 total cost at x, already evaluated by the
+        # minimizer (the accepted candidate's cost from the previous
+        # iteration) — skips the linearize phase's own f64 residual pass,
+        # which measured ~0.96 ms/iteration at BAL-16 scale (~26% of the
+        # fused step).
         if plin is not None:
-            return _lin_phase_pallas(x, s_e, s_f, first)
-        return _lin_phase_generic(x, s_e, s_f, first)
+            return _lin_phase_pallas(x, s_e, s_f, first, known_cost)
+        return _lin_phase_generic(x, s_e, s_f, first, known_cost)
 
-    def _lin_phase_pallas(x, s_e_in, s_f_in, first):
+    def _lin_phase_pallas(x, s_e_in, s_f_in, first, known_cost=None):
         bk = program.buckets[0]
-        loss = program._bucket_loss(bk)   # uniform scalars or None (gate)
-        r64 = program._bucket_residuals(bk, x)
-        cost, _, _ = correct_residuals_and_jacobian(loss, r64, None)
-        total_cost = jnp.asarray(program.fixed_cost,
-                                 dtype=dtype) + jnp.sum(cost)
+        if known_cost is not None:
+            total_cost = known_cost.astype(dtype)
+        else:
+            loss = program._bucket_loss(bk)  # uniform scalars or None
+            r64 = program._bucket_residuals(bk, x)
+            cost, _, _ = correct_residuals_and_jacobian(loss, r64, None)
+            total_cost = jnp.asarray(program.fixed_cost,
+                                     dtype=dtype) + jnp.sum(cost)
 
         out = plin(x)
         EtE, g_e = out["EtE"], out["g_e"]        # [ne_pad, ...], pad rows 0
@@ -438,7 +446,7 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
             art["grad_full"] = grad.astype(dtype)
         return art
 
-    def _lin_phase_generic(x, s_e_in, s_f_in, first):
+    def _lin_phase_generic(x, s_e_in, s_f_in, first, known_cost=None):
         total_cost = jnp.asarray(program.fixed_cost, dtype=dtype)
 
         EtE = jnp.zeros((ne, te, te), dtype=work_dtype)
@@ -457,11 +465,16 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
                 # in f32 (f64 jvp is software-emulated on TPU and
                 # dominated the step profile); cost comes from a cheap
                 # f64 residual-only pass so trust-region tolerances keep
-                # their f64 meaning.
+                # their f64 meaning. (The f64 residuals also feed the
+                # corrected rc below, so the pass stays even when the
+                # minimizer carries the cost; the carried-cost saving
+                # applies in full on the pallas lin path, where the f64
+                # pass existed only for the cost.)
                 r64 = program._bucket_residuals(bk, x)
-                cost, _, _ = correct_residuals_and_jacobian(loss, r64,
-                                                            None)
-                total_cost = total_cost + jnp.sum(cost)
+                if known_cost is None:
+                    cost, _, _ = correct_residuals_and_jacobian(
+                        loss, r64, None)
+                    total_cost = total_cost + jnp.sum(cost)
                 _, J32 = program._bucket_linearize(
                     bk, x, cast_dtype=jnp.float32)
                 _, rc, Jc = correct_residuals_and_jacobian(
@@ -616,6 +629,9 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
                         g_f = g_f + jnp.sum(gfc[camr] * camm[..., None],
                                             axis=1)
                 chunk_store.append(("f", Jf, None, oh, plan))
+
+        if known_cost is not None:
+            total_cost = known_cost.astype(dtype)
 
         # ---- column norms ARE the Gram diagonals ----
         # Fixed iteration-0 Jacobi scaling
