@@ -1,23 +1,35 @@
-"""Pallas lin-phase front-end for the fused Schur eliminator.
+"""Pallas lin+eliminate front-end for the fused Schur eliminator.
 
-One TPU kernel computes, per e-block tile, everything the fused
-eliminator's linearization phase needs for the Snavely bundle-adjustment
-family: the per-row residuals and Jacobians (hand-vectorized sparse
-forward-mode "jets" — the reference's Jet<double, 12> design,
-autodiff_cost_function.h:156 + jet.h, laid out rows-on-lanes for the
-VPU), the per-point Gram blocks E^T E and gradient, and the scaled cross
-tensor A = E_s^T F_s — without ever materializing the row Jacobian in
-observation order or running XLA's narrow-shaped jvp fusions.
+Two TPU kernels cover the hot phases of the Snavely bundle-adjustment
+LM step (the reference's AutoDiff + SchurEliminator roles,
+autodiff_cost_function.h:156 + schur_eliminator_impl.h:228,
+re-architected for the MXU/VPU rather than translated):
+
+1. LIN kernel (radius-independent, one pass per linearization):
+   per e-block tile, the residual/Jacobian jet chains (hand-vectorized
+   sparse forward-mode, jet.h role), the per-point Gram blocks E^T E and
+   e-gradient, the E-SCALED cross tensor A_e = diag(s_e) E^T F, the
+   F-side block-diagonal F^T F and f-gradient (grid-accumulated [kf,
+   tf, tf] — folding these in-kernel removes the [n, k, tf, tf] Gram
+   materialization the XLA one-hot einsum path paid ~230 MB/iteration
+   for), and the iteration-0 Jacobi scale resolution (s_e derived from
+   this linearization's own Gram diagonals,
+   trust_region_minimizer.cc:261-277).
+
+2. ELIM kernel (radius-dependent, one pass per damped solve): given the
+   stored A_e, the damped-inverse planes inv(E_s^T E_s + D^2) and
+   z = inv * b_e (computed by XLA on the small tensors), accumulates the
+   reduced system's correction S_corr = sum_n A_n^T inv_n A_n (MXU dots
+   per tile) and rhs part A^T z — so A is read from HBM exactly once per
+   damped solve and the [te, nf, ne] Y tensor is never materialized.
+   Rejected LM steps re-run ONLY this kernel (the reference reuses the
+   Jacobian across rejections, levenberg_marquardt_strategy.cc
+   reuse_diagonal_).
 
 Layout: rows live chunk-grouped [ne, k] (k = chunk width); every per-row
 quantity in the kernel is a PLANE [k, TILE] — k on sublanes, e-blocks on
 lanes — so all jet arithmetic runs at full VPU lane width. Channel axes
 (residual r, tangent t) are unrolled in Python.
-
-The F-side reductions (F^T F block diagonal, f gradient) stay OUTSIDE
-the kernel as the measured-fast one-hot matmuls over the kernel's
-chunk-layout Jf output (solvers/schur_fused.py); the kernel's job is the
-jacfwd chains and the point-indexed tensors.
 
 Specialization is the point, not a limitation: the reference ships 44
 generated eliminator specializations for its hot shapes
@@ -49,13 +61,14 @@ from .jetlib import (_Jet, _jc, _jvar, _p, _jadd, _jsub, _jneg, _jmul,
 
 
 # ----------------------------------------------------------------------
-# Kernel
+# LIN kernel
 
 def _lin_kernel(xf_ref, xe_ref, oh_ref, mask_ref,
-                obsx_ref, obsy_ref,
-                ete_ref, ge_ref, a_ref, jf_ref, rc_ref,
-                *, te, tf, kf, k, eo, fo, loss=None):
-    """One e-block tile: jets -> EtE, g_e, cross A, chunk Jf, chunk r.
+                obsx_ref, obsy_ref, se_ref, first_ref,
+                ete_ref, ge_ref, seo_ref, a_ref, ftf_ref, gf_ref,
+                *, te, tf, kf, k, eo, fo, loss=None, use_scaling=True):
+    """One e-block tile: jets -> EtE, g_e, scale, scaled cross A_e,
+    grid-accumulated FtF / g_f.
 
     All refs hold planes with rows-on-lanes:
       xf  [kf*tf]      camera parameter values (SMEM scalars)
@@ -63,17 +76,27 @@ def _lin_kernel(xf_ref, xe_ref, oh_ref, mask_ref,
       oh  [kf, k, T]   one-hot camera membership (masked)
       mask [k, T]
       obsx/obsy [k, T]
-    outs (ALL unscaled — Jacobi scaling is a rank-1 congruence applied
-    by the caller, so the iteration-0 scale can be derived from these
-    Gram diagonals without a separate linearize):
-      ete [te*te, T]   E^T E (row-major a*te+b)
-      ge  [te, T]      e gradient
-      a   [te, kf*tf, T]  cross tensor A^T
-      jf  [2*tf, k, T] chunk-layout masked Jf (row-major r*tf+t)
-      rc  [2, k, T]    chunk-layout masked residuals
+      se  [te, T]      carried Jacobi scale (ignored when first)
+      first [1]        SMEM flag: derive s_e from this tile's Gram diag
+    outs:
+      ete [te*te, T]   E^T E UNSCALED (row-major a*te+b)
+      ge  [te, T]      e gradient UNSCALED
+      seo [te, T]      resolved s_e (pad lanes -> 1)
+      a   [te, kf*tf, T]  E-SCALED cross tensor A_e^T = (s_e E)^T F
+                          (f scaling is a rank-1 congruence applied by
+                          the caller on the reduced outputs)
+      ftf [kf, tf*tf]  F^T F block diagonal UNSCALED (grid-accumulated)
+      gf  [kf, tf]     f gradient UNSCALED (grid-accumulated)
     """
+    from jax.experimental import pallas as pl
+
     nt = tf + te
     mask = mask_ref[...]                              # [k, T]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        ftf_ref[...] = jnp.zeros_like(ftf_ref)
+        gf_ref[...] = jnp.zeros_like(gf_ref)
 
     # camera values per row: one-hot contraction against SMEM scalars
     cam = []
@@ -96,15 +119,8 @@ def _lin_kernel(xf_ref, xe_ref, oh_ref, mask_ref,
         rvals.append(v)
         rcols.append(cols)
 
-    # residuals + Jf chunk outputs
-    for r in range(2):
-        rc_ref[r, :, :] = rvals[r]
-        for t in range(tf):
-            col = rcols[r][fo + t]
-            jf_ref[r * tf + t, :, :] = (jnp.zeros_like(mask)
-                                        if col is None else col)
-
-    # E^T E, g_e (sum over r and k)
+    # ---- E^T E, g_e (sum over r and k), Jacobi scale ----
+    cn = [None] * te
     for a in range(te):
         ca = [rcols[r][eo + a] for r in range(2)]
         g = None
@@ -128,8 +144,22 @@ def _lin_kernel(xf_ref, xe_ref, oh_ref, mask_ref,
             ete_ref[a * te + b, :] = plane
             if b != a:
                 ete_ref[b * te + a, :] = plane
+            else:
+                cn[a] = plane
 
-    # A^T: A[a, c*tf+t, :] = sum_k oh[c] * Ge[a,t]
+    # Iteration-0 Jacobi scaling from THIS linearization's Gram
+    # diagonals (trust_region_minimizer.cc:261-277), carried thereafter.
+    se = []
+    for a in range(te):
+        if not use_scaling:
+            s = jnp.ones_like(cn[a])
+        else:
+            derived = 1.0 / (1.0 + jnp.sqrt(cn[a]))
+            s = jnp.where(first_ref[0] > 0.5, derived, se_ref[a, :])
+        se.append(s)
+        seo_ref[a, :] = s
+
+    # ---- A_e^T: a[a, c*tf+t, :] = s_e[a] * sum_k oh[c] * Ge[a,t] ----
     zero = jnp.zeros_like(mask[0])
     ge_planes = {}
     for a in range(te):
@@ -151,7 +181,92 @@ def _lin_kernel(xf_ref, xe_ref, oh_ref, mask_ref,
                 if gp is None:
                     a_ref[a, c * tf + t, :] = zero
                     continue
-                a_ref[a, c * tf + t, :] = (gp * ohc).sum(axis=0)
+                a_ref[a, c * tf + t, :] = (gp * ohc).sum(axis=0) * se[a]
+
+    # ---- F^T F block diagonal + f gradient (grid-accumulated) ----
+    # ftf[c, t*tf+u] = sum_{r,k,n} oh[c,k,n] Jf[r,t][k,n] Jf[r,u][k,n].
+    # Built per tile as [kf, tf*tf] via one [kf, 1] column per channel
+    # pair (2-D throughout — Mosaic-friendly), then one accumulate.
+    # Folding this in-kernel removes the [n, k, tf, tf] Gram
+    # materialization (and its ~230 MB/iteration of HBM traffic) that
+    # the XLA one-hot einsum path could not avoid (dot operands are not
+    # fused into their producers).
+    oh = oh_ref[...]                                   # [kf, k, T]
+    ftf_cols = [None] * (tf * tf)
+    for t in range(tf):
+        for u in range(t, tf):
+            P = None
+            for r in range(2):
+                pt_ = rcols[r][fo + t]
+                pu_ = rcols[r][fo + u]
+                if pt_ is None or pu_ is None:
+                    continue
+                term = pt_ * pu_
+                P = term if P is None else P + term
+            if P is None:
+                col = jnp.zeros((kf, 1), dtype=mask.dtype)
+            else:
+                col = (oh * P[None, :, :]).sum(axis=1).sum(
+                    axis=1, keepdims=True)             # [kf, 1]
+            ftf_cols[t * tf + u] = col
+            ftf_cols[u * tf + t] = col
+    ftf_ref[...] += jnp.concatenate(ftf_cols, axis=1)
+
+    gf_cols = []
+    for t in range(tf):
+        G = None
+        for r in range(2):
+            pt_ = rcols[r][fo + t]
+            if pt_ is None:
+                continue
+            term = pt_ * rvals[r]
+            G = term if G is None else G + term
+        if G is None:
+            gf_cols.append(jnp.zeros((kf, 1), dtype=mask.dtype))
+        else:
+            gf_cols.append((oh * G[None, :, :]).sum(axis=1).sum(
+                axis=1, keepdims=True))
+    gf_ref[...] += jnp.concatenate(gf_cols, axis=1)
+
+
+# ----------------------------------------------------------------------
+# ELIM kernel
+
+def _elim_kernel(a_ref, inv_ref, z_ref, scorr_ref, rhsa_ref, *, te, nf):
+    """One e-block tile of the damped elimination:
+      a   [te, nf, T]   E-scaled cross tensor A_e^T (lin kernel output)
+      inv [te*te, T]    inv(E_s^T E_s + D^2) planes (row-major)
+      z   [te, T]       inv * b_e planes
+    accumulates (constant out index maps):
+      scorr [nf, nf]    sum_n A_n^T inv_n A_n   (f-unscaled congruence)
+      rhsa  [nf, 1]     sum_n A_n^T z_n
+    The S_corr contraction runs as te MXU dots [nf, T] x [T, nf] per
+    tile; A is read from HBM exactly once per damped solve and the
+    [te, nf, ne] Y tensor of the XLA path is never materialized.
+    """
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        scorr_ref[...] = jnp.zeros_like(scorr_ref)
+        rhsa_ref[...] = jnp.zeros_like(rhsa_ref)
+
+    A = [a_ref[u] for u in range(te)]                  # [nf, T] each
+    sc = None
+    rh = None
+    for u in range(te):
+        Yu = None
+        for v in range(te):
+            term = A[v] * inv_ref[u * te + v, :][None, :]
+            Yu = term if Yu is None else Yu + term
+        d = jax.lax.dot_general(A[u], Yu, (((1,), (1,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        sc = d if sc is None else sc + d
+        r = jnp.sum(A[u] * z_ref[u, :][None, :], axis=1, keepdims=True)
+        rh = r if rh is None else rh + r
+    scorr_ref[...] += sc
+    rhsa_ref[...] += rh
 
 
 def pallas_lin_supported(program, options, meta, explicit: bool,
@@ -209,16 +324,64 @@ def pallas_lin_supported(program, options, meta, explicit: bool,
 _PROBE_CACHE: dict = {}
 
 
+def _probe(tag, call, probe_args, shape_key):
+    """Probe-compile a pallas_call through the real Mosaic backend ONCE
+    per shape (a front-end that traces fine can still be rejected by the
+    TPU kernel compiler), with disk-backed results (utils/probecache) so
+    warm starts skip the probe compile."""
+    key = (tag,) + tuple(shape_key)
+    ok = _PROBE_CACHE.get(key)
+    if ok is None:
+        from ..utils import probecache
+        ok = probecache.get(key)
+    if ok is None:
+        probe_err = None
+        try:
+            jax.jit(call).lower(*probe_args).compile()
+            ok = True
+        except Exception as e:
+            import sys
+            print(f"ceres_tpu: pallas '{tag}' kernel rejected by the "
+                  f"TPU kernel compiler ({type(e).__name__}); using "
+                  "the XLA fallback", file=sys.stderr)
+            if os.environ.get("CERES_TPU_PALLAS_DEBUG"):
+                import traceback
+                traceback.print_exc()
+            ok = False
+            probe_err = e
+        from ..utils import probecache
+        probecache.put(key, ok,
+                       transient=(not ok and probe_err is not None
+                                  and probecache.is_transient_error(
+                                      probe_err)))
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+class _PallasLin:
+    """Callable bundle: .lin(x, s_e, first) and .elim(A_eT, inv, z)
+    (elim is None when the Mosaic compiler rejected the elim kernel —
+    the caller keeps the XLA eliminate over A_eT)."""
+
+    def __init__(self, lin, elim, ne_pad):
+        self.lin = lin
+        self.elim = elim
+        self.ne_pad = ne_pad
+
+
 def make_pallas_lin(program, options, meta, tile: int = 512):
-    """Returns lin(x) -> dict with keys
-    EtE [ne_pad, te, te], g_e [ne_pad, te], A_T [te, kf*tf, ne_pad]
-    (UNSCALED — the caller applies the s_e/s_f Jacobi congruence, see
-    _lin_phase_pallas), Jf [ne_pad, k, 2, tf], rg [ne_pad, k, 2], oh_t
-    [kf, k, ne_pad], ne_pad — all f32, chunk layout, pad rows masked to
-    zero. Returns None when the kernel's VMEM blocks cannot fit at any
-    tile width or the Mosaic TPU compiler rejects the kernel (probed at
-    build time so BOTH the fused and host-loop paths fall back to the
-    generic lin phase cleanly)."""
+    """Returns a _PallasLin bundle, or None when the kernels cannot fit
+    VMEM at any tile width or the Mosaic compiler rejects the LIN kernel
+    (probed at build time so BOTH the fused and host-loop paths fall
+    back to the generic lin phase cleanly).
+
+    lin(x, s_e [ne_pad, te] f32, first bool-or-None) -> dict with keys
+      EtE [ne_pad, te, te], g_e [ne_pad, te], s_e [ne_pad, te]
+      (resolved), A_eT [te, kf*tf, ne_pad] (E-SCALED, f-unscaled),
+      FtF [kf, tf, tf], g_f [kf, tf], ne_pad — all f32 UNSCALED except
+      A_eT's e factor; pad rows zero (s_e pad rows 1).
+    elim(A_eT, inv_t [te*te, ne_pad], z_t [te, ne_pad])
+      -> (scorr [nf, nf], rhsa [nf]) f32, f-unscaled."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..solvers.schur_fused import _slab_of
@@ -226,6 +389,7 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     bk, bs = program.buckets[0], meta.buckets[0]
     grp = meta.f_groups[0]
     kf, tf, te, ne = grp["kf"], grp["t"], meta.te, meta.ne
+    nf = kf * tf
     k = bs.chunk_rows.shape[1]
     e_slab = _slab_of(meta.e_cols)
     fpos = meta.f_global_cols[grp["cols"]].reshape(kf, tf)
@@ -237,10 +401,9 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     # the tile until the estimate fits a conservative VMEM budget; give
     # up below the minimum lane tile.
     per_lane = 4 * (kf * k                 # oh
-                    + 5 * k                # mask/obsx/obsy/rc
-                    + 2 * tf * k           # jf
-                    + 2 * te + te * te + te
-                    + te * kf * tf         # A_sT
+                    + 4 * k                # mask/obsx/obsy + headroom
+                    + 4 * te + te * te     # ge/se in+out/xe, ete
+                    + te * kf * tf         # A_e^T
                     + 40 * k)              # jet-plane working set
     budget = 6 * 1024 * 1024
     tile = min(tile, max(128, 1 << (ne - 1).bit_length()))
@@ -286,14 +449,19 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         axis=1).transpose(0, 2, 1)                      # [kf, k, ne_pad]
     interp = bool(os.environ.get("CERES_TPU_PALLAS_INTERPRET"))
     loss = program._bucket_loss(bk)     # uniform scalars (gate) or None
+    use_scaling = bool(options.jacobi_scaling)
     kern = functools.partial(_lin_kernel, te=te, tf=tf, kf=kf, k=k,
-                             eo=eo, fo=fo, loss=loss)
+                             eo=eo, fo=fo, loss=loss,
+                             use_scaling=use_scaling)
 
     bspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                              memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.SMEM)
-    raw_call = pl.pallas_call(
+    accspec = lambda shape: pl.BlockSpec(shape,
+                                         lambda i: (0,) * len(shape),
+                                         memory_space=pltpu.VMEM)
+    raw_lin = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
@@ -303,25 +471,49 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
             bspec((k, tile), lambda i: (0, i)),             # mask
             bspec((k, tile), lambda i: (0, i)),             # obsx
             bspec((k, tile), lambda i: (0, i)),             # obsy
+            bspec((te, tile), lambda i: (0, i)),            # se carried
+            smem((1,)),                                     # first flag
         ],
         out_specs=[
             bspec((te * te, tile), lambda i: (0, i)),       # ete
             bspec((te, tile), lambda i: (0, i)),            # ge
-            bspec((te, kf * tf, tile), lambda i: (0, 0, i)),  # A^T
-            bspec((2 * tf, k, tile), lambda i: (0, 0, i)),  # jf
-            bspec((2, k, tile), lambda i: (0, 0, i)),       # rc
+            bspec((te, tile), lambda i: (0, i)),            # se out
+            bspec((te, kf * tf, tile), lambda i: (0, 0, i)),  # A_e^T
+            accspec((kf, tf * tf)),                         # FtF
+            accspec((kf, tf)),                              # g_f
         ],
         out_shape=[
             jax.ShapeDtypeStruct((te * te, ne_pad), jnp.float32),
             jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
             jax.ShapeDtypeStruct((te, kf * tf, ne_pad), jnp.float32),
-            jax.ShapeDtypeStruct((2 * tf, k, ne_pad), jnp.float32),
-            jax.ShapeDtypeStruct((2, k, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((kf, tf * tf), jnp.float32),
+            jax.ShapeDtypeStruct((kf, tf), jnp.float32),
         ],
         interpret=interp,
     )
 
-    def call(*a):
+    ekern = functools.partial(_elim_kernel, te=te, nf=nf)
+    raw_elim = pl.pallas_call(
+        ekern,
+        grid=(grid,),
+        in_specs=[
+            bspec((te, nf, tile), lambda i: (0, 0, i)),     # A_e^T
+            bspec((te * te, tile), lambda i: (0, i)),       # inv planes
+            bspec((te, tile), lambda i: (0, i)),            # z planes
+        ],
+        out_specs=[
+            accspec((nf, nf)),
+            accspec((nf, 1)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nf, nf), jnp.float32),
+            jax.ShapeDtypeStruct((nf, 1), jnp.float32),
+        ],
+        interpret=interp,
+    )
+
+    def lin_call(*a):
         # Trace the pallas_call with x64 scoped OFF: under jax_enable_x64
         # the pallas grid/index-map plumbing emits i64 scalars the Mosaic
         # TPU compiler cannot legalize ("failed to legalize operation
@@ -329,54 +521,29 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         # scoping x64 off around the bind changes nothing numerically;
         # the surrounding f64 solve is untouched.
         with jax.enable_x64(False):
-            return raw_call(*a)
+            return raw_lin(*a)
 
-    # Probe-compile the kernel through the real Mosaic backend ONCE per
-    # shape: a front-end that traces fine can still be rejected by the
-    # TPU kernel compiler (layout/op support varies by generation), and
-    # the rejection must surface HERE — at build time, where both the
-    # fused and host-loop minimizers can fall back to the generic lin
-    # phase — not inside a compiled solve.
+    def elim_call(*a):
+        with jax.enable_x64(False):
+            return raw_elim(*a)
+
+    loss_key = (None if loss is None else
+                (type(loss).__name__,
+                 tuple(sorted(vars(loss).items()))))
+    shape_key = (te, tf, kf, k, tile, ne_pad, loss_key, use_scaling,
+                 jax.default_backend())
     if not interp:
-        loss_key = (None if loss is None else
-                    (type(loss).__name__,
-                     tuple(sorted(vars(loss).items()))))
-        shape_key = (te, tf, kf, k, tile, ne_pad, loss_key,
-                     jax.default_backend())
-        ok = _PROBE_CACHE.get(shape_key)
-        if ok is None:
-            # disk-backed result (warm starts skip the probe compile,
-            # which costs seconds through the remote compile helper)
-            from ..utils import probecache
-            ok = probecache.get(("plin",) + shape_key)
-        if ok is None:
-            try:
-                probe_args = [
-                    jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
-                    jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
-                    jax.ShapeDtypeStruct((kf, k, ne_pad), jnp.float32),
-                    jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
-                    jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
-                    jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
-                ]
-                jax.jit(call).lower(*probe_args).compile()
-                ok = True
-            except Exception as e:
-                import sys
-                print("ceres_tpu: pallas lin-phase kernel rejected by the "
-                      f"TPU kernel compiler ({type(e).__name__}); using "
-                      "the generic fused lin phase", file=sys.stderr)
-                if os.environ.get("CERES_TPU_PALLAS_DEBUG"):
-                    import traceback
-                    traceback.print_exc()
-                ok = False
-                probe_err = e
-            from ..utils import probecache
-            probecache.put(("plin",) + shape_key, ok,
-                           transient=(not ok and probecache
-                                      .is_transient_error(probe_err)))
-        _PROBE_CACHE[shape_key] = ok
-        if not ok:
+        probe_lin = [
+            jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
+            jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((kf, k, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ]
+        if not _probe("plin2", lin_call, probe_lin, shape_key):
             return None
 
     program.register_const("plin.mask_t", np.ascontiguousarray(mask_t))
@@ -384,7 +551,7 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     program.register_const("plin.obsy_t", obsy_t)
     program.register_const("plin.oh_t", np.ascontiguousarray(oh_t))
 
-    def lin(x):
+    def lin(x, s_e, first):
         xe = jax.lax.dynamic_slice(x, (e_slab,), (ne * te,)
                                    ).astype(jnp.float32)
         # pad e-blocks (ne..ne_pad) are all-masked rows; the kernel's
@@ -392,19 +559,42 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         xe_t = jnp.pad(xe.reshape(ne, te).T, ((0, 0), (0, ne_pad - ne)))
         xf = jax.lax.dynamic_slice(x, (f_slab,), (kf * tf,)
                                    ).astype(jnp.float32)
-        ete_t, ge_t, a_t, jf_t, rc_t = call(
+        se_t = jnp.asarray(s_e, jnp.float32).T           # [te, ne_pad]
+        if first is None:
+            first_f = jnp.zeros((1,), jnp.float32)
+        else:
+            first_f = jnp.where(first, 1.0, 0.0).astype(
+                jnp.float32).reshape(1)
+        ete_t, ge_t, se_o, a_t, ftf, gf = lin_call(
             xf, xe_t,
             program.const("plin.oh_t"), program.const("plin.mask_t"),
-            program.const("plin.obsx_t"), program.const("plin.obsy_t"))
+            program.const("plin.obsx_t"), program.const("plin.obsy_t"),
+            se_t, first_f)
         return {
             "EtE": ete_t.T.reshape(ne_pad, te, te),
             "g_e": ge_t.T,
-            "A_T": a_t,                  # UNSCALED [te, kf*tf, ne_pad]
-            "Jf": jf_t.transpose(2, 1, 0).reshape(ne_pad, k, 2, tf),
-            "rg": rc_t.transpose(2, 1, 0),
-            "oh_t": program.const("plin.oh_t"),
+            "s_e": se_o.T,
+            "A_eT": a_t,                 # [te, kf*tf, ne_pad], e-scaled
+            "FtF": ftf.reshape(kf, tf, tf),
+            "g_f": gf,
             "ne_pad": ne_pad,
         }
 
-    lin.ne_pad = ne_pad
-    return lin
+    def elim(a_t, inv_t, z_t):
+        scorr, rhsa = elim_call(a_t.astype(jnp.float32),
+                                inv_t.astype(jnp.float32),
+                                z_t.astype(jnp.float32))
+        return scorr, rhsa[:, 0]
+
+    have_elim = True
+    if not interp:
+        probe_elim = [
+            jax.ShapeDtypeStruct((te, nf, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((te * te, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+        ]
+        have_elim = _probe("pelim", elim_call, probe_elim,
+                           (te, nf, tile, ne_pad,
+                            jax.default_backend()))
+
+    return _PallasLin(lin, elim if have_elim else None, ne_pad)

@@ -410,21 +410,20 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
             total_cost = jnp.asarray(program.fixed_cost,
                                      dtype=dtype) + jnp.sum(cost)
 
-        out = plin(x)
+        out = plin.lin(x, s_e_in, first)
         EtE, g_e = out["EtE"], out["g_e"]        # [ne_pad, ...], pad rows 0
-        Jf, rg, oh_t = out["Jf"], out["rg"], out["oh_t"]  # oh_t [kf,k,ne]
-        FtF = _einsum("ckn,nktu->ctu", oh_t, _outer_rt(Jf, Jf))
-        g_f = _einsum("ckn,nkt->ct", oh_t, _rvec_rt(Jf, rg))
+        s_e = out["s_e"]              # resolved IN-KERNEL (pad rows 1)
+        A_eT = out["A_eT"]            # [te, kf*tf, ne_pad], e-scaled
+        FtF, g_f = out["FtF"], out["g_f"]        # grid-accumulated
 
-        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)  # pad rows 0 -> s=1
+        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
         cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)
-        s_e, s_f = _resolve_scale(cn_e, cn_f, s_e_in, s_f_in, first)
+        _, s_f = _resolve_scale(cn_e, cn_f, s_e, s_f_in, first)
         diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
         diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
         EtE_s = EtE * (s_e[:, :, None] * s_e[:, None, :])
         FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
         sA = s_f.reshape(kf * tf)
-        A_sT = out["A_T"] * s_e.T[:, None, :] * sA[None, :, None]
         g_se = g_e * s_e
         g_sf = (g_f * s_f).reshape(kf * tf)
 
@@ -435,7 +434,7 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
                              + jnp.vdot(g_f_flat, g_f_flat)).astype(dtype)
 
         art = dict(cost=total_cost, EtE_s=EtE_s, FtF_s=FtF_s, A_s=None,
-                   A_sT=A_sT, g_se=g_se, g_sf=g_sf, s_e=s_e,
+                   A_eT=A_eT, g_se=g_se, g_sf=g_sf, s_e=s_e,
                    s_f=s_f, sA=sA, diag_e=diag_e, diag_f=diag_f,
                    grad_max=grad_max, grad_norm=grad_norm)
         if program.has_bounds:
@@ -690,7 +689,8 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
         total_cost = art["cost"]
         EtE_s, FtF_s = art["EtE_s"], art["FtF_s"]
         A_s = art.get("A_s")
-        A_sT = art.get("A_sT")      # pallas layout [te, kf*tf, ne_pad]
+        A_eT = art.get("A_eT")      # pallas layout [te, kf*tf, ne_pad],
+        #                             E-scaled, f-UNSCALED
         g_se, g_sf = art["g_se"], art["g_sf"]
         s_e, s_f, sA = art["s_e"], art["s_f"], art["sA"]
         chunk_store = art.get("chunks", [])
@@ -706,11 +706,22 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
         b_f = -g_sf                                      # [kf*tf]
         z = _einsum("nij,nj->ni", inv_ete, b_e)          # (EtE)^-1 b_e
 
+        Ay = None           # A_s y, reused by back-sub AND the Gram-
+        #                     identity ||J_s d||^2 (computed once)
         if explicit:
-            if A_sT is not None:
-                rhs = b_f - _einsum("ufn,nu->f", A_sT, z)
-                Y = _einsum("nuv,vfn->ufn", inv_ete, A_sT)
-                S_corr = _einsum("ufn,ugn->fg", A_sT, Y)
+            if A_eT is not None:
+                # f scaling is a rank-1 congruence on the REDUCED
+                # outputs (S_corr, rhs) — A itself is never rescaled.
+                if plin is not None and plin.elim is not None:
+                    npad = A_eT.shape[-1]
+                    inv_t = inv_ete.reshape(npad, te * te).T
+                    scorr_u, rhsa_u = plin.elim(A_eT, inv_t, z.T)
+                else:
+                    Y = _einsum("nuv,vfn->ufn", inv_ete, A_eT)
+                    scorr_u = _einsum("ufn,ugn->fg", A_eT, Y)
+                    rhsa_u = _einsum("ufn,nu->f", A_eT, z)
+                rhs = b_f - sA * rhsa_u
+                S_corr = scorr_u * (sA[:, None] * sA[None, :])
             else:
                 rhs = b_f - _einsum("nuf,nu->f", A_s, z)
                 Y = _einsum("nuv,nvf->nuf", inv_ete, A_s)
@@ -740,7 +751,7 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
                 lin_iters = result.num_iterations
 
             # back-substitute: d_e = (EtE)^-1 (b_e - A y)
-            Ay = (_einsum("ufn,f->nu", A_sT, y) if A_sT is not None
+            Ay = (_einsum("ufn,f->nu", A_eT, sA * y) if A_eT is not None
                   else _einsum("nuf,f->nu", A_s, y))
             d_e = _einsum("nij,nj->ni", inv_ete, b_e - Ay)
         else:
@@ -882,11 +893,11 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
             # Pallas lin-phase path: no chunk tensors live. ||J_s d||^2
             # from the Gram blocks — exact because J^T J =
             # [[EtE, A], [A^T, blockdiag(FtF)]] for the BA structure
-            # (F blocks never share a residual row).
-            Ay2 = _einsum("ufn,f->nu", A_sT, y)
+            # (F blocks never share a residual row). Ay = A_s y is
+            # REUSED from the back-substitution (A read once).
             yb2 = y.reshape(kf, tf)
             Jd_sq = (jnp.vdot(d_e, _einsum("nuv,nv->nu", EtE_s, d_e))
-                     + 2.0 * jnp.vdot(d_e, Ay2)
+                     + 2.0 * jnp.vdot(d_e, Ay)
                      + jnp.vdot(yb2, _einsum("ctu,cu->ct", FtF_s, yb2)))
         else:
             # Exact ||J_s d||^2 via the stored chunk tensors: required for
@@ -969,6 +980,7 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
         jax.ShapeDtypeStruct((kf, tf), work_dtype))
     lm_step.solve_from = _solve_phase
     lm_step.pallas_lin = plin is not None
+    lm_step.pallas_elim = plin is not None and plin.elim is not None
 
     return lm_step
 

@@ -156,24 +156,32 @@ def main():
     if lm.pallas_lin:
         from ceres_tpu.ops.pallas_lin import make_pallas_lin
         plin = make_pallas_lin(program, opts, meta)
+        te = meta.te
+        ones_se = jnp.ones((plin.ne_pad, te), jnp.float32)
 
         def p_plin(c):
-            o = plin(x0 * (1.0 + 1e-30 * c))
+            o = plin.lin(x0 * (1.0 + 1e-30 * c), ones_se, None)
             return c + 1e-40 * jnp.sum(o["g_e"][0]).astype(dtype)
 
-        def p_plin_ftf(c):
-            import functools
-            from ceres_tpu.solvers.schur_fused import (_einsum, _outer_rt,
-                                                       _rvec_rt)
-            o = plin(x0 * (1.0 + 1e-30 * c))
-            Jf, rg, oh_t = o["Jf"], o["rg"], o["oh_t"]
-            FtF = _einsum("ckn,nktu->ctu", oh_t, _outer_rt(Jf, Jf))
-            g_f = _einsum("ckn,nkt->ct", oh_t, _rvec_rt(Jf, rg))
-            return (c + 1e-40 * jnp.sum(FtF[0, 0]).astype(dtype)
-                    + 1e-40 * jnp.sum(g_f[0]).astype(dtype))
-
         pieces.insert(2, ("pallas lin kernel only", p_plin, ()))
-        pieces.insert(3, ("pallas lin + FtF einsums", p_plin_ftf, ()))
+
+        if plin.elim is not None:
+            o0 = program.jit_with_consts(
+                lambda x: plin.lin(x, ones_se, None),
+                (program.example_x(),))(x0)
+            a_e = o0["A_eT"]
+            jax.block_until_ready(a_e)
+            npad = plin.ne_pad
+            inv0 = jnp.tile(jnp.eye(te, dtype=jnp.float32).reshape(
+                1, te * te), (npad, 1)).T
+            z0 = jnp.ones((te, npad), jnp.float32)
+
+            def p_elim(c, a_in):
+                sc, rh = plin.elim(a_in * (1.0 + 1e-30 * c.astype(
+                    jnp.float32)), inv0, z0)
+                return c + 1e-40 * (sc[0, 0] + rh[0]).astype(dtype)
+
+            pieces.insert(3, ("pallas elim kernel only", p_elim, (a_e,)))
 
     results = {}
     for name, piece, extra in pieces:
