@@ -232,6 +232,8 @@ def main():
         "warmup_s": round(warmup, 2),
         "writeback_s": round(writeback_s, 4),
         "wall_writeback_s": round(wall_writeback, 4),
+        "serving_wall_s": round(wall, 4),
+        "vs_baseline_serving": round(BASELINE_WALL_S / wall, 3),
     }
 
     # ---- roofline accounting (BASELINE "speed-of-light per chip"):
@@ -257,11 +259,26 @@ def main():
                      for bs in meta.buckets if bs.chunk_rows is not None),
                     default=4)
             f32 = 4
-            A_b = te * kf * tf * ne * f32        # A written + read 3x
-            small_b = (te * te + te + 2 * tf * k + 2 * k) * ne * f32
-            consts_b = (3 + kf) * k * ne * f32   # mask/obsx/obsy + onehot
-            cost_b = 2 * 3 * k * ne * 8          # f64 candidate-cost pass
-            bytes_per_iter = 4 * A_b + 2 * small_b + consts_b + cost_b
+            # Analytic traffic of one ACCEPTED fused LM iteration with
+            # the round-4 kernel pipeline (ops/pallas_lin.py LIN+ELIM +
+            # ops/pallas_cost.py ds candidate cost):
+            #   LIN kernel: onehot+mask/obs consts read, A_e written,
+            #     EtE/g_e/s_e planes written (FtF/g_f accumulate in VMEM)
+            #   ELIM kernel: A_e + inv/z planes read
+            #   solve smalls: EtE read ~3x (damp/inv/Jd_sq), Ay reads A_e
+            #   ds cost kernel: onehot+obs-splits read, sq planes
+            #     written + read back for the f64 rho sum
+            #   x/delta/plus: 4 passes over the f64 state
+            A_b = te * kf * tf * ne * f32            # A_e: 1 write + 2 reads
+            oh_b = kf * k * ne * f32                 # onehot (lin + cost)
+            lin_small = (te * te + 3 * te + 3 * k) * ne * f32
+            elim_small = (te * te + te) * ne * f32
+            solve_small = (3 * te * te + 4 * te) * ne * f32
+            cost_b = (4 * k + 2 * te) * ne * f32 \
+                + 2 * k * ne * (f32 + 8)             # sq write + f64 sum
+            state_b = 4 * (te * ne + kf * tf) * 8
+            bytes_per_iter = (3 * A_b + 2 * oh_b + lin_small + elim_small
+                              + solve_small + cost_b + state_b)
             step = make_step_fn(program, opts)
             inner = getattr(step, "__wrapped__", step)
             ca = _jax.jit(inner).lower(
@@ -313,10 +330,18 @@ def main():
               for i in range(reps)]
         _jax.block_until_ready(xs)
         _jax.device_get(solve(xs[0])[1])           # warm
+        # Timing via block_until_ready on DISTINCT dispatches: each is a
+        # real execution (the axon dedupe only folds identical
+        # (executable, args) pairs), and no D2H happens inside the timed
+        # region — a per-solve stats pull costs ~25-38 ms over the
+        # tunnel and was the floor of this measurement once the solve
+        # itself dropped near 10 ms. Stats download and the trajectory
+        # check happen after the clock stops.
         t0 = time.time()
         rs = [solve(x) for x in xs]                # async dispatches
-        stats = [_jax.device_get(r[1]) for r in rs]
+        _jax.block_until_ready([r[1] for r in rs])
         dt = (time.time() - t0) / reps
+        stats = [_jax.device_get(r[1]) for r in rs]
         iters = [int(s[2]) for s in stats]
         if len(set(iters)) != 1:
             log(f"  (device-rate trajectories differ: {iters})")
@@ -413,11 +438,16 @@ def main():
 
     if CPU_FALLBACK:
         extras["platform"] = "cpu-fallback (TPU tunnel unreachable)"
+    # PRIMARY value: the eager-writeback wall — the apples-to-apples
+    # comparison against the reference anchor's Solve() timing, which
+    # includes copying the final parameters to user memory
+    # (solver.cc:650-653). The deferred/serving wall is the secondary
+    # serving_wall_s / vs_baseline_serving pair.
     print(json.dumps({
         "metric": f"bal16_22106_{solver_name.lower()}_wall_to_convergence",
-        "value": round(wall, 4),
+        "value": round(wall_writeback, 4),
         "unit": "s",
-        "vs_baseline": round(BASELINE_WALL_S / wall, 3),
+        "vs_baseline": round(BASELINE_WALL_S / wall_writeback, 3),
         **extras,
     }))
 

@@ -77,6 +77,10 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
 
     step_impl = make_step_impl(program, options, batched=batched)
     scale_impl = make_scale_impl(program, options)
+    # Candidate/initial cost evaluator: the step implementation may
+    # provide a fast device kernel (schur_fused's double-single Snavely
+    # cost kernel) — same f64-accurate semantics as program.cost_fn.
+    cost_eval = getattr(step_impl, "cost_fn", None) or program.cost_fn
     dtype = program.dtype
     gtol = options.gradient_tolerance
     ftol = options.function_tolerance
@@ -99,7 +103,7 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
     split = bool(getattr(step_impl, "split_ok", False))
 
     def solve(x0):
-        cost0 = program.cost_fn(x0)
+        cost0 = cost_eval(x0)
         if split:
             # Seed the carry with a ZERO art and relin=True: iteration 1
             # then linearizes inside the loop's cond, so the lin-phase
@@ -152,7 +156,7 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
             step_valid = (jnp.isfinite(mcc) & (mcc > 0.0)
                           & jnp.isfinite(step_norm))
             x_new = program.plus(s["x"], out["delta"])
-            new_cost = program.cost_fn(x_new)
+            new_cost = cost_eval(x_new)
             rel_dec = (cost - new_cost) / jnp.where(mcc == 0, 1.0, mcc)
             accept = (step_valid & jnp.isfinite(new_cost)
                       & (rel_dec > min_rel_decrease))
@@ -288,7 +292,19 @@ def run_fused(program, options, summary):
         stats = jax.device_get(stats_dev)
         result = FusedResult.unpack(x_dev, stats)
     else:
-        x_host, stats = jax.device_get((x_dev, stats_dev))
+        # ONE D2H pull for the whole eager result: the tunnel's fixed
+        # per-transfer cost (~25-38 ms) dominates the payload cost, so
+        # stats and x come back packed in a single f64 array (a tiny
+        # follow-up concat dispatch costs ~0.02 ms) — the reverse of the
+        # reference's streamed-buffer H2D trick
+        # (cuda_streamed_buffer.h:50). Measured: two overlapped pulls
+        # ~38 ms + sync slack vs one 533 KB pull ~40 ms flat.
+        pack = program.cached_jit(
+            ("fused_pack",),
+            lambda: jax.jit(lambda s, x: jnp.concatenate(
+                [s, x.astype(jnp.float64)])))
+        arr = jax.device_get(pack(stats_dev, x_dev))
+        stats, x_host = arr[:8], arr[8:]
         result = FusedResult.unpack(x_host, stats)
     summary.minimizer_time_in_seconds = time.time() - t0
     summary.initial_cost = float(result.initial_cost)

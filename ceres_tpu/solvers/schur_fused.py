@@ -350,6 +350,15 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
         plin = make_pallas_lin(program, options, meta)
     if plin is not None:
         keep_chunks = False
+    # Double-single candidate-cost kernel (ops/pallas_cost.py): the f64
+    # residual pass the fused loop runs at every candidate measured
+    # ~0.95 ms/iteration (f64 is software-emulated on TPU) — the ds
+    # kernel delivers the same cost to ~2^-48 relative on f32 VPU
+    # planes. Gated to the same Snavely structure as the lin kernel.
+    pcost = None
+    if plin is not None and not os.environ.get("CERES_TPU_NO_PALLAS_COST"):
+        from ..ops.pallas_cost import make_pallas_cost
+        pcost = make_pallas_cost(program, options, meta)
 
     def _split_scale(scale):
         """Full tangent scale vector -> (s_e [ne, te], s_f [kf, tf])."""
@@ -981,6 +990,7 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
     lm_step.solve_from = _solve_phase
     lm_step.pallas_lin = plin is not None
     lm_step.pallas_elim = plin is not None and plin.elim is not None
+    lm_step.cost_fn = pcost       # None -> minimizer uses program.cost_fn
 
     return lm_step
 

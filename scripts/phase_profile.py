@@ -153,6 +153,19 @@ def main():
               ("f64 cost pass (cost_fn)", p_cost, ()),
               ("candidate plus+cost", p_candidate, ())]
 
+    if getattr(lm, "cost_fn", None) is not None:
+        def p_ds_cost(c):
+            cost = lm.cost_fn(x0 * (1.0 + 1e-30 * c))
+            return c + 1e-40 * cost.astype(dtype)
+
+        def p_candidate_ds(c):
+            x_new = program.plus(x0, delta0 * (1e-30 * c))
+            cost = lm.cost_fn(x_new)
+            return c + 1e-40 * cost.astype(dtype)
+
+        pieces.append(("ds cost kernel (pallas)", p_ds_cost, ()))
+        pieces.append(("candidate plus+ds-cost", p_candidate_ds, ()))
+
     if lm.pallas_lin:
         from ceres_tpu.ops.pallas_lin import make_pallas_lin
         plin = make_pallas_lin(program, opts, meta)

@@ -869,3 +869,67 @@ def test_sparse_covariance_rank_policy_free_gauge():
     ok = cov.compute([(cams[1], cams[1])], problem)
     assert not ok
     assert "Rank deficient" in cov.message, cov.message
+
+
+def test_pallas_ds_cost_matches_f64(bal):
+    """The double-single candidate-cost kernel (ops/pallas_cost.py,
+    interpret mode) must reproduce program.cost_fn to near-f64 accuracy
+    (ds carries ~2^-48 relative; the ftol test needs 1e-6 relative on
+    cost DIFFERENCES)."""
+    os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        problem, _, _ = build_bal_ceres_problem(bal)
+        options = ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            use_mixed_precision_solves=True)
+        program = CompiledProgram.get_cached(problem, options)
+        from ceres_tpu.solvers import schur_fused
+        from ceres_tpu.solvers.schur import detect_schur_structure
+        meta = detect_schur_structure(program, options)
+        step = schur_fused.make_fused_schur_lm_step(program, options, meta)
+        assert step.cost_fn is not None, "ds cost kernel not built"
+        x0 = np.asarray(program.initial_state())
+        rng = np.random.default_rng(0)
+        for trial in range(3):
+            x = jnp.asarray(x0 * (1.0 + 1e-3 * rng.standard_normal(
+                x0.shape)))
+            c_ds = float(program.jit_with_consts(
+                step.cost_fn, (program.example_x(),))(x))
+            c_64 = float(program.jit_with_consts(
+                program.cost_fn, (program.example_x(),))(x))
+            rel = abs(c_ds - c_64) / max(abs(c_64), 1e-300)
+            # Interpret mode inlines the kernel body into the outer XLA
+            # CPU computation, whose optimizer degrades the double-single
+            # error-free transformations to ~f32 accuracy (measured
+            # ~8e-9 relative here). On the REAL Mosaic path the kernel
+            # measures 2.6e-14 relative (tests_tpu/test_tpu_smoke.py
+    # carries the strict bound).
+            assert rel < 3e-8, (trial, c_ds, c_64, rel)
+    finally:
+        del os.environ["CERES_TPU_PALLAS_INTERPRET"]
+
+
+def test_pallas_ds_cost_robust_loss(bal):
+    """ds cost kernel with a uniform robust loss: rho applied outside
+    the kernel in f64 must match cost_fn exactly."""
+    os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        problem, _, _ = build_bal_ceres_problem(bal, loss=ct.HuberLoss(1.0))
+        options = ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            use_mixed_precision_solves=True)
+        program = CompiledProgram.get_cached(problem, options)
+        from ceres_tpu.solvers import schur_fused
+        from ceres_tpu.solvers.schur import detect_schur_structure
+        meta = detect_schur_structure(program, options)
+        step = schur_fused.make_fused_schur_lm_step(program, options, meta)
+        assert step.cost_fn is not None
+        x = program.initial_state()
+        c_ds = float(program.jit_with_consts(
+            step.cost_fn, (program.example_x(),))(x))
+        c_64 = float(program.jit_with_consts(
+            program.cost_fn, (program.example_x(),))(x))
+        rel = abs(c_ds - c_64) / max(abs(c_64), 1e-300)
+        assert rel < 3e-8, (c_ds, c_64, rel)  # interpret-mode bound
+    finally:
+        del os.environ["CERES_TPU_PALLAS_INTERPRET"]

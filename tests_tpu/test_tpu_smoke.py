@@ -340,3 +340,35 @@ def test_cgnr_jtjv_kernel_on_device():
     # (small entries see cancellation)
     np.testing.assert_allclose(got, ref, rtol=1e-3,
                                atol=1e-4 * float(np.abs(ref).max()))
+
+
+def test_ds_cost_kernel_accuracy_on_device():
+    """Double-single candidate-cost kernel (ops/pallas_cost.py) through
+    the REAL Mosaic compiler: total cost must match the f64 residual
+    pass to near-f64 accuracy (the strict bound interpret mode cannot
+    carry — XLA CPU's optimizer degrades the error-free transformations
+    when the interpret body inlines into the outer jit)."""
+    import jax
+    import ceres_tpu.solver  # noqa: F401
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.solvers.schur import detect_schur_structure
+    from ceres_tpu.ops.pallas_cost import make_pallas_cost
+
+    bal = synthetic_bal_problem(num_cameras=4, num_points=300,
+                                num_observations=1200, seed=9,
+                                pixel_noise=1.0)
+    bal.perturb(rotation_sigma=0.1, translation_sigma=0.5,
+                point_sigma=0.2, seed=10)
+    problem, _, _ = build_bal_ceres_problem(bal)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        use_mixed_precision_solves=True)
+    program = CompiledProgram.get_cached(problem, options)
+    meta = detect_schur_structure(program, options)
+    pc = make_pallas_cost(program, options, meta)
+    assert pc is not None, "Mosaic rejected the ds cost kernel"
+    x = program.initial_state()
+    c_ds = float(program.jit_with_consts(pc, (program.example_x(),))(x))
+    c_64 = float(jax.jit(program.cost_fn)(x))
+    rel = abs(c_ds - c_64) / max(abs(c_64), 1e-300)
+    assert rel < 1e-12, (c_ds, c_64, rel)
