@@ -298,14 +298,14 @@ def main():
             log(f"roofline accounting failed: {e}")
 
     # ---- pipelined device throughput (tunnel fixed costs amortized) ----
-    def device_rate(name):
+    def device_rate(name, opts_override=None, want_lin_iters=False):
         """Per-solve device wall with 8 solves dispatched back-to-back
         before one sync: each dispatch re-executes the FULL fused LM
         solve; the tunnel's fixed per-call costs amortize away."""
         import jax as _jax
         from ceres_tpu.program import CompiledProgram
         from ceres_tpu.minimizers.fused import make_fused_tr_solve
-        opts = make_options(name)
+        opts = opts_override or make_options(name)
         if not opts.fused_iterations:
             return None
         program = CompiledProgram.get_cached(problem, opts)
@@ -345,6 +345,8 @@ def main():
         iters = [int(s[2]) for s in stats]
         if len(set(iters)) != 1:
             log(f"  (device-rate trajectories differ: {iters})")
+        if want_lin_iters:
+            return dt, float(np.median([s[7] for s in stats]))
         return dt
 
     try:
@@ -433,6 +435,52 @@ def main():
                     float(tot_cg) / it_dev, 1)
                 log(f"  ITERATIVE_SCHUR device rate: {it_dev:.4f}s/solve, "
                     f"{float(tot_cg)/it_dev:.0f} PCG iters/s")
+
+            # ---- PCG apply roofline (VERDICT r3 item 9; reference
+            # methodology evaluation_benchmark.cc:240-637): isolate the
+            # marginal cost of one CG application by FORCING two CG
+            # depths (min=max=K) and differencing the device walls —
+            # the LM-iteration fixed work (linearize/eliminate/precond)
+            # cancels. Analytic per-application traffic for the
+            # explicit-S mode: S matvec + block-preconditioner apply +
+            # ~6 length-nf vector passes.
+            try:
+                import dataclasses as _dc
+                ks, devs, cgs = (6, 30), [], []
+                for K in ks:
+                    opts_k = _dc.replace(
+                        make_options("ITERATIVE_SCHUR"),
+                        min_linear_solver_iterations=K,
+                        max_linear_solver_iterations=K)
+                    d_k, cg_k = device_rate("ITERATIVE_SCHUR",
+                                            opts_override=opts_k,
+                                            want_lin_iters=True)
+                    devs.append(d_k)
+                    cgs.append(cg_k)
+                if cgs[1] > cgs[0]:
+                    apply_s = (devs[1] - devs[0]) / (cgs[1] - cgs[0])
+                    from ceres_tpu.program import CompiledProgram as _CP
+                    from ceres_tpu.solvers.schur import \
+                        detect_schur_structure as _dss
+                    _meta = _dss(_CP.get_cached(
+                        problem, make_options("ITERATIVE_SCHUR")),
+                        make_options("ITERATIVE_SCHUR"))
+                    _grp = _meta.f_groups[0]
+                    nf = _grp["kf"] * _grp["t"]
+                    cg_bytes = (nf * nf + _grp["kf"] * _grp["t"] ** 2
+                                + 6 * nf) * 4
+                    sol_s = cg_bytes / 819e9
+                    extras["pcg_apply_ms"] = round(1e3 * apply_s, 4)
+                    extras["pcg_sol_ms"] = round(1e3 * sol_s, 5)
+                    extras["pcg_hbm_util_pct"] = round(
+                        100.0 * sol_s / max(apply_s, 1e-12), 2)
+                    log(f"  PCG apply: {1e3*apply_s:.4f} ms marginal "
+                        f"(K={ks[0]}->{ks[1]}: {devs[0]:.4f}->"
+                        f"{devs[1]:.4f} s, cg {cgs[0]:.0f}->{cgs[1]:.0f}"
+                        f"); analytic {cg_bytes/1e3:.0f} KB/apply -> "
+                        f"{extras['pcg_hbm_util_pct']}% of HBM SoL")
+            except Exception as e:
+                log(f"PCG apply roofline failed: {e}")
         except Exception as e:
             log(f"ITERATIVE_SCHUR config failed: {e}")
 

@@ -40,6 +40,11 @@ from .program import CompiledProgram
 from .types import SolverSummary
 from .types import DumpFormatType, MinimizerType, TerminationType
 
+# Measured crossover on a TPU v5e (benchmarks/batch_benchmark.py): above
+# this many residuals a single solve keeps the chip busy enough that
+# asynchronously pipelined singles beat the lockstep vmapped batch.
+BATCH_CROSSOVER_RESIDUALS = 20000
+
 
 def _fused_capable(program, options) -> bool:
     # options.fused_iterations is deliberately ignored: the batched
@@ -92,14 +97,28 @@ def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
     if not _fused_capable(template, options):
         return [solve_single(options, p) for p in problems]
 
+    # Execution mode: the vmapped batch program runs every element in
+    # LOCKSTEP until the slowest terminates and disables the
+    # single-problem Pallas specializations; asynchronously pipelined
+    # single solves (one shared compiled program, per-element constant
+    # arguments) have neither cost and the chip pipelines them
+    # back-to-back. Measured crossover on a v5e
+    # (benchmarks/batch_benchmark.py): batching only wins while one
+    # element leaves the chip mostly idle — small problems.
+    mode = options.batch_mode
+    if mode == "auto":
+        mode = ("batch" if template.num_residuals_total
+                <= BATCH_CROSSOVER_RESIDUALS else "pipeline")
+    batched_flag = mode == "batch"
+
     # Build the solve from the template; building the step structure for
     # the OTHER programs as well makes their lazily-registered constants
     # (Schur meta, camera chunks, ...) available for stacking.
-    fn = make_fused_tr_solve(template, options, freeze_done=True,
-                             batched=True)
+    fn = make_fused_tr_solve(template, options, freeze_done=batched_flag,
+                             batched=batched_flag)
     for pr in programs[1:]:
-        make_fused_tr_solve(pr, options, freeze_done=True,
-                            batched=True)
+        make_fused_tr_solve(pr, options, freeze_done=batched_flag,
+                            batched=batched_flag)
 
     # ---- structural validation ----
     err = _validate_same_structure(programs)
@@ -128,34 +147,59 @@ def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
                 f"differs across problems — the sparsity/ordering must "
                 f"be identical for a batched solve")
 
-    def bound(shared_tuple, var_stacked, x0_stacked):
-        def one(var_tuple, x0):
-            mapping = dict(zip(shared_names, shared_tuple))
-            mapping.update(dict(zip(var_names, var_tuple)))
-            tok = program_mod._CONST_CTX.set(("bind", mapping))
-            try:
-                return fn(x0)
-            finally:
-                program_mod._CONST_CTX.reset(tok)
-        return jax.vmap(one)(var_stacked, x0_stacked)
+    def one(shared_tuple, var_tuple, x0):
+        mapping = dict(zip(shared_names, shared_tuple))
+        mapping.update(dict(zip(var_names, var_tuple)))
+        tok = program_mod._CONST_CTX.set(("bind", mapping))
+        try:
+            return fn(x0)
+        finally:
+            program_mod._CONST_CTX.reset(tok)
 
-    solve_jit = template.cached_jit(
-        ("batched", options.cache_key(), len(problems),
-         tuple(var_names)),
-        lambda: jax.jit(bound))
-
-    t0 = time.time()
     shared_tuple = tuple(template._device_const(nm)
                          for nm in shared_names)
-    var_stacked = tuple(
-        jax.tree_util.tree_map(
-            lambda *a: jnp.stack([jnp.asarray(x) for x in a]),
-            *[pr.consts_np[nm] for pr in programs])
-        for nm in var_names)
-    x0_stacked = jnp.stack([pr.initial_state() for pr in programs])
-    x_dev, stats_dev = solve_jit(shared_tuple, var_stacked, x0_stacked)
-    x_host, stats = jax.device_get((x_dev, stats_dev))
-    minimizer_time = time.time() - t0
+    if mode == "batch":
+        def bound(shared_tuple, var_stacked, x0_stacked):
+            return jax.vmap(lambda v, x: one(shared_tuple, v, x))(
+                var_stacked, x0_stacked)
+
+        solve_jit = template.cached_jit(
+            ("batched", options.cache_key(), len(problems),
+             tuple(var_names)),
+            lambda: jax.jit(bound))
+
+        t0 = time.time()
+        var_stacked = tuple(
+            jax.tree_util.tree_map(
+                lambda *a: jnp.stack([jnp.asarray(x) for x in a]),
+                *[pr.consts_np[nm] for pr in programs])
+            for nm in var_names)
+        x0_stacked = jnp.stack([pr.initial_state() for pr in programs])
+        x_dev, stats_dev = solve_jit(shared_tuple, var_stacked,
+                                     x0_stacked)
+        x_host, stats = jax.device_get((x_dev, stats_dev))
+        minimizer_time = time.time() - t0
+    else:
+        # pipeline: ONE compiled single-solve, K asynchronous dispatches
+        # with per-element constants — the chip runs them back-to-back
+        # with no lockstep waste and the full single-problem kernel
+        # specializations active.
+        one_jit = template.cached_jit(
+            ("batched_pipe", options.cache_key(), tuple(var_names)),
+            lambda: jax.jit(one))
+        vars_per = [
+            tuple(jax.tree_util.tree_map(jnp.asarray, pr.consts_np[nm])
+                  for nm in var_names)
+            for pr in programs]
+        xs0 = [pr.initial_state() for pr in programs]
+        t0 = time.time()
+        rs = [one_jit(shared_tuple, v, x0)
+              for v, x0 in zip(vars_per, xs0)]
+        jax.block_until_ready([r[1] for r in rs])
+        pulled = jax.device_get(rs)
+        x_host = [p[0] for p in pulled]
+        stats = [p[1] for p in pulled]
+        minimizer_time = time.time() - t0
 
     summaries = []
     for i, pr in enumerate(programs):
@@ -182,7 +226,7 @@ def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
         term, msg = TERMINATION_BY_CODE.get(
             code, (TerminationType.FAILURE, f"unknown code {code}"))
         s.termination_type = term
-        s.message = msg + f" (batched fused mode, element {i})"
+        s.message = msg + f" (batched fused mode [{mode}], element {i})"
         s.minimizer_time_in_seconds = minimizer_time
         s.total_time_in_seconds = time.time() - t_start
         if s.is_solution_usable():

@@ -288,7 +288,17 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
         bucket_plan.append(dict(bk=bk, bs=bs, bi=bi, f_si=f_si,
                                 local=local, slot_off=slot_off))
 
+    # Mixed mode rhs accuracy: f32 J·r products carry the f32 input
+    # rounding, which costs ~1-2 extra LM iterations at BAL scale vs f64.
+    # CERES_TPU_F64_RHS=1 computes the e/f gradients from the f64 Jacobian
+    # before the cast. Measured on the v5e bench: 9 -> 8 iterations but
+    # +6 ms/iteration (f64 chunk gather + emulated-f64 reductions) — a net
+    # wall-time loss, so OFF by default; the knob exists for problems
+    # where trajectory fidelity matters more than wall time.
+    f64_rhs = mixed and bool(os.environ.get("CERES_TPU_F64_RHS"))
+
     cross_pairs = []
+    pimp = None
     if not explicit:
         # camera-chunk layouts for the matrix-free apply (host, once)
         for plan in bucket_plan:
@@ -319,14 +329,37 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
              if plan["bs"].f_cols is not None
              and plan["bs"].e_slot is not None])
 
-    # Mixed mode rhs accuracy: f32 J·r products carry the f32 input
-    # rounding, which costs ~1-2 extra LM iterations at BAL scale vs f64.
-    # CERES_TPU_F64_RHS=1 computes the e/f gradients from the f64 Jacobian
-    # before the cast. Measured on the v5e bench: 9 -> 8 iterations but
-    # +6 ms/iteration (f64 chunk gather + emulated-f64 reductions) — a net
-    # wall-time loss, so OFF by default; the knob exists for problems
-    # where trajectory fidelity matters more than wall time.
-    f64_rhs = mixed and bool(os.environ.get("CERES_TPU_F64_RHS"))
+        # Pallas CG-apply megakernel (ops/pallas_implicit.py): the
+        # common large-camera shape — ONE chunk-grouped e-bucket — runs
+        # each CG application as tf lane-aligned 1-D v-row gathers + one
+        # plane kernel + one camera-chunk reduce, instead of the XLA
+        # chain that materializes ~6 [ne, k, r, t] intermediates in HBM
+        # per application (measured 29 ms/apply at 1M observations).
+        if (mixed and not f64_rhs and len(bucket_plan) == 1
+                and bucket_plan[0]["bs"].e_slot is not None
+                and bucket_plan[0]["bs"].f_cols is not None):
+            from ..ops.pallas_implicit import make_pallas_implicit_apply
+            plan0 = bucket_plan[0]
+            k_imp = plan0["bs"].chunk_rows.shape[1]
+            pimp = make_pallas_implicit_apply(
+                ne, k_imp, te, tf, kf,
+                __import__("jax").default_backend())
+            if pimp is not None:
+                rows0 = plan0["bs"].chunk_rows
+                fids_np = np.asarray(plan0["local"])[rows0]     # [ne, k]
+                fids_pad = np.concatenate(
+                    [fids_np,
+                     np.zeros((pimp.ne_pad - ne, k_imp), fids_np.dtype)],
+                    axis=0).T.astype(np.int32)                  # [k, ne_pad]
+                program.register_const("schur.fused.pimp.fids_t",
+                                       np.ascontiguousarray(fids_pad))
+                camr_np = np.asarray(
+                    program.consts_np[f"schur.fused.cam{plan0['bi']}.rows"])
+                camr2 = ((camr_np % k_imp) * pimp.ne_pad
+                         + camr_np // k_imp).astype(np.int32)
+                program.register_const("schur.fused.pimp.camr2",
+                                       camr2.reshape(-1))
+
 
     # Split-phase structure: _lin_phase is radius-INdependent
     # (linearize + eliminate-ready scaled Grams); _solve_phase applies the
@@ -804,6 +837,32 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
                 flat = contrib.reshape((-1,) + contrib.shape[-1:])
                 return jnp.sum(flat[camr] * camm[..., None], axis=1)
 
+            use_pimp = (pimp is not None and len(sstore) == 1
+                        and sstore[0][0] == "e")
+            if use_pimp:
+                # plane layouts built ONCE per damped solve, reused by
+                # every CG application
+                _, Je_s0, Jf_s0, _, camr0, camm0, _ = sstore[0]
+                jeT, jfT, invT = pimp.to_planes(Je_s0, Jf_s0, inv_ete)
+                fids_t = program.const("schur.fused.pimp.fids_t")
+                camr2f = program.const("schur.fused.pimp.camr2")
+                k_imp = Jf_s0.shape[1]
+
+                def apply_S_pallas(v):
+                    vb = v.reshape(kf, tf)
+                    v32 = vb.astype(jnp.float32)
+                    # tf lane-aligned 1-D gathers -> [tf, k, ne_pad]
+                    vrowT = jnp.stack(
+                        [jnp.take(v32[:, t], fids_t) for t in range(tf)])
+                    C = pimp.apply(jeT, jfT, invT, vrowT)
+                    outs = []
+                    for t in range(tf):
+                        taken = jnp.take(C[t].reshape(-1), camr2f)
+                        outs.append(jnp.sum(
+                            taken.reshape(camr0.shape) * camm0, axis=1))
+                    out = jnp.stack(outs, axis=1).astype(work_dtype)
+                    return (out + D2_f * vb).reshape(kf * tf)
+
             def apply_S(v):
                 vb = v.reshape(kf, tf)
                 out = jnp.zeros((kf, tf), dtype=work_dtype)
@@ -871,7 +930,8 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
 
             from .cg import conjugate_gradients
             result = conjugate_gradients(
-                apply_S, rhs, jnp.zeros_like(rhs),
+                apply_S_pallas if use_pimp else apply_S,
+                rhs, jnp.zeros_like(rhs),
                 apply_preconditioner=precond,
                 max_iterations=options.max_linear_solver_iterations,
                 q_tolerance=options.eta,

@@ -337,6 +337,15 @@ class SolverOptions:
     # tunnel) is pure waste when the next consumer is another device
     # program.
     defer_parameter_writeback: bool = False
+    # solve_batched execution mode: "batch" = one vmapped device program
+    # (every LM iteration runs the whole batch's linearize/solve as
+    # batched contractions, lockstep until the SLOWEST element
+    # terminates), "pipeline" = one shared compiled single-solve
+    # dispatched asynchronously per element (no lockstep waste; the
+    # chip pipelines the K programs back-to-back), "auto" = pick by
+    # measured crossover (benchmarks/batch_benchmark.py): batching wins
+    # only when a single element leaves the chip mostly idle.
+    batch_mode: str = "auto"
 
     def cache_key(self):
         """Hashable signature of every option that affects compiled
@@ -369,6 +378,8 @@ class SolverOptions:
                 return f"{name} must be > 0"
         if self.max_num_iterations < 0:
             return "max_num_iterations must be >= 0"
+        if self.batch_mode not in ("auto", "batch", "pipeline"):
+            return "batch_mode must be 'auto', 'batch' or 'pipeline'"
         if self.min_trust_region_radius > self.max_trust_region_radius:
             return "min_trust_region_radius > max_trust_region_radius"
         if not (0 < self.max_line_search_step_contraction

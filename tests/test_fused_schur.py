@@ -933,3 +933,48 @@ def test_pallas_ds_cost_robust_loss(bal):
         assert rel < 3e-8, (c_ds, c_64, rel)  # interpret-mode bound
     finally:
         del os.environ["CERES_TPU_PALLAS_INTERPRET"]
+
+
+def test_pallas_implicit_apply_matches_generic(bal):
+    """The implicit CG-apply megakernel (ops/pallas_implicit.py,
+    interpret mode) must produce the same step as the XLA implicit
+    apply chain."""
+    problem, _, _ = build_bal_ceres_problem(bal)
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        use_mixed_precision_solves=True)
+    program = CompiledProblem = CompiledProgram.get_cached(problem, options)
+    from ceres_tpu.solvers import schur_fused
+    from ceres_tpu.solvers.schur import detect_schur_structure
+    meta = detect_schur_structure(program, options)
+    x0 = program.initial_state()
+    radius = jnp.asarray(1e4, program.dtype)
+    ex = (program.example_x(), program.example_scalar(),
+          program.example_delta())
+    scale = solver_mod.make_scale_fn(program, options)(x0)
+    os.environ["CERES_TPU_FORCE_IMPLICIT"] = "1"
+    os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    os.environ["CERES_TPU_NO_PALLAS_LIN"] = "1"   # isolate the apply
+    try:
+        step = schur_fused.make_fused_schur_lm_step(program, options, meta)
+        a = program.jit_with_consts(
+            solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                             scale)
+        os.environ["CERES_TPU_NO_PALLAS_IMPLICIT"] = "1"
+        try:
+            b = program.jit_with_consts(
+                solver_mod.make_step_impl(program, options), ex)(x0, radius,
+                                                                 scale)
+        finally:
+            del os.environ["CERES_TPU_NO_PALLAS_IMPLICIT"]
+    finally:
+        del os.environ["CERES_TPU_FORCE_IMPLICIT"]
+        del os.environ["CERES_TPU_PALLAS_INTERPRET"]
+        del os.environ["CERES_TPU_NO_PALLAS_LIN"]
+    for k in ["cost", "gradient_max_norm", "delta", "model_cost_change",
+              "step_norm"]:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        rel = np.max(np.abs(va - vb)) / (np.max(np.abs(vb)) + 1e-300)
+        tol = 5e-4 if k in ("delta", "step_norm") else 1e-5
+        assert rel < tol, (k, rel)
