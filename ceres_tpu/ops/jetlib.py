@@ -31,6 +31,37 @@ class _Jet:
         self.v = v
         self.d = d if d is not None else {}
 
+    # Operator overloads so numpy object-array arithmetic (np.dot,
+    # np.add.reduce, broadcasting elementwise ops) works directly on jet
+    # arrays — the jaxpr auto-compiler (ops/jet_compile.py) relies on
+    # this. Non-jet operands are plain planes/scalars (no partials).
+    def __add__(self, o):
+        return _jadd(self, o) if isinstance(o, _Jet) else _jshift(self, o)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return (_jsub(self, o) if isinstance(o, _Jet)
+                else _jshift(self, -o))
+
+    def __rsub__(self, o):
+        return _jshift(_jneg(self), o)
+
+    def __mul__(self, o):
+        return _jmul(self, o) if isinstance(o, _Jet) else _jscale(self, o)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return (_jdiv(self, o) if isinstance(o, _Jet)
+                else _jscale(self, 1.0 / o))
+
+    def __rtruediv__(self, o):
+        return _jdiv(_jc(o), self)
+
+    def __neg__(self):
+        return _jneg(self)
+
 
 def _jc(v):
     return _Jet(v, {})
@@ -219,6 +250,153 @@ def _correct_jets(jets, loss, valid):
                 d[c] = -sqrt_rho1 * corr
         out.append(_Jet(j.v * rs, d))
     return out
+
+
+# ----------------------------------------------------------------------
+# Extended math-function set (reference jet.h:527-982 cmath overloads),
+# used by the jaxpr auto-compiler (ops/jet_compile.py). Each applies the
+# scalar chain rule to every active channel; functions with zero
+# derivative (floor/ceil/round/sign) drop all partials.
+
+def _jchain(a, v, dv):
+    """Jet with value v and partials dv * da for every channel of a."""
+    return _Jet(v, {c: _p(p) * dv for c, p in a.d.items()})
+
+
+def _jexp(a):
+    v = jnp.exp(a.v)
+    return _jchain(a, v, v)
+
+
+def _jlog(a):
+    return _jchain(a, jnp.log(a.v), 1.0 / a.v)
+
+
+def _jlog1p(a):
+    return _jchain(a, jnp.log1p(a.v), 1.0 / (1.0 + a.v))
+
+
+def _jexpm1(a):
+    v = jnp.expm1(a.v)
+    return _jchain(a, v, v + 1.0)
+
+
+def _jrsqrt(a):
+    v = jax.lax.rsqrt(a.v)
+    return _jchain(a, v, -0.5 * v / a.v)
+
+
+def _jcbrt(a):
+    v = jnp.cbrt(a.v)
+    return _jchain(a, v, 1.0 / (3.0 * v * v))
+
+
+def _jtan(a):
+    c = jnp.cos(a.v)
+    return _jchain(a, jnp.tan(a.v), 1.0 / (c * c))
+
+
+def _jasin(a):
+    return _jchain(a, jnp.arcsin(a.v),
+                   jax.lax.rsqrt(jnp.maximum(1.0 - a.v * a.v, 0.0)))
+
+
+def _jacos(a):
+    return _jchain(a, jnp.arccos(a.v),
+                   -jax.lax.rsqrt(jnp.maximum(1.0 - a.v * a.v, 0.0)))
+
+
+def _jatan(a):
+    return _jchain(a, jnp.arctan(a.v), 1.0 / (1.0 + a.v * a.v))
+
+
+def _jsinh(a):
+    return _jchain(a, jnp.sinh(a.v), jnp.cosh(a.v))
+
+
+def _jcosh(a):
+    return _jchain(a, jnp.cosh(a.v), jnp.sinh(a.v))
+
+
+def _jtanh(a):
+    v = jnp.tanh(a.v)
+    return _jchain(a, v, 1.0 - v * v)
+
+
+def _jasinh(a):
+    return _jchain(a, jnp.arcsinh(a.v),
+                   jax.lax.rsqrt(a.v * a.v + 1.0))
+
+
+def _jacosh(a):
+    return _jchain(a, jnp.arccosh(a.v),
+                   jax.lax.rsqrt(jnp.maximum(a.v * a.v - 1.0, 0.0)))
+
+
+def _jatanh(a):
+    return _jchain(a, jnp.arctanh(a.v), 1.0 / (1.0 - a.v * a.v))
+
+
+def _jerf(a):
+    two_over_sqrt_pi = 1.1283791670955126
+    return _jchain(a, jax.lax.erf(a.v),
+                   two_over_sqrt_pi * jnp.exp(-a.v * a.v))
+
+
+def _jerfc(a):
+    two_over_sqrt_pi = 1.1283791670955126
+    return _jchain(a, jax.lax.erfc(a.v),
+                   -two_over_sqrt_pi * jnp.exp(-a.v * a.v))
+
+
+def _jlogistic(a):
+    v = jax.nn.sigmoid(a.v)
+    return _jchain(a, v, v * (1.0 - v))
+
+
+def _jabs(a):
+    return _jchain(a, jnp.abs(a.v), jnp.sign(a.v))
+
+
+def _jatan2(y, x):
+    """atan2(y, x) jet (reference jet.h atan2): d = (x dy - y dx)/(x²+y²)."""
+    denom = x.v * x.v + y.v * y.v
+    cy = x.v / denom
+    cx = -y.v / denom
+    d = {c: _p(p) * cy for c, p in y.d.items()}
+    for c, p in x.d.items():
+        t = _p(p) * cx
+        d[c] = t if c not in d else d[c] + t
+    return _Jet(jnp.arctan2(y.v, x.v), d)
+
+
+def _jpow(a, b):
+    """a^b for jets (reference jet.h pow): the full bivariate rule."""
+    v = jnp.power(a.v, b.v)
+    da = b.v * jnp.power(a.v, b.v - 1.0)
+    d = {c: _p(p) * da for c, p in a.d.items()}
+    if b.d:
+        db = v * jnp.log(a.v)
+        for c, p in b.d.items():
+            t = _p(p) * db
+            d[c] = t if c not in d else d[c] + t
+    return _Jet(v, d)
+
+
+def _jintpow(a, n):
+    n = int(n)
+    if n == 0:
+        return _jc(jnp.ones_like(a.v))
+    v = a.v ** n
+    return _jchain(a, v, n * a.v ** (n - 1))
+
+
+def _jmax(a, b):
+    return _jwhere(a.v >= b.v, a, b)
+
+
+def _jmin(a, b):
+    return _jwhere(a.v <= b.v, a, b)
 
 
 def _jet_planes(jet, mask, nt):

@@ -249,11 +249,25 @@ def _spec_for(program, bk):
     try:
         name = type(bk.cost.functor).__name__
     except Exception:
+        name = None
+    if name is not None:
+        spec = _REGISTRY.get(name)
+        if spec is not None and spec["match"](program, bk):
+            return spec
+    # Fully generic fallback: the jaxpr->jetlib auto-compiler
+    # (ops/jet_compile.py) — hand entries above are overrides. Tiny
+    # buckets keep the jacfwd path on real hardware (kernel dispatch
+    # overhead beats the fusion win below ~64 rows); interpret mode
+    # (tests) has no such floor.
+    from .jet_compile import make_auto_spec, autojet_enabled
+    if not autojet_enabled():
         return None
-    spec = _REGISTRY.get(name)
-    if spec is not None and spec["match"](program, bk):
-        return spec
-    return None
+    interp = bool(os.environ.get("CERES_TPU_PALLAS_INTERPRET")) or \
+        jax.default_backend() == "cpu"
+    if not interp and bk.n < int(os.environ.get(
+            "CERES_TPU_AUTOJET_MIN_ROWS", "64")):
+        return None
+    return make_auto_spec(program, bk)
 
 
 def pallas_linearize_supported(program, bk) -> bool:
@@ -286,19 +300,31 @@ def _lin_kernel(xin_ref, dat_ref, mask_ref, r_ref, j_ref, *,
     j_ref  [R*nt, S, T]    tangent Jacobian planes (row-major r*nt + c)
     """
     mask = mask_ref[...]
-    slot_jets = []
-    for (kind, p0, amb, ch0) in slot_meta:
-        vals = [xin_ref[p0 + a, :, :] for a in range(amb)]
-        if kind == "euclid":
-            slot_jets.append([_jvar(vals[a], ch0 + a) for a in range(amb)])
-        else:   # eigen_quaternion
-            slot_jets.append(_seed_eigen_quaternion(vals, ch0))
-    data = {}
-    off = 0
-    for field, width in spec["data_fields"]:
-        data[field] = [dat_ref[off + i, :, :] for i in range(width)]
-        off += width
-    res = spec["emit"](slot_jets, data)
+    if "emit_raw" in spec:
+        # auto-compiled spec (ops/jet_compile.py): seeding happens inside
+        # the jet interpreter (deltas are the seeded variables; slot
+        # params are constant planes — manifold Plus is part of the
+        # traced jaxpr).
+        P_in = sum(amb for _, _, amb, _ in slot_meta)
+        xin_planes = [xin_ref[p, :, :] for p in range(P_in)]
+        P_dat = dat_ref.shape[0]
+        dat_planes = [dat_ref[p, :, :] for p in range(P_dat)]
+        res = spec["emit_raw"](xin_planes, dat_planes, mask)
+    else:
+        slot_jets = []
+        for (kind, p0, amb, ch0) in slot_meta:
+            vals = [xin_ref[p0 + a, :, :] for a in range(amb)]
+            if kind == "euclid":
+                slot_jets.append([_jvar(vals[a], ch0 + a)
+                                  for a in range(amb)])
+            else:   # eigen_quaternion
+                slot_jets.append(_seed_eigen_quaternion(vals, ch0))
+        data = {}
+        off = 0
+        for field, width in spec["data_fields"]:
+            data[field] = [dat_ref[off + i, :, :] for i in range(width)]
+            off += width
+        res = spec["emit"](slot_jets, data)
     zero = jnp.zeros_like(mask)
     for r in range(R):
         jet = res[r]
@@ -337,9 +363,16 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
         p0 += sl.amb_size
         ch0 += sl.tangent_size
     P_in, nt = p0, ch0
+    if "nt" in spec:
+        nt = spec["nt"]          # auto specs: var-slot tangent only
 
-    data_fields = spec["data_fields"]
-    P_dat = sum(w for _, w in data_fields)
+    if "data_parts" in spec:
+        raw_parts = spec["data_parts"](bk)         # list of [n, w] f32
+        data_fields = None
+        P_dat = sum(p.shape[1] for p in raw_parts)
+    else:
+        data_fields = spec["data_fields"]
+        P_dat = sum(w for _, w in data_fields)
 
     # VMEM fit: input + data + output planes + jet working set
     per_cell = 4 * (P_in + P_dat + 1 + R + R * nt + 24 * nt)
@@ -353,14 +386,29 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
     grid = n_pad // span
     GS = grid * _SUB
 
-    # host-side data planes [P_dat, GS, T]
-    parts = []
-    for field, width in data_fields:
-        a = np.asarray(bk.data[field], np.float32).reshape(n, width)
-        parts.append(a.T)
-    dat = np.concatenate(parts, axis=0)                     # [P_dat, n]
-    dat = np.concatenate(
-        [dat, np.zeros((P_dat, n_pad - n), np.float32)], axis=1)
+    # host-side data planes [P_dat, GS, T]. Auto specs pad by REPLICATING
+    # the last real row (edge mode) so pad lanes compute the same finite
+    # values as a real row — the generic masked-lane NaN discipline
+    # (jet_compile.py module doc); hand specs keep zero padding (their
+    # emit programs handle inactive lanes per shape).
+    pad_mode = spec.get("pad_mode", "zero")
+    if data_fields is None:
+        parts = [p.T for p in raw_parts]
+    else:
+        parts = []
+        for field, width in data_fields:
+            a = np.asarray(bk.data[field], np.float32).reshape(n, width)
+            parts.append(a.T)
+    if parts and P_dat > 0:
+        dat = np.concatenate(parts, axis=0)                 # [P_dat, n]
+    else:
+        P_dat = 1                     # dummy plane: Mosaic dislikes empty
+        dat = np.zeros((1, n), np.float32)
+    if pad_mode == "edge":
+        dat = np.pad(dat, ((0, 0), (0, n_pad - n)), mode="edge")
+    else:
+        dat = np.concatenate(
+            [dat, np.zeros((dat.shape[0], n_pad - n), np.float32)], axis=1)
     dat = np.ascontiguousarray(dat.reshape(P_dat, GS, tile))
     maskp = np.concatenate([np.ones(n, np.float32),
                             np.zeros(n_pad - n, np.float32)])
@@ -401,7 +449,9 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
             return raw_call(*a)
 
     if not interp:
-        shape_key = ("blin", type(bk.cost.functor).__name__, P_in, P_dat,
+        shape_key = ("blin", spec.get("name") or
+                     type(bk.cost.functor).__name__,
+                     spec.get("digest", ""), P_in, P_dat,
                      R, nt, tile, GS, jax.default_backend())
         ok = _PROBE_CACHE.get(shape_key)
         if ok is None:
@@ -443,7 +493,8 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
         params = program._bucket_params(bk, x)         # [n, amb] per slot
         xin = jnp.concatenate(
             [p.astype(jnp.float32).T for p in params], axis=0)  # [P_in, n]
-        xin = jnp.pad(xin, ((0, 0), (0, n_pad - n)))
+        xin = jnp.pad(xin, ((0, 0), (0, n_pad - n)),
+                      mode="edge" if pad_mode == "edge" else "constant")
         xin = xin.reshape(P_in, GS, tile)
         r_pl, j_pl = call(xin, program.const(f"plinz.b{bi}.dat"),
                           program.const(f"plinz.b{bi}.mask"))
