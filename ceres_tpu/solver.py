@@ -344,12 +344,38 @@ def make_step_impl(program, options, batched: bool = False):
         Jg = jac_s.matvec(g)
         g_sq = jnp.vdot(g, g)
         alpha = g_sq / jnp.maximum(Jg.squared_norm(), 1e-300)
-        # Gauss-Newton point: tiny fixed damping for rank safety (the
-        # reference solves the undamped system with a rank-revealing
-        # factorization; mu here is far below solver tolerances).
-        mu = jnp.sqrt(jnp.asarray(1e-28, dtype=g.dtype))
-        D = jnp.full_like(g, mu)
-        gn, lin_iters = linear_solve(jac_s, res, D)
+        # Gauss-Newton point with ADAPTIVE regularization (the reference
+        # escalates mu_ on linear-solver failure, dogleg_strategy.cc
+        # ComputeGaussNewtonStep mu_ *= 10 loop): start at a tiny damping
+        # and escalate x100 while the solve is numerically invalid —
+        # non-finite, or a non-positive model decrease at the GN point,
+        # which a correct damped solve guarantees. Gauge-deficient
+        # problems (BA) make the undamped normal matrix singular; a fixed
+        # tiny mu factors it into garbage.
+        def _gn_valid(gn_try):
+            finite = jnp.all(jnp.isfinite(gn_try))
+            Jgn = jac_s.matvec(gn_try)
+            mcc_gn = -(jnp.vdot(gn_try, g) + 0.5 * Jgn.squared_norm())
+            return jnp.logical_and(finite, mcc_gn > 0.0)
+
+        def _gn_solve(dval):
+            return linear_solve(jac_s, res, jnp.full_like(g, dval))
+
+        d0 = jnp.asarray(1e-14, dtype=g.dtype)
+        gn, lin_iters = _gn_solve(d0)
+
+        def gn_cond(state):
+            dval, gn_try, _ = state
+            return jnp.logical_and(dval < 1e3, ~_gn_valid(gn_try))
+
+        def gn_body(state):
+            dval, _, it0 = state
+            dval = dval * 1e2
+            gn_try, it = _gn_solve(dval)
+            return (dval, gn_try, it0 + it)
+
+        _, gn, lin_iters = jax.lax.while_loop(
+            gn_cond, gn_body, (d0, gn, lin_iters))
         gn_norm = jnp.linalg.norm(gn)
         cauchy = -alpha * g
         cauchy_norm = jnp.linalg.norm(cauchy)

@@ -222,6 +222,88 @@ def ab_foe(size=96):
     return results
 
 
+def _ab_bucket_linearize(tag, build_prog, off_env):
+    """Shared two-arm bucket-linearize A/B (hardened _time_chained)."""
+    import jax.numpy as jnp
+
+    results = {}
+    for label, env in (("jacfwd", off_env), ("pallas", {})):
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            prog = build_prog()
+            x = prog.initial_state()
+            bk = max(prog.buckets, key=lambda b: b.n)
+
+            def lin_cost(xx, _p=prog, _bk=bk):
+                r, J = _p._bucket_linearize(_bk, xx,
+                                            cast_dtype=jnp.float32)
+                return (jnp.sum(J) + jnp.sum(r)).astype(jnp.float32)
+
+            bound = prog.jit_with_consts(lin_cost, (x,))
+            dt = _time_chained(lambda xx: bound(xx), x)
+            active = bool(getattr(prog, "_plinz_cache", None)) and \
+                any(v is not None
+                    for v in getattr(prog, "_plinz_cache", {}).values())
+            results[label] = dt
+            print(f"  {label:8s} linearize: {1e3*dt:.3f} ms/call "
+                  f"(kernel active: {active})", flush=True)
+        finally:
+            for k in env:
+                del os.environ[k]
+    if "jacfwd" in results and "pallas" in results:
+        print(f"  {tag} linearize speedup: "
+              f"{results['jacfwd']/results['pallas']:.2f}x", flush=True)
+    return results
+
+
+def ab_auto_snavely(nobs=83718):
+    """The AUTO-compiled (jaxpr->jetlib) Snavely bucket kernel vs jacfwd —
+    no hand registry entry exists for this shape, so arm B is purely the
+    generic compiler (ops/jet_compile.py)."""
+    from ceres_tpu.io.bal import (synthetic_bal_problem,
+                                  build_bal_ceres_problem)
+    from ceres_tpu.program import CompiledProgram
+    ncam = max(4, nobs // 5232)
+    npts = max(16, nobs // 4)
+    bal = synthetic_bal_problem(ncam, npts, nobs, seed=7, pixel_noise=1.0)
+    print(f"auto-snavely: {ncam} cams / {npts} pts / {nobs} obs",
+          flush=True)
+
+    def build():
+        problem, _, _ = build_bal_ceres_problem(bal)
+        return CompiledProgram(problem)
+
+    return _ab_bucket_linearize(
+        "auto-snavely", build, {"CERES_TPU_NO_PALLAS_LINEARIZE": "1"})
+
+
+def ab_auto_circle(npoints=100000):
+    """Generic-compiler A/B on a tiny-row functor (circle fit: r=1,
+    nt=3) at serving scale."""
+    import numpy as np
+    import ceres_tpu as ct
+    from ceres_tpu.cost import AutoDiffCostFunction
+    from ceres_tpu.examples.circle_fit import (DistanceFromCircleCost,
+                                               synthesize)
+    from ceres_tpu.program import CompiledProgram
+    pts = synthesize(num_points=npoints)
+    print(f"auto-circle: {npoints} points", flush=True)
+
+    def build():
+        x, y, m = np.array([0.1]), np.array([-0.2]), np.array([1.0])
+        problem = ct.Problem()
+        for xx, yy in pts:
+            problem.add_residual_block(
+                AutoDiffCostFunction(
+                    DistanceFromCircleCost(float(xx), float(yy)),
+                    1, [1, 1, 1]), None, x, y, m)
+        return CompiledProgram(problem)
+
+    return _ab_bucket_linearize(
+        "auto-circle", build, {"CERES_TPU_NO_PALLAS_LINEARIZE": "1"})
+
+
 def main():
     import jax
     print("devices:", jax.devices(), flush=True)
@@ -234,6 +316,8 @@ def main():
     ab_pose3d(num_poses)
     ab_pose2d(num_poses)
     ab_foe(img)
+    ab_auto_snavely()
+    ab_auto_circle()
 
 
 if __name__ == "__main__":
