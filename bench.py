@@ -446,18 +446,29 @@ def main():
             # ~6 length-nf vector passes.
             try:
                 import dataclasses as _dc
-                ks, devs, cgs = (6, 30), [], []
+                # Pin the OUTER trajectory: zero tolerances + a fixed
+                # LM-iteration count mean both runs do identical
+                # linearize/eliminate/precondition work and differ ONLY
+                # in total CG applications — otherwise the shallower CG
+                # depth degrades the LM steps, the outer count changes,
+                # and the fixed work does not cancel (this produced a
+                # negative marginal in one capture).
+                ks, devs, cgs = (5, 25), [], []
                 for K in ks:
                     opts_k = _dc.replace(
                         make_options("ITERATIVE_SCHUR"),
                         min_linear_solver_iterations=K,
-                        max_linear_solver_iterations=K)
+                        max_linear_solver_iterations=K,
+                        max_num_iterations=8,
+                        function_tolerance=0.0,
+                        gradient_tolerance=0.0,
+                        parameter_tolerance=0.0)
                     d_k, cg_k = device_rate("ITERATIVE_SCHUR",
                                             opts_override=opts_k,
                                             want_lin_iters=True)
                     devs.append(d_k)
                     cgs.append(cg_k)
-                if cgs[1] > cgs[0]:
+                if cgs[1] > cgs[0] and devs[1] > devs[0]:
                     apply_s = (devs[1] - devs[0]) / (cgs[1] - cgs[0])
                     from ceres_tpu.program import CompiledProgram as _CP
                     from ceres_tpu.solvers.schur import \
@@ -479,6 +490,10 @@ def main():
                         f"{devs[1]:.4f} s, cg {cgs[0]:.0f}->{cgs[1]:.0f}"
                         f"); analytic {cg_bytes/1e3:.0f} KB/apply -> "
                         f"{extras['pcg_hbm_util_pct']}% of HBM SoL")
+                else:
+                    log(f"  PCG apply A/B inconclusive (contention?): "
+                        f"K={ks[0]}->{ks[1]}: {devs[0]:.4f}->{devs[1]:.4f}"
+                        f" s, cg {cgs[0]:.0f}->{cgs[1]:.0f}")
             except Exception as e:
                 log(f"PCG apply roofline failed: {e}")
         except Exception as e:

@@ -45,6 +45,40 @@ from .types import DumpFormatType, MinimizerType, TerminationType
 # asynchronously pipelined singles beat the lockstep vmapped batch.
 BATCH_CROSSOVER_RESIDUALS = 20000
 
+# Structural template registry: the jitted batch/pipeline solve depends
+# only on the problems' STRUCTURE (block layout, const shapes, the
+# shared/var const split), not on their numeric data — in serving, every
+# request builds FRESH Problem objects, and without this the per-call
+# retrace + compile-cache roundtrip (~25 s on a tunneled chip) dwarfs the
+# ~0.1 s device solve. Entries hold the template program (alive, its
+# baked values are never read — every recorded const is bound as an
+# argument) plus the jitted executable; bounded LRU.
+_TEMPLATE_REGISTRY: "list[dict]" = []
+_TEMPLATE_REGISTRY_CAP = 8
+
+
+def _registry_lookup(key, template, names, shared_names, var_names):
+    for entry in _TEMPLATE_REGISTRY:
+        if entry["key"] != key:
+            continue
+        if (entry["names"] != names or entry["shared"] != shared_names
+                or entry["var"] != var_names):
+            continue
+        if _validate_same_structure([entry["template"], template]) is None:
+            _TEMPLATE_REGISTRY.remove(entry)
+            _TEMPLATE_REGISTRY.append(entry)       # LRU bump
+            return entry
+    return None
+
+
+def _registry_store(key, template, names, shared_names, var_names,
+                    solve_jit):
+    _TEMPLATE_REGISTRY.append(dict(
+        key=key, template=template, names=names, shared=shared_names,
+        var=var_names, solve_jit=solve_jit))
+    while len(_TEMPLATE_REGISTRY) > _TEMPLATE_REGISTRY_CAP:
+        _TEMPLATE_REGISTRY.pop(0)
+
 
 def _fused_capable(program, options) -> bool:
     # options.fused_iterations is deliberately ignored: the batched
@@ -116,9 +150,9 @@ def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
     # (Schur meta, camera chunks, ...) available for stacking.
     fn = make_fused_tr_solve(template, options, freeze_done=batched_flag,
                              batched=batched_flag)
-    for pr in programs[1:]:
-        make_fused_tr_solve(pr, options, freeze_done=batched_flag,
-                            batched=batched_flag)
+    other_fns = [make_fused_tr_solve(pr, options, freeze_done=batched_flag,
+                                     batched=batched_flag)
+                 for pr in programs[1:]]
 
     # ---- structural validation ----
     err = _validate_same_structure(programs)
@@ -129,6 +163,20 @@ def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
                          f"numeric data)")
 
     names = _record_const_names(fn, (template.example_x(),))
+
+    # Constants registered at TRACE time (the Pallas bucket-linearize
+    # data planes, plinz.*) exist only on programs whose solve has been
+    # traced; the template's recording above covered it — trace any other
+    # program still missing a recorded name so its per-problem value can
+    # be stacked.
+    for pr, fn_pr in zip(programs[1:], other_fns):
+        if any(nm not in pr.consts_np for nm in names):
+            _record_const_names(fn_pr, (pr.example_x(),))
+    missing = [(i + 1, nm) for i, pr in enumerate(programs[1:])
+               for nm in names if nm not in pr.consts_np]
+    if missing:
+        raise ValueError(f"solve_batched: constants missing on non-"
+                         f"template programs after tracing: {missing}")
 
     # shared (bitwise-equal across problems) vs per-problem constants
     shared_names, var_names = [], []
@@ -158,15 +206,21 @@ def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
 
     shared_tuple = tuple(template._device_const(nm)
                          for nm in shared_names)
+    reg_key = (options.cache_key(), mode,
+               len(problems) if mode == "batch" else None)
+    entry = _registry_lookup(reg_key, template, names, shared_names,
+                             var_names)
     if mode == "batch":
-        def bound(shared_tuple, var_stacked, x0_stacked):
-            return jax.vmap(lambda v, x: one(shared_tuple, v, x))(
-                var_stacked, x0_stacked)
+        if entry is not None:
+            solve_jit = entry["solve_jit"]
+        else:
+            def bound(shared_tuple, var_stacked, x0_stacked):
+                return jax.vmap(lambda v, x: one(shared_tuple, v, x))(
+                    var_stacked, x0_stacked)
 
-        solve_jit = template.cached_jit(
-            ("batched", options.cache_key(), len(problems),
-             tuple(var_names)),
-            lambda: jax.jit(bound))
+            solve_jit = jax.jit(bound)
+            _registry_store(reg_key, template, names, shared_names,
+                            var_names, solve_jit)
 
         t0 = time.time()
         var_stacked = tuple(
@@ -184,9 +238,12 @@ def solve_batched(options, problems: Sequence) -> List[SolverSummary]:
         # with per-element constants — the chip runs them back-to-back
         # with no lockstep waste and the full single-problem kernel
         # specializations active.
-        one_jit = template.cached_jit(
-            ("batched_pipe", options.cache_key(), tuple(var_names)),
-            lambda: jax.jit(one))
+        if entry is not None:
+            one_jit = entry["solve_jit"]
+        else:
+            one_jit = jax.jit(one)
+            _registry_store(reg_key, template, names, shared_names,
+                            var_names, one_jit)
         vars_per = [
             tuple(jax.tree_util.tree_map(jnp.asarray, pr.consts_np[nm])
                   for nm in var_names)

@@ -768,7 +768,8 @@ class CompiledProgram:
 
         return jax.vmap(per_block)(data, *params)
 
-    def _bucket_linearize(self, bk, x, row_arrays=None, cast_dtype=None):
+    def _bucket_linearize(self, bk, x, row_arrays=None, cast_dtype=None,
+                          allow_pallas: bool = True):
         """(residuals [n,r], J [n,r,t_total]) tangent-space, uncorrected.
 
         row_arrays: optional (data, [amb_idx per slot]) override — used by
@@ -777,7 +778,10 @@ class CompiledProgram:
         dtype — mixed precision runs the Jacobian pass natively in f32
         (f64 jvp chains are software-emulated on TPU and dominate the
         fused-step profile); the caller keeps cost/residuals from a
-        separate f64 residual-only pass."""
+        separate f64 residual-only pass.
+        allow_pallas: False when the caller will vmap this trace over a
+        problem axis (batch.py) — pallas_call has no useful batching rule
+        here and the per-problem data planes are baked as constants."""
         if row_arrays is not None:
             data, amb_idxs = row_arrays
             params = [x[ai] for ai in amb_idxs]
@@ -807,7 +811,8 @@ class CompiledProgram:
             # hot shapes (SE3 pose graph) linearize in one VMEM kernel on
             # the f32 (mixed) pass. Probe-compiled at build; clean jacfwd
             # fallback.
-            if row_arrays is None and cast_dtype == jnp.float32:
+            if row_arrays is None and cast_dtype == jnp.float32 \
+                    and allow_pallas:
                 from .ops.pallas_linearize import (
                     make_pallas_bucket_linearize, pallas_linearize_supported)
                 if pallas_linearize_supported(self, bk):
@@ -913,7 +918,7 @@ class CompiledProgram:
         grad = jac.rmatvec(res)
         return total, grad, jac, res
 
-    def linearize_fn_mixed(self, x):
+    def linearize_fn_mixed(self, x, allow_pallas: bool = True):
         """Mixed-precision linearize: (cost f64, gradient f32, jac f32,
         res f32). The Jacobian pass (jacfwd tangent chains) runs natively
         in f32 — f64 jvp is software-emulated on TPU and dominates the
@@ -928,7 +933,8 @@ class CompiledProgram:
             cost, _, _ = correct_residuals_and_jacobian(loss, r64, None)
             total = total + jnp.sum(cost)
             _, J32 = self._bucket_linearize(bk, x,
-                                            cast_dtype=jnp.float32)
+                                            cast_dtype=jnp.float32,
+                                            allow_pallas=allow_pallas)
             _, rc, Jc = correct_residuals_and_jacobian(
                 loss, r64.astype(jnp.float32), J32)
             rc = rc.astype(jnp.float32)

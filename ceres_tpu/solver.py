@@ -203,7 +203,8 @@ def make_step_impl(program, options, batched: bool = False):
             # f32 (f64 jvp is software-emulated on TPU and dominates the
             # profile); cost keeps f64 meaning via a residual-only f64
             # pass inside linearize_fn_mixed.
-            cost, grad, jac, res = program.linearize_fn_mixed(x)
+            cost, grad, jac, res = program.linearize_fn_mixed(
+                x, allow_pallas=not batched)
             jac64 = res64 = grad64 = None
             scale = scale.astype(jnp.float32)
         elif mixed:
@@ -334,7 +335,8 @@ def make_step_impl(program, options, batched: bool = False):
         (dogleg_strategy.cc:130-265), in the Jacobi-scaled space like the
         reference (fixed iteration-0 scaling passed in by the minimizer)."""
         if mixed:
-            cost, grad, jac, res = program.linearize_fn_mixed(x)
+            cost, grad, jac, res = program.linearize_fn_mixed(
+                x, allow_pallas=not batched)
             scale = scale.astype(jnp.float32)
         else:
             cost, grad, jac, res = program.linearize_fn(x)

@@ -517,7 +517,8 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
                         loss, r64, None)
                     total_cost = total_cost + jnp.sum(cost)
                 _, J32 = program._bucket_linearize(
-                    bk, x, cast_dtype=jnp.float32)
+                    bk, x, cast_dtype=jnp.float32,
+                    allow_pallas=not batched)
                 _, rc, Jc = correct_residuals_and_jacobian(
                     loss, r64.astype(work_dtype), J32)
                 rc = rc.astype(work_dtype)
