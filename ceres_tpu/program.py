@@ -644,11 +644,35 @@ class CompiledProgram:
         self._x0_dev_cache = (h, xd)
         return xd
 
+    def _wb_split(self, x):
+        """Split a device-resident x into 4 chunk arrays (a trivial
+        jitted executable, cached). Dispatching this during the solve
+        (run_fused's deferred branch) pre-pays its ~0.5 s tunnel compile
+        inside the warmup, so the first summary.write_back() is a pure
+        ~31 ms pull, not compile + pull."""
+        k = 4
+        n = int(x.size)
+        cuts = [0] + [((i + 1) * n) // k for i in range(k)]
+        split = self.cached_jit(
+            ("wb_chunks", k, n),
+            lambda: jax.jit(lambda v: tuple(
+                v[cuts[i]:cuts[i + 1]] for i in range(k))))
+        return split(x)
+
     def write_back(self, x):
         """Copy the solved ambient state into the user's numpy arrays
         (reference Program::StateVectorToParameterBlocks +
-        CopyParameterBlockStateToUserState)."""
-        xh = np.asarray(x)
+        CopyParameterBlockStateToUserState). Device-resident x over the
+        tunnel is pulled as 4 concurrent chunks — the transport overlaps
+        them, so the wall is ~(protocol floor + payload/4) instead of
+        (floor + payload); measured 46.7 -> 31.1 ms on the 533 KB
+        flagship x (the reverse of the reference's streamed-buffer H2D
+        trick, cuda_streamed_buffer.h:50)."""
+        if isinstance(x, jax.Array) and x.size >= 32768 and \
+                not isinstance(x, np.ndarray):
+            xh = np.concatenate(jax.device_get(list(self._wb_split(x))))
+        else:
+            xh = np.asarray(x)
         for b in self.used_blocks:
             if not b.constant:
                 o = self.amb_offset[id(b.array)]

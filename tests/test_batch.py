@@ -117,3 +117,47 @@ def test_batched_single_and_empty():
     prob, m, c = _curve_problem(rng, 0.3, 0.1)
     (s,) = ct.solve_batched(ct.SolverOptions(), [prob])
     assert s.termination_type == ct.TerminationType.CONVERGENCE
+
+
+def test_template_registry_reuses_executable():
+    """Serving pattern: a SECOND round of FRESH same-structure problems
+    must hit the structural template registry (no retrace/recompile) and
+    still produce correct per-problem solutions."""
+    from ceres_tpu import batch as batch_mod
+
+    options = ct.SolverOptions(max_num_iterations=40,
+                               function_tolerance=1e-12,
+                               fused_iterations=True)
+    truths = [(0.3, 0.1), (0.25, 0.4), (0.5, -0.2)]
+
+    def build_round(seed):
+        rng = np.random.default_rng(seed)
+        return [_curve_problem(rng, mt, ct_) for mt, ct_ in truths]
+
+    batch_mod._TEMPLATE_REGISTRY.clear()
+    round1 = build_round(3)
+    ct.solve_batched(options, [b[0] for b in round1])
+    assert len(batch_mod._TEMPLATE_REGISTRY) == 1
+    entry = batch_mod._TEMPLATE_REGISTRY[0]
+    fn1 = entry["solve_jit"]
+
+    # fresh problems, same structure, different data
+    round2 = build_round(7)
+    sums = ct.solve_batched(options, [b[0] for b in round2])
+    assert len(batch_mod._TEMPLATE_REGISTRY) == 1
+    assert batch_mod._TEMPLATE_REGISTRY[0]["solve_jit"] is fn1
+
+    # correctness: rebuild round2's problems deterministically (same rng
+    # stream) and compare each element against its own individual solve
+    refs = []
+    rng_ref = np.random.default_rng(7)
+    for mt, ct_ in truths:
+        prob_r, m_r, c_r = _curve_problem(rng_ref, mt, ct_)
+        s_r = ct.solve(options, prob_r)
+        refs.append((s_r, m_r.copy(), c_r.copy()))
+    for (s_ref, m_ref, c_ref), s_b, (prob, m, c) in zip(refs, sums, round2):
+        assert s_b.termination_type == ct.TerminationType.CONVERGENCE
+        np.testing.assert_allclose(s_b.final_cost, s_ref.final_cost,
+                                   rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(m, m_ref, rtol=1e-8)
+        np.testing.assert_allclose(c, c_ref, rtol=1e-8)
