@@ -64,11 +64,33 @@ def _registry_lookup(key, template, names, shared_names, var_names):
         if (entry["names"] != names or entry["shared"] != shared_names
                 or entry["var"] != var_names):
             continue
-        if _validate_same_structure([entry["template"], template]) is None:
-            _TEMPLATE_REGISTRY.remove(entry)
-            _TEMPLATE_REGISTRY.append(entry)       # LRU bump
-            return entry
+        if _validate_same_structure([entry["template"], template]) is not None:
+            continue
+        # Shape/dtype equality is NOT enough for reuse: host-side build
+        # decisions inside make_fused_tr_solve are taken from the
+        # template's constant VALUES at trace time (e.g. the cross-bucket
+        # duplicate pair list in solvers/schur_fused.py is derived from
+        # the observation wiring; chunk groupings from counts.max()), so
+        # an executable is specialized to the old graph even though every
+        # recorded const is bound as an argument. Require bitwise
+        # equality of every integer-dtype (structural) constant before
+        # reusing; numeric float data may differ freely.
+        if not _same_structural_consts(entry["template"], template, names):
+            continue
+        _TEMPLATE_REGISTRY.remove(entry)
+        _TEMPLATE_REGISTRY.append(entry)       # LRU bump
+        return entry
     return None
+
+
+def _same_structural_consts(a, b, names) -> bool:
+    for nm in names:
+        va, vb = a.consts_np[nm], b.consts_np[nm]
+        la = jax.tree_util.tree_leaves(va)
+        if any(np.issubdtype(np.asarray(x).dtype, np.integer) for x in la):
+            if not _tree_equal(va, vb):
+                return False
+    return True
 
 
 def _registry_store(key, template, names, shared_names, var_names,

@@ -383,10 +383,16 @@ _RULES = {
     "copy": lambda params, a: a,
 }
 
-# primitives inlined by evaluating their inner jaxpr with the same jets
+# primitives inlined by evaluating their inner jaxpr with the same jets.
+# custom_jvp_call is deliberately NOT here: inlining its primal jaxpr
+# would jet-differentiate the primal and IGNORE the user-supplied JVP
+# rule (edge-point safety, intentional gradient overrides), a silent
+# parity divergence vs the jacfwd path — _validate marks it unsupported
+# and the bucket falls back to jacfwd, which honors the custom rule.
+# custom_vjp's primal IS inlined: it overrides only reverse-mode, and
+# the forward-mode fallback (jacfwd) cannot differentiate it at all.
 _INLINE = {"pjit", "jit", "closed_call", "core_call", "remat", "checkpoint",
-           "custom_jvp_call", "custom_vjp_call_jaxpr",
-           "custom_jvp_call_jaxpr"}
+           "custom_vjp_call_jaxpr", "custom_vjp_call"}
 
 # pure-selection primitives handled by the arange-position trick
 # (_selection_rule); indices must be compile-time constants

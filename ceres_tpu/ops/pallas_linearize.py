@@ -448,6 +448,31 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
         with jax.enable_x64(False):
             return raw_call(*a)
 
+    if interp:
+        # The Mosaic probe below only runs when targeting real hardware;
+        # in interpret mode nothing compiles ahead of time, so emit-time
+        # failures (_Unsupported: gathers with traced indices, select_n
+        # with >2 cases, interior padding) that _validate's name-only
+        # pre-flight cannot catch would otherwise crash the solve trace.
+        # Dry-run the kernel trace abstractly and fall back to jacfwd on
+        # any failure, mirroring the non-interp probe contract.
+        try:
+            probe = [
+                jax.ShapeDtypeStruct((P_in, GS, tile), jnp.float32),
+                jax.ShapeDtypeStruct((P_dat, GS, tile), jnp.float32),
+                jax.ShapeDtypeStruct((GS, tile), jnp.float32),
+            ]
+            jax.eval_shape(call, *probe)
+        except Exception as e:
+            import sys
+            print("ceres_tpu: pallas bucket-linearize kernel rejected at "
+                  f"emit time ({type(e).__name__}: {e}); using the jacfwd "
+                  "path", file=sys.stderr)
+            if os.environ.get("CERES_TPU_PALLAS_DEBUG"):
+                import traceback
+                traceback.print_exc()
+            return None
+
     if not interp:
         shape_key = ("blin", spec.get("name") or
                      type(bk.cost.functor).__name__,

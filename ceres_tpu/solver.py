@@ -354,21 +354,32 @@ def make_step_impl(program, options, batched: bool = False):
         # which a correct damped solve guarantees. Gauge-deficient
         # problems (BA) make the undamped normal matrix singular; a fixed
         # tiny mu factors it into garbage.
+        # Validity is tolerance-RELATIVE: near convergence (g ~ 0, tiny
+        # steps) the two terms of mcc_gn cancel to rounding noise and a
+        # strict mcc_gn > 0 test spuriously fails, escalating through the
+        # whole damping ladder (~8 extra linear solves per LM step).
+        eps_v = jnp.asarray(1e-6 if g.dtype == jnp.float32 else 1e-12,
+                            g.dtype)
+
         def _gn_valid(gn_try):
             finite = jnp.all(jnp.isfinite(gn_try))
             Jgn = jac_s.matvec(gn_try)
             mcc_gn = -(jnp.vdot(gn_try, g) + 0.5 * Jgn.squared_norm())
-            return jnp.logical_and(finite, mcc_gn > 0.0)
+            ok_decrease = mcc_gn > -eps_v * jnp.maximum(cost, 1.0)
+            tiny_step = (jnp.linalg.norm(gn_try)
+                         <= eps_v * (1.0 + jnp.linalg.norm(g)))
+            return jnp.logical_and(
+                finite, jnp.logical_or(ok_decrease, tiny_step))
 
         def _gn_solve(dval):
             return linear_solve(jac_s, res, jnp.full_like(g, dval))
 
-        d0 = jnp.asarray(1e-14, dtype=g.dtype)
+        d0 = jnp.asarray(1e-12, dtype=g.dtype)
         gn, lin_iters = _gn_solve(d0)
 
         def gn_cond(state):
             dval, gn_try, _ = state
-            return jnp.logical_and(dval < 1e3, ~_gn_valid(gn_try))
+            return jnp.logical_and(dval < 1e2, ~_gn_valid(gn_try))
 
         def gn_body(state):
             dval, _, it0 = state
@@ -378,9 +389,12 @@ def make_step_impl(program, options, batched: bool = False):
 
         _, gn, lin_iters = jax.lax.while_loop(
             gn_cond, gn_body, (d0, gn, lin_iters))
-        gn_norm = jnp.linalg.norm(gn)
         cauchy = -alpha * g
         cauchy_norm = jnp.linalg.norm(cauchy)
+        # Final invalidity (the whole ladder failed): fall back to the
+        # Cauchy point rather than propagating a non-finite GN step.
+        gn = jnp.where(jnp.all(jnp.isfinite(gn)), gn, cauchy)
+        gn_norm = jnp.linalg.norm(gn)
 
         # Case 1: GN inside the region.
         # Case 2: Cauchy point outside -> truncated gradient step.

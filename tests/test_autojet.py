@@ -239,3 +239,68 @@ def test_full_solve_through_autojet_matches():
     assert abs(r_on - r_off) < 1e-3
     assert abs(s_on.final_cost - s_off.final_cost) \
         <= 1e-4 * max(1.0, s_off.final_cost)
+
+
+def test_custom_jvp_falls_back_to_jacfwd():
+    """A functor relying on a user-supplied JVP rule (custom_jvp) must
+    NOT be autojet-compiled (inlining its primal would silently ignore
+    the custom derivative, e.g. edge-point-safe sqrt at 0); it falls
+    back to jacfwd, which honors the rule (ADVICE r4)."""
+
+    @jax.custom_jvp
+    def safe_sqrt(x):
+        return jnp.sqrt(x)
+
+    @safe_sqrt.defjvp
+    def safe_sqrt_jvp(primals, tangents):
+        (x,), (t,) = primals, tangents
+        # intentionally-regularized derivative near 0
+        return jnp.sqrt(x), t * 0.5 / jnp.sqrt(x + 1e-6)
+
+    class CustomCost:
+        def __call__(self, p):
+            return safe_sqrt(p * p) - 2.0
+
+    p = np.array([0.5, 1.5])
+    problem = ct.Problem()
+    for _ in range(4):
+        problem.add_residual_block(
+            AutoDiffCostFunction(CustomCost(), 2, [2]), None, p)
+    prog = CompiledProgram(problem)
+    bk = prog.buckets[0]
+    from ceres_tpu.ops.jet_compile import make_auto_spec
+    assert make_auto_spec(prog, bk) is None
+    # the jacfwd fallback honors the custom rule: at p=0 the derivative
+    # is finite (0.5/sqrt(1e-6)), not NaN
+    x0 = jnp.zeros_like(prog.initial_state())
+    r, J = prog._bucket_linearize(bk, x0, cast_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(J)).all()
+
+
+def test_emit_time_failure_falls_back_in_interpret_mode():
+    """A functor that PASSES the name-only validator (gather is an
+    allowed selection primitive) but fails at emit time (traced gather
+    index) must fall back to jacfwd in interpret mode instead of
+    crashing the solve trace (ADVICE r4 medium)."""
+
+    class TracedIndex:
+        def __call__(self, p):
+            # index depends on the traced parameter value -> the
+            # selection rule raises _Unsupported only at emit time
+            idx = jnp.clip(jnp.floor(p[0]).astype(jnp.int32), 0, 1)
+            tbl = jnp.stack([p[0] * 2.0, p[1] * 3.0])
+            return tbl[idx][None] - 1.0
+
+    p = np.array([0.3, 0.7])
+    problem = ct.Problem()
+    for _ in range(4):
+        problem.add_residual_block(
+            AutoDiffCostFunction(TracedIndex(), 1, [2]), None, p)
+    prog = CompiledProgram(problem)
+    bk = prog.buckets[0]
+    # must not raise; must cleanly report unsupported and use jacfwd
+    lin = PL.make_pallas_bucket_linearize(prog, bk)
+    assert lin is None
+    x0 = prog.initial_state()
+    r, J = prog._bucket_linearize(bk, x0, cast_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(r)).all()

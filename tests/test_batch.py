@@ -161,3 +161,110 @@ def test_template_registry_reuses_executable():
                                    rtol=1e-10, atol=1e-14)
         np.testing.assert_allclose(m, m_ref, rtol=1e-8)
         np.testing.assert_allclose(c, c_ref, rtol=1e-8)
+
+
+def test_registry_structural_const_guard_unit():
+    """_same_structural_consts: integer (structural) constants must be
+    bitwise equal for registry reuse; float data may differ freely."""
+    import types as pytypes
+    from ceres_tpu.batch import _same_structural_consts
+
+    a = pytypes.SimpleNamespace(consts_np={
+        "idx": np.array([1, 2, 3], np.int32),
+        "w": np.ones(3, np.float64)})
+    b = pytypes.SimpleNamespace(consts_np={
+        "idx": np.array([1, 3, 2], np.int32),       # same shape, new graph
+        "w": np.zeros(3, np.float64)})
+    assert _same_structural_consts(a, a, ["idx", "w"])
+    assert _same_structural_consts(a, b, ["w"])      # floats may differ
+    assert not _same_structural_consts(a, b, ["idx", "w"])
+
+
+def test_registry_not_reused_across_different_graphs():
+    """Two serving rounds of BAL problems with IDENTICAL const shapes but
+    DIFFERENT observation graphs (integer wiring): the template registry
+    must recompile, not silently reuse an executable specialized to the
+    old graph, and every element must match its own individual solve."""
+    from ceres_tpu import batch as batch_mod
+
+    options = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        max_num_iterations=40, function_tolerance=1e-9,
+        fused_iterations=True)
+
+    def build(graph_seed, perturb_seed):
+        bal = synthetic_bal_problem(num_cameras=6, num_points=40,
+                                    num_observations=120, seed=graph_seed,
+                                    pixel_noise=0.5)
+        bal.perturb(rotation_sigma=0.02, translation_sigma=0.1,
+                    point_sigma=0.05, seed=perturb_seed)
+        return build_bal_ceres_problem(bal)[0]
+
+    batch_mod._TEMPLATE_REGISTRY.clear()
+    # precondition: the two graphs are the dangerous case — identical
+    # shapes/dtypes but different integer wiring
+    from ceres_tpu.program import CompiledProgram
+    pa = CompiledProgram.get_cached(build(1, 1), options)
+    pb = CompiledProgram.get_cached(build(2, 1), options)
+    assert batch_mod._validate_same_structure([pa, pb]) is None
+    common = sorted(set(pa.consts_np) & set(pb.consts_np))
+    assert not batch_mod._same_structural_consts(pa, pb, common)
+
+    ct.solve_batched(options, [build(1, s) for s in (1, 2)])
+    assert len(batch_mod._TEMPLATE_REGISTRY) == 1
+
+    sums = ct.solve_batched(options, [build(2, s) for s in (1, 2)])
+    # the graph changed -> a NEW registry entry (no reuse)
+    assert len(batch_mod._TEMPLATE_REGISTRY) == 2
+    for s_b, seed in zip(sums, (1, 2)):
+        ref = ct.solve(options, build(2, seed))
+        assert s_b.termination_type == ct.TerminationType.CONVERGENCE
+        np.testing.assert_allclose(s_b.final_cost, ref.final_cost,
+                                   rtol=1e-9)
+
+
+def test_batched_bal_with_pallas_linearize_consts():
+    """Regression for the round-4 'plinz.b0.dat' crash: a BAL-shaped
+    batch whose TEMPLATE program already carries Pallas-linearize data
+    planes (registered by a prior single mixed-precision solve). The
+    batched vmap trace must gate the kernel off (allow_pallas=False)
+    rather than record a constant the sibling programs don't have."""
+    import os
+
+    os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        options = ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            use_mixed_precision_solves=True,
+            max_num_iterations=40, function_tolerance=1e-9,
+            fused_iterations=True)
+
+        def build(perturb_seed):
+            bal = synthetic_bal_problem(num_cameras=4, num_points=60,
+                                        num_observations=240, seed=11,
+                                        pixel_noise=0.5)
+            bal.perturb(rotation_sigma=0.02, translation_sigma=0.1,
+                        point_sigma=0.05, seed=perturb_seed)
+            return build_bal_ceres_problem(bal)[0]
+
+        # a single mixed solve first: its cached program traces the
+        # Pallas linearize path and registers plinz.* consts
+        warm = build(1)
+        s0 = ct.solve(options, warm)
+        assert s0.is_solution_usable()
+        from ceres_tpu.program import CompiledProgram
+        prog = CompiledProgram.get_cached(build(1), options)
+        # (the interpret-mode Snavely kernel may or may not register
+        # plinz consts depending on gate decisions; the crash shape is
+        # exercised either way because the batch records const names
+        # from a template whose single-solve trace ran with Pallas on)
+        sums = ct.solve_batched(options, [build(s) for s in (1, 2, 3)])
+        for s_b, seed in zip(sums, (1, 2, 3)):
+            ref = ct.solve(options, build(seed))
+            assert s_b.termination_type == ct.TerminationType.CONVERGENCE
+            # batched gates the Pallas kernel off while the individual
+            # mixed solve keeps it on -> small f32 path differences
+            np.testing.assert_allclose(s_b.final_cost, ref.final_cost,
+                                       rtol=1e-4)
+    finally:
+        del os.environ["CERES_TPU_PALLAS_INTERPRET"]

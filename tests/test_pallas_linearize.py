@@ -37,13 +37,16 @@ def _supported_bucket(prog):
 
 
 def test_pose3d_bucket_gate(pose3d_program):
-    # the all-variable bucket (the bulk of the rows) is supported; the
-    # gauge-fixed pose's constant-slot bucket keeps the jacfwd path
+    # Since the round-4 autojet compiler (ops/jet_compile.py), BOTH pose3d
+    # buckets are kernel-eligible: the all-variable bucket via the hand
+    # registry and the gauge-fixed constant-slot bucket via the auto-emitted
+    # jet kernel.  Assert the coverage spec explicitly: every bucket is
+    # supported, and the dominant (largest-n) bucket is among them.
     prog = pose3d_program
     supported = _supported_bucket(prog)
-    assert len(supported) == 1
-    assert supported[0].n > max(bk.n for bk in prog.buckets
-                                if bk is not supported[0])
+    assert len(supported) == len(prog.buckets)
+    dominant = max(prog.buckets, key=lambda bk: bk.n)
+    assert dominant in supported
 
 
 def test_pose3d_kernel_matches_jacfwd(pose3d_program):
