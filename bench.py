@@ -158,6 +158,38 @@ def probe_tpu(timeout_s=150.0) -> bool:
 CPU_FALLBACK = False
 
 
+def warm_probe():
+    """Subprocess mode: time-to-first-solve on the NOW-WARM persistent
+    compilation cache — process start to one converged DENSE_SCHUR solve,
+    problem build included. This is the honest 'restart the serving
+    process' number; the parent's warmup_s is the cold-compile number.
+    Prints one JSON line and exits."""
+    t_start = time.time()
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import ceres_tpu as ct
+    from ceres_tpu.io.bal import (synthetic_bal_problem,
+                                  build_bal_ceres_problem)
+    bal = synthetic_bal_problem(**SHAPE, seed=7, pixel_noise=1.0)
+    bal.perturb(**PERTURB, seed=8)
+    problem, _, _ = build_bal_ceres_problem(bal)
+    t0 = time.time()
+    summary = ct.solve(ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        max_num_iterations=50, function_tolerance=1e-6,
+        max_linear_solver_iterations=100,
+        use_mixed_precision_solves=True, fused_iterations=True), problem)
+    print(json.dumps({
+        "warm_first_solve_s": round(time.time() - t0, 2),
+        "warm_process_to_solution_s": round(time.time() - t_start, 2),
+        "converged": str(summary.termination_type).endswith("CONVERGENCE"),
+    }))
+
+
 def main():
     global CPU_FALLBACK
     t0 = time.time()
@@ -499,6 +531,26 @@ def main():
         except Exception as e:
             log(f"ITERATIVE_SCHUR config failed: {e}")
 
+    # ---- warm-cache warmup (VERDICT r4 item 2): a FRESH process against
+    # the persistent cache this run just populated — the honest
+    # 'restart the serving process' time-to-first-solve. The in-process
+    # warmup_s above is the cold-compile number.
+    if not os.environ.get("BENCH_SKIP_WARMPROBE"):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--warm-probe"],
+                timeout=900, capture_output=True, text=True)
+            wp = json.loads(r.stdout.strip().splitlines()[-1])
+            extras["warmup_warm_s"] = wp["warm_first_solve_s"]
+            extras["warm_process_to_solution_s"] = \
+                wp["warm_process_to_solution_s"]
+            log(f"  warm-cache warmup (fresh process): "
+                f"{wp['warm_first_solve_s']}s first solve, "
+                f"{wp['warm_process_to_solution_s']}s process-to-solution")
+        except Exception as e:
+            log(f"warm-probe failed: {e}")
+
     if CPU_FALLBACK:
         extras["platform"] = "cpu-fallback (TPU tunnel unreachable)"
     # PRIMARY value: the eager-writeback wall — the apples-to-apples
@@ -516,4 +568,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--warm-probe" in sys.argv:
+        warm_probe()
+    else:
+        main()

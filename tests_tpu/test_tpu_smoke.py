@@ -179,12 +179,25 @@ def test_implicit_fused_iterative_schur_on_device():
         max_num_iterations=40, function_tolerance=1e-9), ref_problem)
     os.environ["CERES_TPU_FORCE_IMPLICIT"] = "1"
     try:
-        s = ct.solve(ct.SolverOptions(
+        opts_impl = ct.SolverOptions(
             linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
             preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
             use_mixed_precision_solves=True,
             max_num_iterations=40, function_tolerance=1e-9,
-            fused_iterations=True), problem)
+            fused_iterations=True)
+        # VERDICT r4: assert the CG-apply megakernel ACTIVATES on
+        # hardware (its gate is mixed ∧ single-bucket ∧ ¬f64_rhs plus a
+        # Mosaic probe) — not just that the solve converges through some
+        # path.
+        from ceres_tpu.program import CompiledProgram
+        from ceres_tpu.solvers.schur import detect_schur_structure
+        from ceres_tpu.solvers.schur_fused import make_fused_schur_lm_step
+        prog = CompiledProgram.get_cached(problem, opts_impl)
+        meta = detect_schur_structure(prog, opts_impl)
+        step = make_fused_schur_lm_step(prog, opts_impl, meta)
+        assert step.pallas_implicit, \
+            "implicit CG-apply megakernel did not activate on device"
+        s = ct.solve(opts_impl, problem)
     finally:
         del os.environ["CERES_TPU_FORCE_IMPLICIT"]
     assert s.termination_type == ct.TerminationType.CONVERGENCE
@@ -372,3 +385,49 @@ def test_ds_cost_kernel_accuracy_on_device():
     c_64 = float(jax.jit(program.cost_fn)(x))
     rel = abs(c_ds - c_64) / max(abs(c_64), 1e-300)
     assert rel < 1e-12, (c_ds, c_64, rel)
+
+
+def test_dense_pcg_kernel_on_device():
+    """The whole-solve dense PCG kernel (ops/pallas_pcg.py) on hardware:
+    Mosaic accepts the in-kernel while_loop, it activates for the fused
+    explicit ITERATIVE_SCHUR path, and the LM trajectory matches the XLA
+    CG loop exactly (same LM iterations, same total CG iterations)."""
+    import os
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.solvers.schur import detect_schur_structure
+    from ceres_tpu.solvers.schur_fused import make_fused_schur_lm_step
+
+    def build():
+        bal = synthetic_bal_problem(num_cameras=8, num_points=800,
+                                    num_observations=3200, seed=3,
+                                    pixel_noise=0.5)
+        bal.perturb(rotation_sigma=0.05, translation_sigma=0.3,
+                    point_sigma=0.2, seed=5)
+        return build_bal_ceres_problem(bal)[0]
+
+    def opts():
+        return ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            use_mixed_precision_solves=True, fused_iterations=True,
+            max_num_iterations=30, function_tolerance=1e-6)
+
+    problem = build()
+    o = opts()
+    prog = CompiledProgram.get_cached(problem, o)
+    meta = detect_schur_structure(prog, o)
+    step = make_fused_schur_lm_step(prog, o, meta)
+    assert step.pallas_pcg, "dense PCG kernel did not activate on device"
+
+    os.environ["CERES_TPU_NO_PALLAS_PCG"] = "1"
+    try:
+        s_off = ct.solve(opts(), build())
+    finally:
+        del os.environ["CERES_TPU_NO_PALLAS_PCG"]
+    s_on = ct.solve(opts(), build())
+    assert s_on.termination_type == ct.TerminationType.CONVERGENCE
+    assert s_on.num_iterations == s_off.num_iterations
+    assert s_on.num_linear_solver_iterations \
+        == s_off.num_linear_solver_iterations
+    np.testing.assert_allclose(s_on.final_cost, s_off.final_cost,
+                               rtol=1e-5)
