@@ -226,6 +226,11 @@ def make_pallas_cost(program, options, meta, tile: int = 512):
     from .pallas_lin import _probe
 
     bk, bs = program.buckets[0], meta.buckets[0]
+    # The double-single chain is hand-written for the Snavely functor;
+    # auto-LIN buckets (any functor) keep the f64 cost pass.
+    from .pallas_lin import _is_snavely
+    if not _is_snavely(bk):
+        return None
     grp = meta.f_groups[0]
     kf, tf, te, ne = grp["kf"], grp["t"], meta.te, meta.ne
     k = bs.chunk_rows.shape[1]

@@ -230,6 +230,167 @@ def _lin_kernel(xf_ref, xe_ref, oh_ref, mask_ref,
 
 
 # ----------------------------------------------------------------------
+# AUTO LIN kernel: the SAME folded epilogue (EtE/g_e/scale/A_e/FtF/g_f),
+# with the residual jet chain auto-emitted from the functor's jaxpr
+# (ops/jet_compile.py) instead of the hand-vectorized Snavely chain.
+# This is what makes the fast path subsume the hand registry: ANY
+# chunk-groupable two-slot (e, f) bucket with a traceable functor gets
+# the one-pass linearize+Gram pipeline; the hand kernel remains only as
+# the tuned special case for the Snavely hot shape.
+#
+# Masked-lane discipline differs from the hand chain: the hand jets are
+# guard-masked internally (benign divisors on inactive lanes); a generic
+# chain cannot be, so the HOST fills masked/pad lanes with a REAL row's
+# data and camera (finite garbage), and every epilogue fold multiplies
+# by planes that _jet_planes has already masked — the filled lanes
+# contribute exactly zero (jet_compile.py module doc, edge-pad rule,
+# applied to the chunk layout).
+
+def _lin_kernel_auto(xf_ref, xe_ref, oh_ref, mask_ref, dat_ref,
+                     se_ref, first_ref,
+                     ete_ref, ge_ref, seo_ref, a_ref, ftf_ref, gf_ref,
+                     *, te, tf, kf, k, eo, fo, R, P_dat, slot_order,
+                     emit_raw, loss, use_scaling):
+    """slot_order: per bk.slots, ('e', amb) or ('f', amb) — ordering of
+    the xin planes emit_raw expects. emit_raw: jet_compile emit over
+    [k, T]-plane jets."""
+    from jax.experimental import pallas as pl
+
+    nt = tf + te
+    mask = mask_ref[...]                              # [k, T]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        ftf_ref[...] = jnp.zeros_like(ftf_ref)
+        gf_ref[...] = jnp.zeros_like(gf_ref)
+
+    # camera parameter values per row via the (lane-safe) one-hot
+    cam_vals = []
+    for a in range(tf):
+        plane = None
+        for c in range(kf):
+            term = oh_ref[c, :, :] * xf_ref[c * tf + a]
+            plane = term if plane is None else plane + term
+        cam_vals.append(plane)                        # [k, T]
+    pt_vals = [xe_ref[a, :][None, :] for a in range(te)]   # [1, T]
+
+    xin_planes = []
+    for kind, amb in slot_order:
+        xin_planes.extend(cam_vals if kind == "f" else pt_vals)
+    dat_planes = [dat_ref[i] for i in range(P_dat)]
+
+    rjets = emit_raw(xin_planes, dat_planes, jnp.zeros_like(mask))
+    if loss is not None:
+        rjets = _correct_jets(list(rjets), loss, mask > 0.5)
+
+    rvals, rcols = [], []
+    for jet in rjets:
+        v, cols = _jet_planes(jet, mask, nt)
+        rvals.append(v)
+        rcols.append(cols)
+
+    # ---- E^T E, g_e (sum over r and k), Jacobi scale ----
+    cn = [None] * te
+    for a in range(te):
+        ca = [rcols[r][eo + a] for r in range(R)]
+        g = None
+        for r in range(R):
+            if ca[r] is None:
+                continue
+            term = ca[r] * rvals[r]
+            g = term if g is None else g + term
+        ge_ref[a, :] = (jnp.zeros_like(mask) if g is None else g
+                        ).sum(axis=0)
+        for b in range(a, te):
+            cb = [rcols[r][eo + b] for r in range(R)]
+            acc = None
+            for r in range(R):
+                if ca[r] is None or cb[r] is None:
+                    continue
+                term = ca[r] * cb[r]
+                acc = term if acc is None else acc + term
+            plane = (jnp.zeros_like(mask) if acc is None else acc
+                     ).sum(axis=0)
+            ete_ref[a * te + b, :] = plane
+            if b != a:
+                ete_ref[b * te + a, :] = plane
+            else:
+                cn[a] = plane
+
+    se = []
+    for a in range(te):
+        if not use_scaling:
+            s = jnp.ones_like(cn[a])
+        else:
+            derived = 1.0 / (1.0 + jnp.sqrt(cn[a]))
+            s = jnp.where(first_ref[0] > 0.5, derived, se_ref[a, :])
+        se.append(s)
+        seo_ref[a, :] = s
+
+    # ---- A_e^T ----
+    zero = jnp.zeros_like(mask[0])
+    ge_planes = {}
+    for a in range(te):
+        for t in range(tf):
+            acc = None
+            for r in range(R):
+                pa = rcols[r][eo + a]
+                pf = rcols[r][fo + t]
+                if pa is None or pf is None:
+                    continue
+                term = pa * pf
+                acc = term if acc is None else acc + term
+            ge_planes[(a, t)] = acc
+    for c in range(kf):
+        ohc = oh_ref[c]
+        for a in range(te):
+            for t in range(tf):
+                gp = ge_planes[(a, t)]
+                if gp is None:
+                    a_ref[a, c * tf + t, :] = zero
+                    continue
+                a_ref[a, c * tf + t, :] = (gp * ohc).sum(axis=0) * se[a]
+
+    # ---- F^T F block diagonal + f gradient (grid-accumulated) ----
+    oh = oh_ref[...]
+    ftf_cols = [None] * (tf * tf)
+    for t in range(tf):
+        for u in range(t, tf):
+            P = None
+            for r in range(R):
+                pt_ = rcols[r][fo + t]
+                pu_ = rcols[r][fo + u]
+                if pt_ is None or pu_ is None:
+                    continue
+                term = pt_ * pu_
+                P = term if P is None else P + term
+            if P is None:
+                col = jnp.zeros((kf, 1), dtype=mask.dtype)
+            else:
+                col = (oh * P[None, :, :]).sum(axis=1).sum(
+                    axis=1, keepdims=True)
+            ftf_cols[t * tf + u] = col
+            ftf_cols[u * tf + t] = col
+    ftf_ref[...] += jnp.concatenate(ftf_cols, axis=1)
+
+    gf_cols = []
+    for t in range(tf):
+        G = None
+        for r in range(R):
+            pt_ = rcols[r][fo + t]
+            if pt_ is None:
+                continue
+            term = pt_ * rvals[r]
+            G = term if G is None else G + term
+        if G is None:
+            gf_cols.append(jnp.zeros((kf, 1), dtype=mask.dtype))
+        else:
+            gf_cols.append((oh * G[None, :, :]).sum(axis=1).sum(
+                axis=1, keepdims=True))
+    gf_ref[...] += jnp.concatenate(gf_cols, axis=1)
+
+
+# ----------------------------------------------------------------------
 # ELIM kernel
 
 def _elim_kernel(a_ref, inv_ref, z_ref, scorr_ref, rhsa_ref, *, te, nf):
@@ -293,18 +454,10 @@ def pallas_lin_supported(program, options, meta, explicit: bool,
         return False
     if bk.jac_mode != "ad":
         return False
-    try:
-        from ..examples.snavely import SnavelyReprojectionError
-        if type(bk.cost.functor) is not SnavelyReprojectionError:
-            return False
-    except Exception:
-        return False
     slots = [sl for sl in bk.slots if sl.variable]
     if len(slots) != 2 or any(sl.manifold is not None for sl in slots):
         return False
     grp = meta.f_groups[0]
-    if grp["t"] != 9 or meta.te != 3 or bk.r != 2:
-        return False
     if grp["kf"] > 64:     # VPU A-assembly cost grows linearly in kf
         return False
     from ..solvers.schur_fused import _slab_of
@@ -313,10 +466,33 @@ def pallas_lin_supported(program, options, meta, explicit: bool,
     fpos = meta.f_global_cols[grp["cols"]].reshape(grp["kf"], grp["t"])
     if _slab_of(fpos) is None:
         return False
-    if not isinstance(bk.data, dict) or \
-            set(bk.data.keys()) != {"observed_x", "observed_y"}:
+    if _is_snavely(bk):
+        # hand-vectorized jet chain (the tuned hot shape)
+        if grp["t"] != 9 or meta.te != 3 or bk.r != 2:
+            return False
+        if not isinstance(bk.data, dict) or \
+                set(bk.data.keys()) != {"observed_x", "observed_y"}:
+            return False
+        return True
+    # AUTO path: any traceable functor (autojet), folded epilogue shared
+    # with the hand kernel. Caps keep the unrolled channel loops and the
+    # A_e tile within Mosaic-friendly sizes.
+    from .jet_compile import autojet_enabled, make_auto_spec
+    if os.environ.get("CERES_TPU_NO_AUTOLIN") or not autojet_enabled():
         return False
-    return True
+    if meta.te > 6 or grp["t"] > 12 or bk.r > 8:
+        return False
+    return make_auto_spec(program, bk) is not None
+
+
+def _is_snavely(bk) -> bool:
+    if os.environ.get("CERES_TPU_AUTOLIN_FORCE"):
+        return False        # A/B knob: run Snavely through the auto path
+    try:
+        from ..examples.snavely import SnavelyReprojectionError
+        return type(bk.cost.functor) is SnavelyReprojectionError
+    except Exception:
+        return False
 
 
 # Mosaic probe-compile results per kernel shape (process-wide): the same
@@ -395,16 +571,28 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     fpos = meta.f_global_cols[grp["cols"]].reshape(kf, tf)
     f_slab = _slab_of(fpos)
 
+    hand = _is_snavely(bk)
+    spec = None
+    P_dat = 0
+    if not hand:
+        from .jet_compile import make_auto_spec
+        spec = make_auto_spec(program, bk)
+        if spec is None:
+            return None
+        P_dat = max(1, sum(spec["data_widths"]))
+
     # VMEM fit: per-lane bytes across all blocks (in/out refs) plus a
     # generous allowance for the live jet planes the kernel body keeps
-    # (~40 [k, tile] planes through the unrolled channel loops). Shrink
+    # (~40 [k, tile] planes through the unrolled channel loops; the auto
+    # chain keeps more live values, so its allowance is doubled). Shrink
     # the tile until the estimate fits a conservative VMEM budget; give
     # up below the minimum lane tile.
     per_lane = 4 * (kf * k                 # oh
                     + 4 * k                # mask/obsx/obsy + headroom
                     + 4 * te + te * te     # ge/se in+out/xe, ete
                     + te * kf * tf         # A_e^T
-                    + 40 * k)              # jet-plane working set
+                    + P_dat * k            # auto data planes
+                    + (80 if not hand else 40) * k)   # jet working set
     budget = 6 * 1024 * 1024
     tile = min(tile, max(128, 1 << (ne - 1).bit_length()))
     while tile > 128 and per_lane * tile > budget:
@@ -439,20 +627,63 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     mask_t = np.concatenate(
         [cmask.astype(np.float32),
          np.zeros((ne_pad - ne, k), np.float32)], axis=0).T
-    obsx_t = chunk_t(bk.data["observed_x"])
-    obsy_t = chunk_t(bk.data["observed_y"])
     loc_chunk = np.asarray(local)[rows.reshape(-1)].reshape(ne, k)
-    oh_np = (loc_chunk[None, :, :] == np.arange(kf)[:, None, None]
-             ).astype(np.float32) * cmask[None, :, :]
-    oh_t = np.concatenate(
-        [oh_np, np.zeros((kf, ne_pad - ne, k), np.float32)],
-        axis=1).transpose(0, 2, 1)                      # [kf, k, ne_pad]
     interp = bool(os.environ.get("CERES_TPU_PALLAS_INTERPRET"))
     loss = program._bucket_loss(bk)     # uniform scalars (gate) or None
     use_scaling = bool(options.jacobi_scaling)
-    kern = functools.partial(_lin_kernel, te=te, tf=tf, kf=kf, k=k,
-                             eo=eo, fo=fo, loss=loss,
-                             use_scaling=use_scaling)
+    if hand:
+        obsx_t = chunk_t(bk.data["observed_x"])
+        obsy_t = chunk_t(bk.data["observed_y"])
+        oh_np = (loc_chunk[None, :, :] == np.arange(kf)[:, None, None]
+                 ).astype(np.float32) * cmask[None, :, :]
+        oh_t = np.concatenate(
+            [oh_np, np.zeros((kf, ne_pad - ne, k), np.float32)],
+            axis=1).transpose(0, 2, 1)                  # [kf, k, ne_pad]
+        kern = functools.partial(_lin_kernel, te=te, tf=tf, kf=kf, k=k,
+                                 eo=eo, fo=fo, loss=loss,
+                                 use_scaling=use_scaling)
+    else:
+        # Lane-SAFE fills: masked lanes carry the block's first valid
+        # row's data/camera (finite generic jet chains; contributions
+        # are zeroed by the masked epilogue planes), pad e-blocks carry
+        # row 0's.
+        first_lane = np.argmax(cmask > 0, axis=1)       # [ne]
+        rowsel = np.arange(ne)
+
+        def chunk_safe(col):
+            g = np.asarray(col, np.float32)[
+                rows.reshape(-1)].reshape(ne, k)
+            fill = g[rowsel, first_lane]
+            out = np.where(cmask > 0, g, fill[:, None])
+            return np.concatenate(
+                [out, np.tile(out[:1], (ne_pad - ne, 1))], axis=0).T
+
+        parts = spec["data_parts"](bk)                  # [n, w] arrays
+        dat_cols = [chunk_safe(p[:, i])
+                    for p in parts for i in range(p.shape[1])]
+        if not dat_cols:
+            dat_cols = [np.zeros((k, ne_pad), np.float32)]
+        dat_t = np.ascontiguousarray(np.stack(dat_cols))  # [P_dat,k,ne_pad]
+        loc_fill = loc_chunk[rowsel, first_lane]
+        loc_safe = np.where(cmask > 0, loc_chunk, loc_fill[:, None])
+        loc_safe = np.concatenate(
+            [loc_safe, np.tile(loc_safe[:1], (ne_pad - ne, 1))], axis=0)
+        oh_t = np.ascontiguousarray(
+            (loc_safe[None, :, :] == np.arange(kf)[:, None, None]
+             ).astype(np.float32).transpose(0, 2, 1))   # [kf, k, ne_pad]
+        R = bk.r
+        slot_order = []
+        var_si = -1
+        for sl in bk.slots:
+            if sl.variable:
+                var_si += 1
+                slot_order.append(("e" if var_si == bs.e_slot else "f",
+                                   sl.amb_size))
+        kern = functools.partial(_lin_kernel_auto, te=te, tf=tf, kf=kf,
+                                 k=k, eo=eo, fo=fo, R=R, P_dat=P_dat,
+                                 slot_order=tuple(slot_order),
+                                 emit_raw=spec["emit_raw"], loss=loss,
+                                 use_scaling=use_scaling)
 
     bspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                              memory_space=pltpu.VMEM)
@@ -461,6 +692,15 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     accspec = lambda shape: pl.BlockSpec(shape,
                                          lambda i: (0,) * len(shape),
                                          memory_space=pltpu.VMEM)
+    if hand:
+        data_specs = [
+            bspec((k, tile), lambda i: (0, i)),             # obsx
+            bspec((k, tile), lambda i: (0, i)),             # obsy
+        ]
+    else:
+        data_specs = [
+            bspec((P_dat, k, tile), lambda i: (0, 0, i)),   # data planes
+        ]
     raw_lin = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -469,8 +709,7 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
             bspec((te, tile), lambda i: (0, i)),            # xe
             bspec((kf, k, tile), lambda i: (0, 0, i)),      # oh
             bspec((k, tile), lambda i: (0, i)),             # mask
-            bspec((k, tile), lambda i: (0, i)),             # obsx
-            bspec((k, tile), lambda i: (0, i)),             # obsy
+            *data_specs,
             bspec((te, tile), lambda i: (0, i)),            # se carried
             smem((1,)),                                     # first flag
         ],
@@ -530,33 +769,67 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
     loss_key = (None if loss is None else
                 (type(loss).__name__,
                  tuple(sorted(vars(loss).items()))))
-    shape_key = (te, tf, kf, k, tile, ne_pad, loss_key, use_scaling,
-                 jax.default_backend())
+    if hand:
+        probe_tag = "plin2"
+        shape_key = (te, tf, kf, k, tile, ne_pad, loss_key, use_scaling,
+                     jax.default_backend())
+        data_probe = [jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+                      jax.ShapeDtypeStruct((k, ne_pad), jnp.float32)]
+    else:
+        probe_tag = "plin-auto"
+        shape_key = (te, tf, kf, k, tile, ne_pad, loss_key, use_scaling,
+                     spec.get("digest", ""), bk.r, P_dat,
+                     jax.default_backend())
+        data_probe = [jax.ShapeDtypeStruct((P_dat, k, ne_pad),
+                                           jnp.float32)]
     if not interp:
         probe_lin = [
             jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
             jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
             jax.ShapeDtypeStruct((kf, k, ne_pad), jnp.float32),
             jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
-            jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
-            jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+            *data_probe,
             jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ]
-        if not _probe("plin2", lin_call, probe_lin, shape_key):
+        if not _probe(probe_tag, lin_call, probe_lin, shape_key):
+            return None
+    elif not hand:
+        # Interpret mode: no Mosaic probe runs, but emit-time failures
+        # (_Unsupported from the jet interpreter on primitives the
+        # name-only validator admits) would crash the solve trace —
+        # dry-run the kernel trace and decline (mirror of
+        # pallas_linearize's interp-mode probe contract).
+        try:
+            probe_lin = [
+                jax.ShapeDtypeStruct((kf * tf,), jnp.float32),
+                jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+                jax.ShapeDtypeStruct((kf, k, ne_pad), jnp.float32),
+                jax.ShapeDtypeStruct((k, ne_pad), jnp.float32),
+                *data_probe,
+                jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1,), jnp.float32),
+            ]
+            jax.eval_shape(lin_call, *probe_lin)
+        except Exception:
             return None
 
     program.register_const("plin.mask_t", np.ascontiguousarray(mask_t))
-    program.register_const("plin.obsx_t", obsx_t)
-    program.register_const("plin.obsy_t", obsy_t)
-    program.register_const("plin.oh_t", np.ascontiguousarray(oh_t))
+    if hand:
+        program.register_const("plin.obsx_t", obsx_t)
+        program.register_const("plin.obsy_t", obsy_t)
+        program.register_const("plin.oh_t", np.ascontiguousarray(oh_t))
+    else:
+        program.register_const("plin.auto.dat_t", dat_t)
+        program.register_const("plin.auto.oh_t", oh_t)
 
     def lin(x, s_e, first):
         xe = jax.lax.dynamic_slice(x, (e_slab,), (ne * te,)
                                    ).astype(jnp.float32)
         # pad e-blocks (ne..ne_pad) are all-masked rows; the kernel's
         # valid-lane divisor guard keeps their chain finite.
-        xe_t = jnp.pad(xe.reshape(ne, te).T, ((0, 0), (0, ne_pad - ne)))
+        xe_t = jnp.pad(xe.reshape(ne, te).T, ((0, 0), (0, ne_pad - ne)),
+                       mode="edge" if not hand else "constant")
         xf = jax.lax.dynamic_slice(x, (f_slab,), (kf * tf,)
                                    ).astype(jnp.float32)
         se_t = jnp.asarray(s_e, jnp.float32).T           # [te, ne_pad]
@@ -565,11 +838,16 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         else:
             first_f = jnp.where(first, 1.0, 0.0).astype(
                 jnp.float32).reshape(1)
+        if hand:
+            data_args = (program.const("plin.obsx_t"),
+                         program.const("plin.obsy_t"))
+            oh_arg = program.const("plin.oh_t")
+        else:
+            data_args = (program.const("plin.auto.dat_t"),)
+            oh_arg = program.const("plin.auto.oh_t")
         ete_t, ge_t, se_o, a_t, ftf, gf = lin_call(
-            xf, xe_t,
-            program.const("plin.oh_t"), program.const("plin.mask_t"),
-            program.const("plin.obsx_t"), program.const("plin.obsy_t"),
-            se_t, first_f)
+            xf, xe_t, oh_arg, program.const("plin.mask_t"),
+            *data_args, se_t, first_f)
         return {
             "EtE": ete_t.T.reshape(ne_pad, te, te),
             "g_e": ge_t.T,

@@ -227,7 +227,8 @@ def _spd_solve_dense(S, rhs):
     m = S.shape[0]
     if (S.dtype == jnp.float32 and m <= 1024
             and jax.default_backend() != "cpu"
-            and not os.environ.get("CERES_TPU_NO_PALLAS")):
+            and not os.environ.get("CERES_TPU_NO_PALLAS")
+            and not os.environ.get("CERES_TPU_NO_PALLAS_CHOL")):
         from ..ops.pallas_kernels import chol_solve_small
         return chol_solve_small(S, rhs)
     c, lower = jsl.cho_factor(S)

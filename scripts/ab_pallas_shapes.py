@@ -304,6 +304,115 @@ def ab_auto_circle(npoints=100000):
         "auto-circle", build, {"CERES_TPU_NO_PALLAS_LINEARIZE": "1"})
 
 
+def ab_auto_foe_linearize(size=96):
+    """FoE bucket LINEARIZE A/B (autojet emitter vs jacfwd) on the real
+    denoising problem — the VERDICT r3/r4 done-criterion shape (many
+    tangent channels)."""
+    import numpy as np
+    DATA = "/root/reference/data"
+    if not os.path.exists(os.path.join(DATA, "2x2.foe")):
+        print("  (reference data unavailable; skipping FoE auto A/B)")
+        return None
+    from ceres_tpu.examples.denoising import (FieldsOfExperts,
+                                              build_denoising_problem)
+    from ceres_tpu.io.pgm import read_pgm
+    from ceres_tpu.program import CompiledProgram
+    img = np.asarray(read_pgm(os.path.join(DATA, "ceres_noisy.pgm"))
+                     [:size, :size], dtype=np.float64)
+    foe = FieldsOfExperts(os.path.join(DATA, "2x2.foe"))
+    print(f"auto-foe: {size}x{size} crop", flush=True)
+
+    def build():
+        problem, _ = build_denoising_problem(img, foe)
+        return CompiledProgram(problem)
+
+    return _ab_bucket_linearize(
+        "auto-foe", build, {"CERES_TPU_NO_PALLAS_LINEARIZE": "1"})
+
+
+def ab_auto_dynamic(n=20000):
+    """DynamicAutoDiffCostFunction bucket linearize A/B at serving scale
+    (robot_pose_mle RangeConstraint, runtime-chosen block count) — the
+    dynamic-cost shape of the r3 done-criterion."""
+    import numpy as np
+    import ceres_tpu as ct
+    from ceres_tpu.cost import DynamicAutoDiffCostFunction
+    from ceres_tpu.examples.robot_pose_mle import RangeConstraint
+    from ceres_tpu.program import CompiledProgram
+    print(f"auto-dynamic: {n} range constraints", flush=True)
+
+    def build():
+        blocks = [np.array([0.5 + 0.01 * i]) for i in range(3)]
+        problem = ct.Problem()
+        for k in range(n):
+            cost = DynamicAutoDiffCostFunction(
+                RangeConstraint(10.0 + 0.001 * k, 0.01, 30.0))
+            for _ in range(3):
+                cost.add_parameter_block(1)
+            cost.set_num_residuals(1)
+            problem.add_residual_block(cost, None, *blocks)
+        return CompiledProgram(problem)
+
+    return _ab_bucket_linearize(
+        "auto-dynamic", build, {"CERES_TPU_NO_PALLAS_LINEARIZE": "1"})
+
+
+def ab_autolin_phase(nobs=83718):
+    """Full LIN-PHASE A/B on the Snavely hot shape: hand kernel vs the
+    FORCED auto-emitted folded-epilogue kernel (_lin_kernel_auto) vs the
+    generic jacfwd phase. 'Auto subsumes hand' means arm B ~ arm A."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import ceres_tpu as ct
+    from ceres_tpu.io.bal import (synthetic_bal_problem,
+                                  build_bal_ceres_problem)
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.solvers.schur import detect_schur_structure
+    from ceres_tpu.solvers.schur_fused import make_fused_schur_lm_step
+    ncam = max(4, nobs // 5232)
+    npts = max(16, nobs // 4)
+    bal = synthetic_bal_problem(ncam, npts, nobs, seed=7, pixel_noise=1.0)
+    print(f"autolin-phase: {ncam} cams / {npts} pts / {nobs} obs",
+          flush=True)
+    opts = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        use_mixed_precision_solves=True, fused_iterations=True)
+    results = {}
+    for tag, env in [("hand", {}),
+                     ("auto", {"CERES_TPU_AUTOLIN_FORCE": "1"}),
+                     ("jacfwd", {"CERES_TPU_NO_PALLAS_LIN": "1"})]:
+        for kk, vv in env.items():
+            os.environ[kk] = vv
+        try:
+            problem, _, _ = build_bal_ceres_problem(bal)
+            prog = CompiledProgram.get_cached(problem, opts)
+            meta = detect_schur_structure(prog, opts)
+            lm = make_fused_schur_lm_step(prog, opts, meta)
+            x0 = jnp.asarray(prog.initial_state())
+            ones = jnp.ones((prog.num_effective,), prog.dtype)
+
+            def lin_cost(xx, _lm=lm, _ones=ones):
+                art = _lm.linearize(xx, _ones)
+                return art["cost"].astype(jnp.float32)
+
+            bound = prog.jit_with_consts(lin_cost, (x0,))
+            per = _time_chained(lambda xx: bound(xx), x0)
+            results[tag] = per
+            print(f"  {tag:7s} lin phase: {per*1e3:.3f} ms/call "
+                  f"(pallas_lin={lm.pallas_lin})", flush=True)
+        finally:
+            for kk in env:
+                del os.environ[kk]
+    if "hand" in results and "auto" in results:
+        print(f"  autolin-phase auto/hand ratio: "
+              f"{results['auto']/results['hand']:.2f}x "
+              f"(jacfwd/auto speedup: "
+              f"{results['jacfwd']/results['auto']:.2f}x)", flush=True)
+    return results
+
+
 def main():
     import jax
     print("devices:", jax.devices(), flush=True)
@@ -313,11 +422,21 @@ def main():
         num_poses = int(sys.argv[sys.argv.index("--poses") + 1])
     if "--img" in sys.argv:
         img = int(sys.argv[sys.argv.index("--img") + 1])
-    ab_pose3d(num_poses)
-    ab_pose2d(num_poses)
-    ab_foe(img)
-    ab_auto_snavely()
-    ab_auto_circle()
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    steps = [("pose3d", lambda: ab_pose3d(num_poses)),
+             ("pose2d", lambda: ab_pose2d(num_poses)),
+             ("foe", lambda: ab_foe(img)),
+             ("auto_snavely", ab_auto_snavely),
+             ("auto_circle", ab_auto_circle),
+             ("auto_foe", ab_auto_foe_linearize),
+             ("auto_dynamic", ab_auto_dynamic),
+             ("autolin_phase", ab_autolin_phase)]
+    for name, fn in steps:
+        if only and name not in only:
+            continue
+        fn()
 
 
 if __name__ == "__main__":
