@@ -116,7 +116,7 @@ def run_config(ct, problem, cams, pts, cam0, pt0, make_options, label):
     # PRIMARY metric: timed solves on the default path (x downloaded +
     # written back inside the solve) — what the reference anchor times.
     wb_times = []
-    for trial in range(3):
+    for trial in range(5):
         reset()
         s_wb = ct.solve(make_options(), problem)
         wb_times.append(s_wb.minimizer_time_in_seconds
@@ -128,11 +128,17 @@ def run_config(ct, problem, cams, pts, cam0, pt0, make_options, label):
         assert abs(s_wb.final_cost - summary.final_cost) \
             <= 1e-9 * max(1.0, abs(summary.final_cost)), \
             "deferred and eager solves disagree on final cost"
-    wall_writeback = sorted(wb_times)[len(wb_times) // 2]
+    srt = sorted(wb_times)
+    wall_writeback = srt[len(srt) // 2]
+    # spread diagnostics (VERDICT r4 item 10: 0.37 s spikes in a 0.074 s
+    # median went unexplained) — p90/p50 > 1.5 flags the run
+    p90 = srt[min(len(srt) - 1, int(0.9 * len(srt)))]
     log(f"[{label}] write_back(): {writeback_s:.4f}s; eager-writeback "
-        f"median: {wall_writeback:.4f}s")
+        f"median: {wall_writeback:.4f}s  p90: {p90:.4f}s"
+        + ("  [OUTLIERS: p90 > 1.5x p50]"
+           if p90 > 1.5 * wall_writeback else ""))
     return (sorted(times)[len(times) // 2], summary, warmup,
-            writeback_s, wall_writeback)
+            writeback_s, wall_writeback, srt)
 
 
 def probe_tpu(timeout_s=150.0) -> bool:
@@ -218,6 +224,23 @@ def main():
     from ceres_tpu.io.bal import synthetic_bal_problem, build_bal_ceres_problem
     log(f"devices: {jax.devices()}  (import {time.time()-t0:.1f}s)")
 
+    # Tunnel/compile-service spin-up, measured SEPARATELY from warmup_s:
+    # after ~20+ min of inactivity the remote compile+execute service
+    # takes minutes to serve its first request of a session (measured
+    # 267-587 s across rounds 4-5 for the same program that compiles in
+    # 10-20 s against a busy service). A trivial jit isolates that
+    # infrastructure cost from the framework's own compile time.
+    t0 = time.time()
+    try:
+        import jax.numpy as _jnp
+        jax.block_until_ready(jax.jit(lambda x: (x @ x).sum())(
+            _jnp.ones((256, 256), _jnp.float32)))
+        spinup_s = time.time() - t0
+        log(f"tunnel spin-up (trivial jit compile+exec): {spinup_s:.1f}s")
+    except Exception as e:
+        spinup_s = None
+        log(f"tunnel spin-up probe failed: {e}")
+
     solver_name = os.environ.get("BENCH_SOLVER", "DENSE_SCHUR")
     shape = SHAPE
     if os.environ.get("BENCH_SMALL"):
@@ -250,7 +273,8 @@ def main():
     pt0 = [p.copy() for p in pts]
 
     # ---- primary config (DENSE_SCHUR, the reference anchor) ----
-    wall, summary, warmup, writeback_s, wall_writeback = run_config(
+    (wall, summary, warmup, writeback_s, wall_writeback,
+     wb_sorted) = run_config(
         ct, problem, cams, pts, cam0, pt0, make_options, solver_name)
     iters = max(summary.num_iterations, 1)
     per_iter = summary.minimizer_time_in_seconds / iters
@@ -262,8 +286,14 @@ def main():
         "lm_iterations": int(summary.num_iterations),
         "final_cost": float(f"{summary.final_cost:.6e}"),
         "warmup_s": round(warmup, 2),
+        **({"tunnel_spinup_s": round(spinup_s, 1)}
+           if spinup_s is not None else {}),
         "writeback_s": round(writeback_s, 4),
         "wall_writeback_s": round(wall_writeback, 4),
+        "eager_p50_s": round(wb_sorted[len(wb_sorted) // 2], 4),
+        "eager_p90_s": round(
+            wb_sorted[min(len(wb_sorted) - 1,
+                          int(0.9 * len(wb_sorted)))], 4),
         "serving_wall_s": round(wall, 4),
         "vs_baseline_serving": round(BASELINE_WALL_S / wall, 3),
     }
@@ -330,7 +360,8 @@ def main():
             log(f"roofline accounting failed: {e}")
 
     # ---- pipelined device throughput (tunnel fixed costs amortized) ----
-    def device_rate(name, opts_override=None, want_lin_iters=False):
+    def device_rate(name, opts_override=None, want_lin_iters=False,
+                    want_iters=False):
         """Per-solve device wall with 8 solves dispatched back-to-back
         before one sync: each dispatch re-executes the FULL fused LM
         solve; the tunnel's fixed per-call costs amortize away."""
@@ -379,35 +410,92 @@ def main():
             log(f"  (device-rate trajectories differ: {iters})")
         if want_lin_iters:
             return dt, float(np.median([s[7] for s in stats]))
+        if want_iters:
+            # the per-iteration denominator must come from THESE
+            # trajectories (the perturbed inputs often take more LM
+            # iterations than the headline solve — dividing by the
+            # headline count overstated achieved_step_ms by ~1.5x)
+            return dt, float(np.median(iters))
         return dt
 
     try:
-        dev = device_rate(solver_name)
-        if dev:
+        dev_pair = device_rate(solver_name, want_iters=True)
+        if dev_pair:
+            dev, dev_iters = dev_pair
             extras["device_solve_s"] = round(dev, 4)
             extras["device_solves_per_s"] = round(1.0 / dev, 2)
-            log(f"  pipelined device solve: {dev:.4f}s/solve "
+            extras["device_rate_lm_iterations"] = dev_iters
+            log(f"  pipelined device solve: {dev:.4f}s/solve over "
+                f"{dev_iters:.0f} LM iters "
                 f"({1.0/dev:.1f} full LM solves/s; reference CPU "
                 f"{1.0/BASELINE_WALL_S:.1f}/s)")
     except Exception as e:
         log(f"pipelined throughput measurement failed: {e}")
+
+    # ---- marginal per-iteration cost (roofline numerator): two pinned
+    # iteration budgets (zero tolerances, so BOTH runs take exactly
+    # max_num_iterations) differenced — the per-DISPATCH runtime floor
+    # (~3.4 ms/execution on the tunneled axon runtime, measured with a
+    # 0-iteration solve) cancels, leaving the true per-LM-iteration
+    # execution time. The floor itself is reported as dispatch_floor_ms
+    # (an infrastructure constant, not per-iteration work — a K-solve
+    # serving batch pays it once per dispatch, not per iteration).
+    if not os.environ.get("BENCH_SKIP_MFU"):
+        try:
+            import dataclasses as _dc
+            pins = []
+            for N in (6, 18):
+                opts_n = _dc.replace(
+                    make_options(), max_num_iterations=N,
+                    function_tolerance=0.0, gradient_tolerance=0.0,
+                    parameter_tolerance=0.0)
+                d_n, it_n = device_rate(solver_name,
+                                        opts_override=opts_n,
+                                        want_iters=True)
+                pins.append((d_n, it_n))
+            (d1, i1), (d2, i2) = pins
+            if i2 > i1 and d2 > d1:
+                slope = (d2 - d1) / (i2 - i1)
+                extras["marginal_step_ms"] = round(1e3 * slope, 3)
+                extras["dispatch_floor_ms"] = round(
+                    1e3 * max(d1 - slope * i1, 0.0), 2)
+                log(f"  marginal LM step: {1e3*slope:.3f} ms "
+                    f"(N={i1:.0f}->{i2:.0f}: {d1*1e3:.1f}->"
+                    f"{d2*1e3:.1f} ms; dispatch floor "
+                    f"{extras['dispatch_floor_ms']} ms/execution)")
+            else:
+                extras["step_slope_inconclusive"] = True
+                log(f"  marginal-step A/B INCONCLUSIVE: "
+                    f"{d1:.4f}@{i1:.0f} -> {d2:.4f}@{i2:.0f}")
+        except Exception as e:
+            log(f"marginal-step measurement failed: {e}")
 
     # finish the roofline numbers with the measured device rate
     roofline = extras.pop("_roofline", None)
     if roofline and extras.get("device_solve_s") and extras.get(
             "bytes_per_iter"):
         hbm_peak, flop_peak = roofline
-        dev_iter_s = extras["device_solve_s"] / max(
-            extras["lm_iterations"], 1)
+        # achieved step = the MARGINAL per-iteration execution time when
+        # the pinned A/B produced one (the whole-dispatch division keeps
+        # the per-execution runtime floor in the numerator and is
+        # reported alongside as achieved_step_incl_dispatch_ms)
+        dev_iter_incl = extras["device_solve_s"] / max(
+            extras.get("device_rate_lm_iterations",
+                       extras["lm_iterations"]), 1)
+        dev_iter_s = extras.get("marginal_step_ms",
+                                1e3 * dev_iter_incl) / 1e3
         sol_s = extras["bytes_per_iter"] / hbm_peak
         extras["sol_step_ms"] = round(1e3 * sol_s, 3)
         extras["achieved_step_ms"] = round(1e3 * dev_iter_s, 3)
+        extras["achieved_step_incl_dispatch_ms"] = round(
+            1e3 * dev_iter_incl, 3)
         extras["hbm_util_pct"] = round(100.0 * sol_s / dev_iter_s, 2)
         extras["flops_util_pct"] = round(
             100.0 * extras["flops_per_iter"] / dev_iter_s / flop_peak, 3)
         log(f"  roofline: bandwidth-bound ideal {1e3*sol_s:.3f} ms/step vs "
-            f"achieved {1e3*dev_iter_s:.3f} ms ({extras['hbm_util_pct']}% "
-            f"of HBM speed-of-light); "
+            f"achieved {1e3*dev_iter_s:.3f} ms marginal "
+            f"({extras['hbm_util_pct']}% of HBM speed-of-light; "
+            f"{1e3*dev_iter_incl:.3f} ms incl. dispatch floor); "
             f"{extras['flops_per_iter']/dev_iter_s/1e12:.3f} TFLOP/s "
             f"({extras['flops_util_pct']}% of bf16 peak)")
 
@@ -450,13 +538,14 @@ def main():
     # ---- ITERATIVE_SCHUR + SCHUR_JACOBI (driver BASELINE config) ----
     if not os.environ.get("BENCH_SKIP_ITERATIVE"):
         try:
-            it_wall, it_summary, it_warm, _, _ = run_config(
+            it_wall, it_summary, it_warm, _, it_wb, _ = run_config(
                 ct, problem, cams, pts, cam0, pt0,
                 lambda: make_options("ITERATIVE_SCHUR"), "ITERATIVE_SCHUR")
             extras["iterative_warmup_s"] = round(it_warm, 2)
             tot_cg = it_summary.num_linear_solver_iterations \
                 or it_summary.num_linear_solves
             extras["iterative_wall_s"] = round(it_wall, 4)
+            extras["iterative_eager_wall_s"] = round(it_wb, 4)
             extras["pcg_iters_per_s"] = round(
                 float(tot_cg) / max(it_summary.minimizer_time_in_seconds,
                                     1e-9), 1)
@@ -523,7 +612,12 @@ def main():
                         f"); analytic {cg_bytes/1e3:.0f} KB/apply -> "
                         f"{extras['pcg_hbm_util_pct']}% of HBM SoL")
                 else:
-                    log(f"  PCG apply A/B inconclusive (contention?): "
+                    # LOUD failure in the JSON, not silent omission
+                    # (VERDICT r4: a broken roofline shipped unnoticed
+                    # because the guard only logged to stderr)
+                    extras["pcg_ab_inconclusive"] = True
+                    log(f"  PCG apply A/B INCONCLUSIVE — fields omitted, "
+                        f"pcg_ab_inconclusive=true in the JSON: "
                         f"K={ks[0]}->{ks[1]}: {devs[0]:.4f}->{devs[1]:.4f}"
                         f" s, cg {cgs[0]:.0f}->{cgs[1]:.0f}")
             except Exception as e:

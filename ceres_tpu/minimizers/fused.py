@@ -138,13 +138,21 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
                 # outside-the-loop cost0; later: the accepted candidate's
                 # cost) — carried into the linearize so the lin phase
                 # skips its own f64 residual pass.
-                art = jax.lax.cond(
-                    s["relin"],
-                    lambda _: step_impl.linearize_carry(
+                import os as _os
+                if _os.environ.get("CERES_TPU_NO_RELIN_COND"):
+                    # A/B knob: unconditional relinearize (pays the lin
+                    # phase on rejected steps, skips the conditional)
+                    art = step_impl.linearize_carry(
                         s["x"], s["art"]["s_e"], s["art"]["s_f"],
-                        s["iter"] == 0, s["cost"]),
-                    lambda _: s["art"],
-                    operand=None)
+                        s["iter"] == 0, s["cost"])
+                else:
+                    art = jax.lax.cond(
+                        s["relin"],
+                        lambda _: step_impl.linearize_carry(
+                            s["x"], s["art"]["s_e"], s["art"]["s_f"],
+                            s["iter"] == 0, s["cost"]),
+                        lambda _: s["art"],
+                        operand=None)
                 out = step_impl.solve_from(art, s["radius"])
             else:
                 art = None

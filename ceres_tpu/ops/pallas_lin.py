@@ -185,48 +185,71 @@ def _lin_kernel(xf_ref, xe_ref, oh_ref, mask_ref,
 
     # ---- F^T F block diagonal + f gradient (grid-accumulated) ----
     # ftf[c, t*tf+u] = sum_{r,k,n} oh[c,k,n] Jf[r,t][k,n] Jf[r,u][k,n].
-    # Built per tile as [kf, tf*tf] via one [kf, 1] column per channel
-    # pair (2-D throughout — Mosaic-friendly), then one accumulate.
     # Folding this in-kernel removes the [n, k, tf, tf] Gram
     # materialization (and its ~230 MB/iteration of HBM traffic) that
-    # the XLA one-hot einsum path could not avoid (dot operands are not
-    # fused into their producers).
-    oh = oh_ref[...]                                   # [kf, k, T]
-    ftf_cols = [None] * (tf * tf)
+    # the XLA one-hot einsum path could not avoid. The fold itself runs
+    # on the MXU: all tf*(tf+1)/2 pair planes + the tf gradient planes
+    # are stacked into one [npair+tf, k, T] tensor and contracted
+    # against the one-hot lanewise with k dots [kf, T] x [T, npair+tf]
+    # at HIGHEST precision (exact f32: oh is 0/1) — the VPU
+    # masked-reduce formulation (45 x [kf, k, T] multiply-reduces) was
+    # ~0.47 ms/iteration of the kernel's 0.67 at BAL-16; the MXU fold
+    # measures 0.29 total (benchmarks/hw_r5/lin_isolate).
+    _fold_ftf_gf_mxu(oh_ref, rcols, rvals, ftf_ref, gf_ref, mask,
+                     tf=tf, kf=kf, k=k, fo=fo, R=2)
+
+
+def _fold_ftf_gf_mxu(oh_ref, rcols, rvals, ftf_ref, gf_ref, mask,
+                     *, tf, kf, k, fo, R):
+    """MXU one-hot fold shared by the hand and auto LIN kernels: builds
+    the F-side pair planes P_tu = sum_r Jf_t Jf_u and gradient planes
+    G_t = sum_r Jf_t r, stacks them [npair+tf, k, T], and contracts
+    against the one-hot with k lane-slice dots (sum over rows =
+    contraction over T per sublane k). Accumulates into ftf/gf."""
+    zero_kt = jnp.zeros_like(mask)
+    P_list = []
     for t in range(tf):
         for u in range(t, tf):
             P = None
-            for r in range(2):
+            for r in range(R):
                 pt_ = rcols[r][fo + t]
                 pu_ = rcols[r][fo + u]
                 if pt_ is None or pu_ is None:
                     continue
                 term = pt_ * pu_
                 P = term if P is None else P + term
-            if P is None:
-                col = jnp.zeros((kf, 1), dtype=mask.dtype)
-            else:
-                col = (oh * P[None, :, :]).sum(axis=1).sum(
-                    axis=1, keepdims=True)             # [kf, 1]
-            ftf_cols[t * tf + u] = col
-            ftf_cols[u * tf + t] = col
-    ftf_ref[...] += jnp.concatenate(ftf_cols, axis=1)
-
-    gf_cols = []
+            P_list.append(P if P is not None else zero_kt)
+    G_list = []
     for t in range(tf):
         G = None
-        for r in range(2):
+        for r in range(R):
             pt_ = rcols[r][fo + t]
             if pt_ is None:
                 continue
             term = pt_ * rvals[r]
             G = term if G is None else G + term
-        if G is None:
-            gf_cols.append(jnp.zeros((kf, 1), dtype=mask.dtype))
-        else:
-            gf_cols.append((oh * G[None, :, :]).sum(axis=1).sum(
-                axis=1, keepdims=True))
-    gf_ref[...] += jnp.concatenate(gf_cols, axis=1)
+        G_list.append(G if G is not None else zero_kt)
+    Q = jnp.stack(P_list + G_list)                    # [npair+tf, k, T]
+    oh = oh_ref[...]                                   # [kf, k, T]
+    W = None
+    for kk in range(k):
+        d = jax.lax.dot_general(
+            oh[:, kk, :], Q[:, kk, :],
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)        # [kf, npair+tf]
+        W = d if W is None else W + d
+    npair = tf * (tf + 1) // 2
+    ftf_full = [None] * (tf * tf)
+    idx = 0
+    for t in range(tf):
+        for u in range(t, tf):
+            col = W[:, idx][:, None]
+            ftf_full[t * tf + u] = col
+            ftf_full[u * tf + t] = col
+            idx += 1
+    ftf_ref[...] += jnp.concatenate(ftf_full, axis=1)
+    gf_ref[...] += W[:, npair:]
 
 
 # ----------------------------------------------------------------------
@@ -351,43 +374,9 @@ def _lin_kernel_auto(xf_ref, xe_ref, oh_ref, mask_ref, dat_ref,
                     continue
                 a_ref[a, c * tf + t, :] = (gp * ohc).sum(axis=0) * se[a]
 
-    # ---- F^T F block diagonal + f gradient (grid-accumulated) ----
-    oh = oh_ref[...]
-    ftf_cols = [None] * (tf * tf)
-    for t in range(tf):
-        for u in range(t, tf):
-            P = None
-            for r in range(R):
-                pt_ = rcols[r][fo + t]
-                pu_ = rcols[r][fo + u]
-                if pt_ is None or pu_ is None:
-                    continue
-                term = pt_ * pu_
-                P = term if P is None else P + term
-            if P is None:
-                col = jnp.zeros((kf, 1), dtype=mask.dtype)
-            else:
-                col = (oh * P[None, :, :]).sum(axis=1).sum(
-                    axis=1, keepdims=True)
-            ftf_cols[t * tf + u] = col
-            ftf_cols[u * tf + t] = col
-    ftf_ref[...] += jnp.concatenate(ftf_cols, axis=1)
-
-    gf_cols = []
-    for t in range(tf):
-        G = None
-        for r in range(R):
-            pt_ = rcols[r][fo + t]
-            if pt_ is None:
-                continue
-            term = pt_ * rvals[r]
-            G = term if G is None else G + term
-        if G is None:
-            gf_cols.append(jnp.zeros((kf, 1), dtype=mask.dtype))
-        else:
-            gf_cols.append((oh * G[None, :, :]).sum(axis=1).sum(
-                axis=1, keepdims=True))
-    gf_ref[...] += jnp.concatenate(gf_cols, axis=1)
+    # ---- F^T F block diagonal + f gradient (MXU fold, grid-accum) ----
+    _fold_ftf_gf_mxu(oh_ref, rcols, rvals, ftf_ref, gf_ref, mask,
+                     tf=tf, kf=kf, k=k, fo=fo, R=R)
 
 
 # ----------------------------------------------------------------------
@@ -425,6 +414,96 @@ def _elim_kernel(a_ref, inv_ref, z_ref, scorr_ref, rhsa_ref, *, te, nf):
                                 preferred_element_type=jnp.float32)
         sc = d if sc is None else sc + d
         r = jnp.sum(A[u] * z_ref[u, :][None, :], axis=1, keepdims=True)
+        rh = r if rh is None else rh + r
+    scorr_ref[...] += sc
+    rhsa_ref[...] += rh
+
+
+def _elim2_kernel(a_ref, etes_ref, gse_ref, diag_ref, rad_ref,
+                  scorr_ref, rhsa_ref, inv_ref, z_ref, *, te, nf):
+    """ELIM v2: the damped elimination WITH the per-point damping,
+    closed-form SPD inverse (te <= 3), and z = inv b_e computed
+    IN-KERNEL from the scaled Gram planes — removing the ~20-op XLA
+    small-tensor chain (EtE_d build, cofactor inverse, z einsum, two
+    plane transposes) that ran between the LIN and ELIM kernels on
+    every damped solve.
+
+      a    [te, nf, T]   E-scaled cross planes (lin kernel output)
+      etes [te*te, T]    SCALED E-side Gram planes (s_e EtE s_e)
+      gse  [te, T]       SCALED e gradient planes (g_e * s_e)
+      diag [te, T]       clipped scaled diagonal (LM damping source)
+      rad  [1] SMEM      trust-region radius (f32)
+    outs:
+      scorr [nf, nf], rhsa [nf, 1]   (grid-accumulated)
+      inv   [te*te, T]   damped inverse planes (for the back-sub)
+      z     [te, T]      inv * b_e planes
+    """
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        scorr_ref[...] = jnp.zeros_like(scorr_ref)
+        rhsa_ref[...] = jnp.zeros_like(rhsa_ref)
+
+    rad = rad_ref[0]
+    m = {}
+    for a in range(te):
+        for b in range(a, te):
+            v = etes_ref[a * te + b, :]
+            if a == b:
+                v = v + diag_ref[a, :] / rad
+            m[(a, b)] = v
+
+    if te == 1:
+        inv = {(0, 0): 1.0 / m[(0, 0)]}
+    elif te == 2:
+        det = m[(0, 0)] * m[(1, 1)] - m[(0, 1)] * m[(0, 1)]
+        invdet = 1.0 / det
+        inv = {(0, 0): m[(1, 1)] * invdet,
+               (0, 1): -m[(0, 1)] * invdet,
+               (1, 1): m[(0, 0)] * invdet}
+    else:
+        a_, b_, c_ = m[(0, 0)], m[(0, 1)], m[(0, 2)]
+        d_, e_, f_ = m[(1, 1)], m[(1, 2)], m[(2, 2)]
+        co00 = d_ * f_ - e_ * e_
+        co01 = c_ * e_ - b_ * f_
+        co02 = b_ * e_ - c_ * d_
+        co11 = a_ * f_ - c_ * c_
+        co12 = b_ * c_ - a_ * e_
+        co22 = a_ * d_ - b_ * b_
+        det = a_ * co00 + b_ * co01 + c_ * co02
+        invdet = 1.0 / det
+        inv = {(0, 0): co00 * invdet, (0, 1): co01 * invdet,
+               (0, 2): co02 * invdet, (1, 1): co11 * invdet,
+               (1, 2): co12 * invdet, (2, 2): co22 * invdet}
+
+    def ie(i, j):
+        return inv[(i, j) if i <= j else (j, i)]
+
+    inv_ref[...] = jnp.stack([ie(i, j) for i in range(te)
+                              for j in range(te)])
+    z_rows = []
+    for i in range(te):
+        acc = None
+        for j in range(te):
+            t = ie(i, j) * (-gse_ref[j, :])
+            acc = t if acc is None else acc + t
+        z_rows.append(acc)
+    z_ref[...] = jnp.stack(z_rows)
+
+    A = [a_ref[u] for u in range(te)]
+    sc = None
+    rh = None
+    for u in range(te):
+        Yu = None
+        for v in range(te):
+            term = A[v] * ie(u, v)[None, :]
+            Yu = term if Yu is None else Yu + term
+        d = jax.lax.dot_general(A[u], Yu, (((1,), (1,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        sc = d if sc is None else sc + d
+        r = jnp.sum(A[u] * z_rows[u][None, :], axis=1, keepdims=True)
         rh = r if rh is None else rh + r
     scorr_ref[...] += sc
     rhsa_ref[...] += rh
@@ -535,13 +614,15 @@ def _probe(tag, call, probe_args, shape_key):
 
 
 class _PallasLin:
-    """Callable bundle: .lin(x, s_e, first) and .elim(A_eT, inv, z)
-    (elim is None when the Mosaic compiler rejected the elim kernel —
-    the caller keeps the XLA eliminate over A_eT)."""
+    """Callable bundle: .lin(x, s_e, first), .elim(A_eT, inv, z), and
+    .elim2(A_eT, etes_t, gse_t, diag_t, rad) (each None when the Mosaic
+    compiler rejected that kernel — the caller keeps the corresponding
+    XLA path)."""
 
-    def __init__(self, lin, elim, ne_pad):
+    def __init__(self, lin, elim, ne_pad, elim2=None):
         self.lin = lin
         self.elim = elim
+        self.elim2 = elim2
         self.ne_pad = ne_pad
 
 
@@ -752,6 +833,32 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         interpret=interp,
     )
 
+    e2kern = functools.partial(_elim2_kernel, te=te, nf=nf)
+    raw_elim2 = pl.pallas_call(
+        e2kern,
+        grid=(grid,),
+        in_specs=[
+            bspec((te, nf, tile), lambda i: (0, 0, i)),     # A_e^T
+            bspec((te * te, tile), lambda i: (0, i)),       # EtE_s planes
+            bspec((te, tile), lambda i: (0, i)),            # g_se planes
+            bspec((te, tile), lambda i: (0, i)),            # diag planes
+            smem((1,)),                                     # radius
+        ],
+        out_specs=[
+            accspec((nf, nf)),
+            accspec((nf, 1)),
+            bspec((te * te, tile), lambda i: (0, i)),       # inv planes
+            bspec((te, tile), lambda i: (0, i)),            # z planes
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nf, nf), jnp.float32),
+            jax.ShapeDtypeStruct((nf, 1), jnp.float32),
+            jax.ShapeDtypeStruct((te * te, ne_pad), jnp.float32),
+            jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+        ],
+        interpret=interp,
+    )
+
     def lin_call(*a):
         # Trace the pallas_call with x64 scoped OFF: under jax_enable_x64
         # the pallas grid/index-map plumbing emits i64 scalars the Mosaic
@@ -856,6 +963,10 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
             "FtF": ftf.reshape(kf, tf, tf),
             "g_f": gf,
             "ne_pad": ne_pad,
+            # raw plane forms (no transposes) for the elim2 solve tail
+            "ete_t": ete_t,
+            "ge_t": ge_t,
+            "se_t": se_o,
         }
 
     def elim(a_t, inv_t, z_t):
@@ -864,7 +975,19 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
                                 z_t.astype(jnp.float32))
         return scorr, rhsa[:, 0]
 
+    def elim2_call(*a):
+        with jax.enable_x64(False):
+            return raw_elim2(*a)
+
+    def elim2(a_t, etes_t, gse_t, diag_t, rad):
+        scorr, rhsa, inv_t, z_t = elim2_call(
+            a_t.astype(jnp.float32), etes_t.astype(jnp.float32),
+            gse_t.astype(jnp.float32), diag_t.astype(jnp.float32),
+            rad.astype(jnp.float32).reshape(1))
+        return scorr, rhsa[:, 0], inv_t, z_t
+
     have_elim = True
+    have_elim2 = te <= 3
     if not interp:
         probe_elim = [
             jax.ShapeDtypeStruct((te, nf, ne_pad), jnp.float32),
@@ -874,5 +997,17 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
         have_elim = _probe("pelim", elim_call, probe_elim,
                            (te, nf, tile, ne_pad,
                             jax.default_backend()))
+        if have_elim2:
+            probe_elim2 = [
+                jax.ShapeDtypeStruct((te, nf, ne_pad), jnp.float32),
+                jax.ShapeDtypeStruct((te * te, ne_pad), jnp.float32),
+                jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+                jax.ShapeDtypeStruct((te, ne_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1,), jnp.float32),
+            ]
+            have_elim2 = _probe("pelim2", elim2_call, probe_elim2,
+                                (te, nf, tile, ne_pad,
+                                 jax.default_backend()))
 
-    return _PallasLin(lin, elim if have_elim else None, ne_pad)
+    return _PallasLin(lin, elim if have_elim else None, ne_pad,
+                      elim2=elim2 if have_elim2 else None)

@@ -457,6 +457,17 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
             return _lin_phase_pallas(x, s_e, s_f, first, known_cost)
         return _lin_phase_generic(x, s_e, s_f, first, known_cost)
 
+    # elim2 plane mode: the full solve tail (damping, inverse, z,
+    # back-substitution inputs, mcc) stays in the LIN kernel's PLANE
+    # layout, and the per-point damped inverse runs INSIDE the elim2
+    # kernel — no [ne, te, te] tensors, no transposes, ~25 fewer XLA
+    # fusions per damped solve. Flagship (DENSE mixed) only; the
+    # iterative-explicit and bounds paths keep the tensor art.
+    use_planes = (plin is not None and plin.elim2 is not None
+                  and not iterative and mixed
+                  and not program.has_bounds
+                  and not os.environ.get("CERES_TPU_NO_PALLAS_ELIM2"))
+
     def _lin_phase_pallas(x, s_e_in, s_f_in, first, known_cost=None):
         bk = program.buckets[0]
         if known_cost is not None:
@@ -469,23 +480,56 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
                                      dtype=dtype) + jnp.sum(cost)
 
         out = plin.lin(x, s_e_in, first)
-        EtE, g_e = out["EtE"], out["g_e"]        # [ne_pad, ...], pad rows 0
         s_e = out["s_e"]              # resolved IN-KERNEL (pad rows 1)
         A_eT = out["A_eT"]            # [te, kf*tf, ne_pad], e-scaled
         FtF, g_f = out["FtF"], out["g_f"]        # grid-accumulated
 
-        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
         cn_f = jnp.diagonal(FtF, axis1=-2, axis2=-1)
+        diag_f_of = lambda s_f: jnp.clip(s_f * s_f * cn_f,   # noqa: E731
+                                         min_diag, max_diag)
+        g_f_flat = g_f.reshape(kf * tf)
+
+        if use_planes:
+            ete_t, ge_t, se_t = out["ete_t"], out["ge_t"], out["se_t"]
+            if first is None:
+                s_f = s_f_in
+            elif not use_jacobi_scaling:
+                s_f = jnp.ones_like(cn_f)
+            else:
+                s_f = jnp.where(first, 1.0 / (1.0 + jnp.sqrt(cn_f)),
+                                s_f_in)
+            se_outer = (se_t[:, None, :] * se_t[None, :, :]
+                        ).reshape(te * te, -1)
+            etes_t = ete_t * se_outer
+            gse_t = ge_t * se_t
+            cn_t = jnp.stack([ete_t[a * te + a] for a in range(te)])
+            diag_t = jnp.clip(se_t * se_t * cn_t, min_diag, max_diag)
+            grad_max = jnp.maximum(jnp.max(jnp.abs(ge_t)),
+                                   jnp.max(jnp.abs(g_f_flat))
+                                   ).astype(dtype)
+            grad_norm = jnp.sqrt(jnp.vdot(ge_t, ge_t)
+                                 + jnp.vdot(g_f_flat, g_f_flat)
+                                 ).astype(dtype)
+            return dict(cost=total_cost, A_eT=A_eT,
+                        etes_t=etes_t, gse_t=gse_t, diag_t=diag_t,
+                        se_t=se_t, s_e=s_e, s_f=s_f,
+                        sA=s_f.reshape(kf * tf),
+                        FtF_s=FtF * (s_f[:, :, None] * s_f[:, None, :]),
+                        g_sf=(g_f * s_f).reshape(kf * tf),
+                        diag_f=diag_f_of(s_f),
+                        grad_max=grad_max, grad_norm=grad_norm)
+
+        EtE, g_e = out["EtE"], out["g_e"]        # [ne_pad, ...], pad rows 0
+        cn_e = jnp.diagonal(EtE, axis1=-2, axis2=-1)
         _, s_f = _resolve_scale(cn_e, cn_f, s_e, s_f_in, first)
         diag_e = jnp.clip(s_e * s_e * cn_e, min_diag, max_diag)
-        diag_f = jnp.clip(s_f * s_f * cn_f, min_diag, max_diag)
+        diag_f = diag_f_of(s_f)
         EtE_s = EtE * (s_e[:, :, None] * s_e[:, None, :])
         FtF_s = FtF * (s_f[:, :, None] * s_f[:, None, :])
         sA = s_f.reshape(kf * tf)
         g_se = g_e * s_e
         g_sf = (g_f * s_f).reshape(kf * tf)
 
-        g_f_flat = g_f.reshape(kf * tf)
         grad_max = jnp.maximum(jnp.max(jnp.abs(g_e)),
                                jnp.max(jnp.abs(g_f_flat))).astype(dtype)
         grad_norm = jnp.sqrt(jnp.vdot(g_e, g_e)
@@ -745,6 +789,8 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
         return art
 
     def _solve_phase(art, radius):
+        if "etes_t" in art:
+            return _solve_phase_planes(art, radius)
         total_cost = art["cost"]
         EtE_s, FtF_s = art["EtE_s"], art["FtF_s"]
         A_s = art.get("A_s")
@@ -1065,6 +1111,62 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
         if program.has_bounds:
             out["gradient_full"] = art["grad_full"]
         return out
+
+    def _solve_phase_planes(art, radius):
+        """Damped solve with everything e-sided in PLANE layout: one
+        elim2 kernel (damp + inverse + z + S_corr/rhs), the dense
+        reduced solve, and a plane-form back-substitution/mcc — the
+        [ne, te, te] tensors and their transposes never exist."""
+        total_cost = art["cost"]
+        A_eT = art["A_eT"]
+        gse_t, diag_t = art["gse_t"], art["diag_t"]
+        se_t = art["se_t"]
+        s_f, sA = art["s_f"], art["sA"]
+        FtF_s, g_sf, diag_f = art["FtF_s"], art["g_sf"], art["diag_f"]
+
+        rad = radius.astype(work_dtype)
+        scorr_u, rhsa_u, inv_t, z_t = plin.elim2(
+            A_eT, art["etes_t"], gse_t, diag_t, rad)
+        b_f = -g_sf
+        rhs = b_f - sA * rhsa_u
+        S_corr = scorr_u * (sA[:, None] * sA[None, :])
+        D2_f = diag_f / rad
+        ii = jnp.arange(kf)
+        S = (-S_corr).reshape(kf, tf, kf, tf).at[ii, :, ii, :].add(
+            FtF_s + D2_f[..., None] * jnp.eye(tf, dtype=work_dtype)
+        ).reshape(kf * tf, kf * tf)
+        y = _spd_solve_dense(S, rhs)
+        lin_iters = jnp.asarray(1, dtype=jnp.int32)
+
+        # back-substitute in planes: d_e = inv (b_e - A y)
+        Ay_t = _einsum("ufn,f->un", A_eT, sA * y)       # [te, ne_pad]
+        bmA = -gse_t - Ay_t
+        inv_r = inv_t.reshape(te, te, -1)
+        d_e_t = _einsum("ijn,jn->in", inv_r, bmA)       # [te, ne_pad]
+
+        d_dot_g = jnp.sum(d_e_t * gse_t) + jnp.vdot(y, g_sf)
+        Dd_sq = jnp.sum((diag_t / rad) * d_e_t * d_e_t) \
+            + jnp.sum(D2_f.reshape(kf * tf) * y * y)
+        # exact direct solve: ||J_s d||^2 = d.b - ||D d||^2
+        Jd_sq = -d_dot_g - Dd_sq
+        mcc = -(d_dot_g + 0.5 * Jd_sq)
+
+        delta_e_t = (se_t * d_e_t).astype(dtype)        # [te, ne_pad]
+        delta_f = (sA * y).astype(dtype)
+        delta = jnp.zeros((program.num_effective,), dtype=dtype)
+        delta = jax.lax.dynamic_update_slice(
+            delta, delta_e_t.T[:ne].reshape(-1), (e_slab,))
+        delta = jax.lax.dynamic_update_slice(delta, delta_f, (f_slab,))
+
+        return {
+            "cost": total_cost,
+            "gradient_max_norm": art["grad_max"],
+            "gradient_norm": art["grad_norm"],
+            "delta": delta,
+            "model_cost_change": mcc.astype(dtype),
+            "step_norm": jnp.linalg.norm(delta),
+            "lin_iters": lin_iters,
+        }
 
     def lm_step(x, radius, scale):
         return _solve_phase(_lin_phase(x, scale), radius)
