@@ -54,9 +54,31 @@ def main(argv=None):
             linear_solver_type=ct.LinearSolverType[solver],
             preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
             use_mixed_precision_solves=True,
-            max_num_iterations=150 if "--large" in sys.argv else 50,
+            # --large: 45 caps the single fused dispatch below the
+            # remote worker's execution watchdog (a 150-iteration
+            # dispatch at ~1.3 s/iteration crashed the worker twice in
+            # round 5); the problem converges in ~33-34 iterations.
+            max_num_iterations=45 if "--large" in sys.argv else 50,
             function_tolerance=1e-6,
-            max_linear_solver_iterations=100)
+            max_linear_solver_iterations=100,
+            fused_iterations=True)
+        if solver == "ITERATIVE_SCHUR":
+            # report which implicit-apply implementation is active
+            from ceres_tpu.program import CompiledProgram
+            from ceres_tpu.solvers.schur import detect_schur_structure
+            from ceres_tpu.solvers.schur_fused import (
+                fused_schur_supported, make_fused_schur_lm_step)
+            prog_probe = CompiledProgram.get_cached(problem, options)
+            meta_probe = detect_schur_structure(prog_probe, options)
+            if meta_probe is not None and fused_schur_supported(
+                    prog_probe, options, meta_probe):
+                step_probe = make_fused_schur_lm_step(
+                    prog_probe, options, meta_probe)
+                print(f"# fused={True} pallas_implicit="
+                      f"{getattr(step_probe, 'pallas_implicit', False)} "
+                      f"pallas_pcg="
+                      f"{getattr(step_probe, 'pallas_pcg', False)}",
+                      flush=True)
         cam0 = [c.copy() for c in cams]
         pt0 = [pp.copy() for pp in pts]
         s = ct.solve(options, problem)          # warmup (compile)

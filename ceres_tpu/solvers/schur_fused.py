@@ -330,13 +330,19 @@ def make_fused_schur_lm_step(program, options, meta, batched: bool = False):
              if plan["bs"].f_cols is not None
              and plan["bs"].e_slot is not None])
 
-        # Pallas CG-apply megakernel (ops/pallas_implicit.py): the
-        # common large-camera shape — ONE chunk-grouped e-bucket — runs
-        # each CG application as tf lane-aligned 1-D v-row gathers + one
-        # plane kernel + one camera-chunk reduce, instead of the XLA
-        # chain that materializes ~6 [ne, k, r, t] intermediates in HBM
-        # per application (measured 29 ms/apply at 1M observations).
+        # Pallas CG-apply megakernel (ops/pallas_implicit.py): runs each
+        # CG application as tf lane-aligned 1-D v-row gathers + one
+        # plane kernel + one camera-chunk reduce. MEASURED ON HARDWARE
+        # (round 5, 1024 cams / 1M obs, benchmarks/hw_r5): 217.9 ms per
+        # CG application vs 24.2 ms for the XLA chain it replaces — the
+        # kernel's 18 one-dimensional million-element gathers per
+        # application (9 v-row expansions + 9 output remaps) are ~9x
+        # more gather traffic than the XLA path's 2-3, and TPU gather
+        # throughput, not HBM bandwidth, is the binding constraint at
+        # this scale. OFF by default; CERES_TPU_PALLAS_IMPLICIT=1 opts
+        # in (small-problem interpret parity is still tested).
         if (mixed and not f64_rhs and len(bucket_plan) == 1
+                and os.environ.get("CERES_TPU_PALLAS_IMPLICIT")
                 and bucket_plan[0]["bs"].e_slot is not None
                 and bucket_plan[0]["bs"].f_cols is not None):
             from ..ops.pallas_implicit import make_pallas_implicit_apply

@@ -955,6 +955,7 @@ def test_pallas_implicit_apply_matches_generic(bal):
     scale = solver_mod.make_scale_fn(program, options)(x0)
     os.environ["CERES_TPU_FORCE_IMPLICIT"] = "1"
     os.environ["CERES_TPU_PALLAS_INTERPRET"] = "1"
+    os.environ["CERES_TPU_PALLAS_IMPLICIT"] = "1"   # opt-in (HW default off)
     os.environ["CERES_TPU_NO_PALLAS_LIN"] = "1"   # isolate the apply
     try:
         step = schur_fused.make_fused_schur_lm_step(program, options, meta)
@@ -971,6 +972,7 @@ def test_pallas_implicit_apply_matches_generic(bal):
     finally:
         del os.environ["CERES_TPU_FORCE_IMPLICIT"]
         del os.environ["CERES_TPU_PALLAS_INTERPRET"]
+        del os.environ["CERES_TPU_PALLAS_IMPLICIT"]
         del os.environ["CERES_TPU_NO_PALLAS_LIN"]
     for k in ["cost", "gradient_max_norm", "delta", "model_cost_change",
               "step_norm"]:
