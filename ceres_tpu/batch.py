@@ -40,10 +40,15 @@ from .program import CompiledProgram
 from .types import SolverSummary
 from .types import DumpFormatType, MinimizerType, TerminationType
 
-# Measured crossover on a TPU v5e (benchmarks/batch_benchmark.py): above
-# this many residuals a single solve keeps the chip busy enough that
-# asynchronously pipelined singles beat the lockstep vmapped batch.
-BATCH_CROSSOVER_RESIDUALS = 20000
+# Measured crossover on a TPU v5e (benchmarks/batch_benchmark.py
+# --sweep, captured benchmarks/hw_r5/batch_sweep.log): the vmapped
+# batch beat pipelined singles at EVERY measured size up to 88,000
+# residuals (batch 4.65 s vs pipeline 5.45 s at the top size; the
+# per-dispatch runtime floor of the tunneled device, ~3-5 ms per
+# execution, hits each pipelined single once but the batch only once
+# per K solves). The crossover is set past the measured range; override
+# with SolverOptions.batch_mode for workloads beyond it.
+BATCH_CROSSOVER_RESIDUALS = 200000
 
 # Structural template registry: the jitted batch/pipeline solve depends
 # only on the problems' STRUCTURE (block layout, const shapes, the

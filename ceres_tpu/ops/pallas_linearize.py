@@ -267,6 +267,15 @@ def _spec_for(program, bk):
     if not interp and bk.n < int(os.environ.get(
             "CERES_TPU_AUTOJET_MIN_ROWS", "64")):
         return None
+    # Few-tangent buckets keep jacfwd on real hardware: the jet kernel's
+    # win comes from column SPARSITY of wide tangent spaces; round-5
+    # device A/B (hw_r5/ab_pallas_shapes2.log) measured circle-fit
+    # (nt=3) at 0.83x (a loss) and the dynamic range-constraint (nt=3)
+    # at 1.00x, vs Snavely (nt=12) 1.10-1.40x and SE3 (nt=12) wins.
+    nt_total = sum(sl.tangent_size for sl in bk.slots if sl.variable)
+    if not interp and nt_total < int(os.environ.get(
+            "CERES_TPU_AUTOJET_MIN_TANGENT", "6")):
+        return None
     return make_auto_spec(program, bk)
 
 

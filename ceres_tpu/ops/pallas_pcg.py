@@ -40,7 +40,7 @@ from ..utils import probecache
 __all__ = ["dense_pcg", "dense_pcg_available"]
 
 _PROBE_CACHE: dict = {}
-_KVER = 2
+_KVER = 3
 
 
 def _pcg_kernel(s_ref, minv_ref, b_ref, y_ref, st_ref, *,
@@ -53,14 +53,19 @@ def _pcg_kernel(s_ref, minv_ref, b_ref, y_ref, st_ref, *,
     i32 = jnp.int32
     fzero = jnp.zeros((), dtype=dt)
 
+    # HIGHEST precision: the MXU's default bf16 passes perturb the CG
+    # recurrence enough to change the outer LM trajectory on hardware
+    # (interpret-mode parity was exact f32 and did not catch it)
     def matvec(v):                                 # [1, P] @ [P, P] (S=S^T)
         return jax.lax.dot_general(
             v, S, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dt)
 
     def precond(v):
         return jax.lax.dot_general(
             v, Minv, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dt)
 
     def vdot(a, c):

@@ -135,7 +135,7 @@ def ab_pose2d(num_poses=20000):
     from ceres_tpu.io.g2o import synthetic_pose_graph_2d
     from ceres_tpu.program import CompiledProgram
 
-    poses, constraints = synthetic_pose_graph_2d(
+    poses, constraints, _ = synthetic_pose_graph_2d(
         num_poses=num_poses, seed=4, loop_every=7)
     print(f"pose-graph 2d: {num_poses} poses, {len(constraints)} "
           f"constraints", flush=True)
