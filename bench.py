@@ -444,15 +444,25 @@ def main():
         try:
             import dataclasses as _dc
             pins = []
-            for N in (6, 18):
+            # pins stay within the PRODUCTIVE iteration range (the
+            # problem converges at 6): forcing iterations past
+            # convergence yields rejected steps whose relinearize is a
+            # measurement artifact, not real per-iteration work. Each
+            # pin is measured twice and the MIN taken: the short span
+            # makes the slope sensitive to per-dispatch floor spikes.
+            for N in (2, 6):
                 opts_n = _dc.replace(
                     make_options(), max_num_iterations=N,
                     function_tolerance=0.0, gradient_tolerance=0.0,
                     parameter_tolerance=0.0)
-                d_n, it_n = device_rate(solver_name,
-                                        opts_override=opts_n,
-                                        want_iters=True)
-                pins.append((d_n, it_n))
+                best = None
+                for _rep in range(2):
+                    d_n, it_n = device_rate(solver_name,
+                                            opts_override=opts_n,
+                                            want_iters=True)
+                    if best is None or d_n < best[0]:
+                        best = (d_n, it_n)
+                pins.append(best)
             (d1, i1), (d2, i2) = pins
             if i2 > i1 and d2 > d1:
                 slope = (d2 - d1) / (i2 - i1)

@@ -138,14 +138,18 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
                 # outside-the-loop cost0; later: the accepted candidate's
                 # cost) — carried into the linearize so the lin phase
                 # skips its own f64 residual pass.
+                # Unconditional relinearize is the DEFAULT (round-5
+                # device A/B): the lax.cond that skipped the lin phase
+                # on rejected steps costs ~0.13 ms per iteration EVERY
+                # iteration (conditional + art-carry pass-through), while
+                # an extra linearize at the UNCHANGED x of a rejected
+                # step costs ~0.29 ms only on rejections — the cond only
+                # wins past ~45% rejection rates, far above observed
+                # trajectories (0-40%). Relinearizing at the same x is
+                # deterministic, so the trajectory is identical either
+                # way. CERES_TPU_RELIN_COND=1 restores the conditional.
                 import os as _os
-                if _os.environ.get("CERES_TPU_NO_RELIN_COND"):
-                    # A/B knob: unconditional relinearize (pays the lin
-                    # phase on rejected steps, skips the conditional)
-                    art = step_impl.linearize_carry(
-                        s["x"], s["art"]["s_e"], s["art"]["s_f"],
-                        s["iter"] == 0, s["cost"])
-                else:
+                if _os.environ.get("CERES_TPU_RELIN_COND"):
                     art = jax.lax.cond(
                         s["relin"],
                         lambda _: step_impl.linearize_carry(
@@ -153,6 +157,10 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
                             s["iter"] == 0, s["cost"]),
                         lambda _: s["art"],
                         operand=None)
+                else:
+                    art = step_impl.linearize_carry(
+                        s["x"], s["art"]["s_e"], s["art"]["s_f"],
+                        s["iter"] == 0, s["cost"])
                 out = step_impl.solve_from(art, s["radius"])
             else:
                 art = None

@@ -379,6 +379,8 @@ def _lin_kernel_auto(xf_ref, xe_ref, oh_ref, mask_ref, dat_ref,
                      tf=tf, kf=kf, k=k, fo=fo, R=R)
 
 
+
+
 # ----------------------------------------------------------------------
 # ELIM kernel
 
