@@ -456,7 +456,7 @@ def main():
                     function_tolerance=0.0, gradient_tolerance=0.0,
                     parameter_tolerance=0.0)
                 best = None
-                for _rep in range(2):
+                for _rep in range(3):
                     d_n, it_n = device_rate(solver_name,
                                             opts_override=opts_n,
                                             want_iters=True)

@@ -4,13 +4,15 @@ at the whole-solve level).
 
 Usage: python -m benchmarks.ba_scaling_benchmark [--cpu] [--quick]
 
-Measured 2026-08-17 on one TPU v5e chip (warm full solve from the
-perturbed start, mixed precision, fused eliminator):
-  4 cams/2k pts/8k obs    DENSE_SCHUR      0.31-0.38 s (4 LM iters)
-  16/22k/84k              DENSE_SCHUR      0.36 s (4)    [round 1: ~0.2 s
-                                           on an easy 3-iteration problem]
-  64/30k/150k             ITERATIVE_SCHUR  0.81 s (8)
-  256/50k/300k            ITERATIVE_SCHUR  3.1 s (14)   [round 1: 13.8 s]
+Measured 2026-08-20 (round 5) on one TPU v5e chip (warm full solve from
+the perturbed start, mixed precision, fused eliminator + round-5
+kernels; capture benchmarks/hw_r5/ba_scaling_mid2.log):
+  4 cams/2k pts/8k obs    DENSE_SCHUR      0.029 s (3 LM iters)
+  16/22k/84k              DENSE_SCHUR      0.061 s (3)   [round 3: 0.36]
+  64/30k/150k             ITERATIVE_SCHUR  0.132 s (8)   [round 3: 0.81]
+  256/50k/300k            ITERATIVE_SCHUR  0.964 s (7)   [round 3: 3.1]
+  1024/200k/1M (--large)  ITERATIVE_SCHUR  26.1 s (25, implicit)
+                                           [round 3: 27.9 s / 33 iters]
 """
 
 from __future__ import annotations

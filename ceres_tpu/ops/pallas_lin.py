@@ -675,8 +675,14 @@ def make_pallas_lin(program, options, meta, tile: int = 512):
                     + 4 * te + te * te     # ge/se in+out/xe, ete
                     + te * kf * tf         # A_e^T
                     + P_dat * k            # auto data planes
+                    + (tf * (tf + 1) // 2 + tf + 8) * k  # MXU-fold Q stack
                     + (80 if not hand else 40) * k)   # jet working set
-    budget = 6 * 1024 * 1024
+    # 4 MB budget against the 16 MB scoped-vmem limit: Mosaic
+    # double-buffers the in/out blocks across grid steps, so the live
+    # footprint is ~2x the block estimate plus the fold/jet working set
+    # (a 64-camera problem OOM'd the compiler at the old 6 MB budget —
+    # hw_r5/ba_scaling_mid.log).
+    budget = 4 * 1024 * 1024
     tile = min(tile, max(128, 1 << (ne - 1).bit_length()))
     while tile > 128 and per_lane * tile > budget:
         tile //= 2
