@@ -72,3 +72,40 @@ def test_fused_dogleg_matches_host_loop():
     np.testing.assert_allclose(s_fused.final_cost, s_host.final_cost,
                                rtol=1e-8)
     np.testing.assert_allclose([m_f, c_f], [m[0], c[0]], rtol=1e-5)
+
+
+def test_relin_cond_path_matches_default():
+    """CERES_TPU_RELIN_COND=1 (the lax.cond that skips relinearization
+    on rejected steps — the pre-round-5 default, kept as a knob for
+    reject-heavy workloads) must produce the identical trajectory:
+    relinearizing at an unchanged x is deterministic."""
+    import os
+    import numpy as np
+    import ceres_tpu as ct
+    from ceres_tpu.io.bal import (build_bal_ceres_problem,
+                                  synthetic_bal_problem)
+
+    def build():
+        bal = synthetic_bal_problem(num_cameras=4, num_points=120,
+                                    num_observations=480, seed=3,
+                                    pixel_noise=0.5)
+        bal.perturb(rotation_sigma=0.1, translation_sigma=0.5,
+                    point_sigma=0.3, seed=5)
+        return build_bal_ceres_problem(bal)[0]
+
+    def opts():
+        return ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            use_mixed_precision_solves=True, fused_iterations=True,
+            max_num_iterations=30, function_tolerance=1e-8)
+
+    s_def = ct.solve(opts(), build())
+    os.environ["CERES_TPU_RELIN_COND"] = "1"
+    try:
+        s_cond = ct.solve(opts(), build())
+    finally:
+        del os.environ["CERES_TPU_RELIN_COND"]
+    assert s_cond.num_iterations == s_def.num_iterations
+    assert s_cond.num_successful_steps == s_def.num_successful_steps
+    np.testing.assert_allclose(s_cond.final_cost, s_def.final_cost,
+                               rtol=1e-12)
