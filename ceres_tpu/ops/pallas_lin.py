@@ -539,7 +539,8 @@ def pallas_lin_supported(program, options, meta, explicit: bool,
     if len(slots) != 2 or any(sl.manifold is not None for sl in slots):
         return False
     grp = meta.f_groups[0]
-    if grp["kf"] > 64:     # VPU A-assembly cost grows linearly in kf
+    kf_cap = int(os.environ.get("CERES_TPU_PLIN_MAX_KF", "64"))
+    if grp["kf"] > kf_cap:     # VPU A-assembly cost grows linearly in kf
         return False
     from ..solvers.schur_fused import _slab_of
     if _slab_of(meta.e_cols) is None:
