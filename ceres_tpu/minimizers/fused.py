@@ -290,6 +290,44 @@ def make_fused_tr_solve(program, options, freeze_done: bool = False,
     return solve
 
 
+# chosen D2H chunk count per payload size (process-lifetime cache)
+_D2H_K: dict = {}
+
+
+def _pick_d2h_chunks(n_total: int) -> int:
+    """Probe the tunnel ONCE per (process, payload size) for the best
+    eager-writeback chunk count — the optimum shifts with the tunnel's
+    behavior (see the call site). Costs ~1-2 s on the first eager solve
+    (inside warmup); CPU backends skip straight to 1."""
+    k = _D2H_K.get(n_total)
+    if k is not None:
+        return k
+    if n_total < 32768 or jax.default_backend() == "cpu":
+        _D2H_K[n_total] = 1
+        return 1
+    import time as _t
+    x = jnp.arange(n_total, dtype=jnp.float64) * 1e-6
+    jax.block_until_ready(x)
+    best = None
+    for cand in (1, 4, 8):
+        cuts = [0] + [((i + 1) * n_total) // cand for i in range(cand)]
+        pack = jax.jit(lambda a, _c=tuple(cuts), _k=cand: tuple(
+            a[_c[i]:_c[i + 1]] for i in range(_k)))
+        jax.block_until_ready(pack(x))
+        times = []
+        for rep in range(3):
+            y = pack(x * (1.0 + 1e-12 * (rep + 1)))   # defeat dedupe
+            jax.block_until_ready(y)
+            t0 = _t.perf_counter()
+            jax.device_get(list(y))
+            times.append(_t.perf_counter() - t0)
+        m = min(times)
+        if best is None or m < best[0]:
+            best = (m, cand)
+    _D2H_K[n_total] = best[1]
+    return best[1]
+
+
 def run_fused(program, options, summary):
     """Execute the fused solve and fill the summary. Returns final x."""
     import time
@@ -318,13 +356,14 @@ def run_fused(program, options, summary):
         # of the reference's streamed-buffer H2D trick
         # (cuda_streamed_buffer.h:50): stats and x are packed into one
         # f64 vector on device (a concat dispatch costs ~0.02 ms), split
-        # into 4 near-equal chunks, and pulled with ONE device_get over
-        # the list — the tunnel overlaps the transfers, so the wall is
-        # ~(protocol floor + payload/4) instead of (floor + payload).
-        # Measured on the v5e tunnel (533 KB): single pull 46.7 ms,
-        # 4-chunk 31.1 ms, 8-chunk 35.4 ms (floor ~24 ms).
+        # into near-equal chunks, and pulled with ONE device_get over
+        # the list — the tunnel overlaps the transfers. The best chunk
+        # count MOVES with the tunnel's day-to-day behavior (round 3
+        # measured 4 chunks best: 31 ms vs 47 single; a round-5 sweep
+        # measured 4 chunks WORST: 41 ms vs 30 for 1 or 8), so it is
+        # probed once per process on the first eager solve and cached.
         n_total = 8 + program.num_ambient
-        k = 4 if n_total >= 32768 else 1
+        k = _pick_d2h_chunks(n_total)
         cuts = [0] + [((i + 1) * n_total) // k for i in range(k)]
 
         def _pack_chunks(s, x):
