@@ -116,7 +116,11 @@ def main():
         """+ chunk gather + EtE/Gf/Ge/A/gradient assembly (no solve)."""
         def f(x):
             art = lm.linearize(x, scale0)
-            return dep(x, art["EtE_s"], art["g_se"], art["g_sf"])
+            # plane-mode art (elim2) carries etes_t/gse_t instead of the
+            # [ne, te, te] tensors
+            e = art.get("EtE_s", art.get("etes_t"))
+            g = art.get("g_se", art.get("gse_t"))
+            return dep(x, e, g, art["g_sf"])
         return f
 
     def b_full_step():
