@@ -159,8 +159,15 @@ def _pose3d_match(program, bk):
 
 def _jnormangle(jet):
     """normalize_angle with jets (examples/slam.py; reference
-    normalize_angle.h): value wrapped to (-pi, pi], derivative 1."""
-    v = jnp.arctan2(jnp.sin(jet.v), jnp.cos(jet.v))
+    normalize_angle.h): value wrapped to [-pi, pi], derivative 1.
+    Branchless mod form, NOT arctan2(sin, cos): Mosaic has no atan2
+    lowering ("Unimplemented primitive ... atan2" — this rejection sent
+    every SE2 pose-graph bucket back to jacfwd in rounds 3-5). The two
+    forms agree except at exact odd multiples of pi (measure zero), and
+    the derivative of the round term is 0, so the partials are
+    untouched."""
+    two_pi = 2.0 * np.pi
+    v = jet.v - two_pi * jnp.round(jet.v / two_pi)
     return _Jet(v, dict(jet.d))
 
 
@@ -204,9 +211,25 @@ def _is_angle_manifold(m) -> bool:
         for _ in range(4):
             x = rng.uniform(-10, 10, size=1)
             d = rng.uniform(-10, 10, size=1)
-            got = np.asarray(m.plus(jnp.asarray(x), jnp.asarray(d)))
+            # escape any AMBIENT trace: this probe runs during the
+            # solve's jit tracing, where a jitted plus would hand back a
+            # tracer (TracerArrayConversionError) and the except-clause
+            # silently demoted every SE2 bucket to the auto spec (whose
+            # atan2 Mosaic cannot lower) and from there to jacfwd
+            with jax.ensure_compile_time_eval():
+                got = np.asarray(m.plus(jnp.asarray(x), jnp.asarray(d)),
+                                 dtype=np.float64)
             want = np.arctan2(np.sin(x + d), np.cos(x + d))
-            if not np.allclose(got, want, atol=1e-9):
+            # CIRCULAR distance, loose tolerance: this probe can run
+            # inside an x64-disabled trace scope where plus evaluates in
+            # f32 — a sum landing near an odd multiple of pi then wraps
+            # to the OPPOSITE branch (+pi vs -pi) and a plain allclose
+            # spuriously failed, silently demoting the SE2 bucket to the
+            # auto spec (whose atan2 Mosaic cannot lower) and from there
+            # to jacfwd.
+            diff = got - want
+            diff = diff - 2.0 * np.pi * np.round(diff / (2.0 * np.pi))
+            if not np.allclose(diff, 0.0, atol=1e-4):
                 return False
         return True
     except Exception:
@@ -345,6 +368,7 @@ def _lin_kernel(xin_ref, dat_ref, mask_ref, r_ref, j_ref, *,
 
 
 _PROBE_CACHE: dict = {}
+_BLIN_KVER = 2
 
 
 def make_pallas_bucket_linearize(program, bk, tile: int = 512):
@@ -483,7 +507,11 @@ def make_pallas_bucket_linearize(program, bk, tile: int = 512):
             return None
 
     if not interp:
-        shape_key = ("blin", spec.get("name") or
+        # _BLIN_KVER invalidates persisted probe results when the hand
+        # jet code changes (digest covers only AUTO specs' jaxprs; a
+        # stale False for a hand spec would disable it forever — the
+        # SE2 atan2 fix is exactly such a change)
+        shape_key = ("blin", _BLIN_KVER, spec.get("name") or
                      type(bk.cost.functor).__name__,
                      spec.get("digest", ""), P_in, P_dat,
                      R, nt, tile, GS, jax.default_backend())
